@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship end-to-end KG construction (extract ->
+  skolemize -> link -> canonicalize -> dedup) over the deterministic
+  conformance-fixture pages corpus.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data operator families).
+- ``oracle_sql()``: exact DuckDB equivalents (omitted only for ops
+  built on Spark-native hashing or Python UDF stages, which the driver
+  records as rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +16,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from microdata_rdf_streaming_parser_js_spark.plans.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline over the synthesized pages corpus."""
+    from microdata_rdf_streaming_parser_js_spark.plans.pipeline import build_triples
+    from microdata_rdf_streaming_parser_js_spark.sources.pages import (
+        synthesize_fixture_pages,
+    )
+
+    pages = synthesize_fixture_pages(spark, n_pages=500, n_hosts=20)
+    return build_triples(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: build() for name, build in ORACLES.items()}

@@ -1,0 +1,299 @@
+"""Document deduplication operators over a ``documents(doc_id, text,
+...)`` table: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Everything is built from JVM-side column expressions (split/transform/
+aggregate/md5/xxhash64) — no Python UDFs — so whole-stage codegen
+applies and the only shuffles are the groupBys/joins intrinsic to each
+algorithm.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on a 16-byte digest (map-side partial agg).
+- MinHash: per-doc signatures are computed scan-side (no explode
+  shuffle); LSH banding turns all-pairs into an equi-join on
+  (band_id, band_key) — the classic way to avoid the O(n^2) cross
+  join. Hot bands (boilerplate docs) are bounded by AQE skew-join.
+- SimHash: signature scan-side; candidate pairs via banding on
+  16-bit signature chunks (Hamming-distance blocking).
+- md5 is used for the MinHash permutations (stable across engines ->
+  DuckDB-checkable oracles); xxhash64 backs the production SimHash.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def norm_text(col: "Column") -> "Column":
+    """Lowercase + collapse whitespace (shared doc normalization)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def doc_digest(col: "Column") -> "Column":
+    """Exact-dup content fingerprint: md5 of normalized text."""
+    return F.md5(norm_text(col))
+
+
+def exact_dedup(docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text") -> "DataFrame":
+    """One row per distinct normalized content: canonical (min) id +
+    duplicate count. Single shuffle on the digest."""
+    return (
+        docs.select(F.col(id_col), doc_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def tokens(col: "Column") -> "Column":
+    return F.split(norm_text(col), " ")
+
+
+def shingles(col: "Column", k: int = 3) -> "Column":
+    """Word k-shingles as an array column (empty when < k tokens)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array())
+
+
+def minhash_signature(col: "Column", num_hashes: int = 16, k: int = 3) -> "Column":
+    """MinHash signature as an array of hex digests.
+
+    Permutation j = md5(shingle || '#j'); the min over shingles of a
+    fixed-length hex string equals the numeric min, so signatures stay
+    engine-portable (DuckDB md5 produces identical digests).
+    """
+    sh = shingles(col, k)
+
+    def _perm(j):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _perm(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> "DataFrame":
+    """Candidate near-dup pairs via LSH banding.
+
+    signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
+    agreeing on any full band become a candidate pair. Output:
+    (doc_id_a, doc_id_b) with a < b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes)
+
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    With ``candidates`` (e.g. from minhash_lsh_pairs) this verifies
+    only the LSH survivors — the scalable shape. Without, it computes
+    all-pairs via a shingle inverted index (explode + self-join on
+    shingle, then |intersection| per pair) — fine at test scale and
+    still index-based rather than a cross join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    if candidates is None:
+        inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+        inter = (
+            inv.alias("l")
+            .join(
+                inv.alias("r"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .groupBy(
+                F.col("l.doc_id").alias("doc_id_a"),
+                F.col("r.doc_id").alias("doc_id_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.join(
+                sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),
+                "doc_id_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")),
+                "doc_id_b",
+            )
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            )
+        )
+
+    sizes = sh.select("doc_id", "n_sh")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash64(col: "Column") -> "Column":
+    """64-bit SimHash from xxhash64 token hashes (production path).
+
+    For each bit b: sign of sum over tokens of (+1 if bit set else -1).
+    Computed as one expression per bit over the token array —
+    scan-side, no explode/shuffle.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(b):
+        def merge(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), merge)
+
+    bits = [
+        F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(63)  # stay in signed-long positive range
+    ]
+    out = bits[0]
+    for bexpr in bits[1:]:
+        out = out.bitwiseOR(bexpr)
+    return out
+
+
+def simhash_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> "DataFrame":
+    """Near-dup pairs by SimHash Hamming distance with chunk blocking:
+    two signatures within ``max_hamming`` bits must agree exactly on at
+    least one of ``n_chunks`` chunks (pigeonhole) when
+    max_hamming < n_chunks — join per chunk, then verify distance.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig")
+    )
+    chunk_bits = 64 // n_chunks
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
+                        .alias("chunk_key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_key")
+
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

@@ -1,0 +1,146 @@
+"""D2 — distributed triple extraction (pages -> triples DataFrame).
+
+The whole per-page Microdata algorithm (reference operators P1-P14,
+SURVEY.md §2.2) runs inside ONE Arrow-vectorized ``mapInPandas`` UDF:
+the HTML event stream never crosses a Spark boundary. Spark sees a
+declarative plan — scan(url, html) -> mapInPandas -> triples — so
+Catalyst prunes the other page columns out of the parquet/Iceberg scan.
+
+Scale notes (100 TB corpus):
+- ``mapInPandas`` (iterator-of-batches) is used instead of a scalar
+  pandas_udf so each Python worker compiles regexes/parser tables once
+  per task, not per batch, and so output rows (tens per page) stream
+  out batch-by-batch without materializing a whole partition.
+- Extraction is embarrassingly parallel: no shuffle is introduced
+  here. Upstream repartition by hash(url) (sources/pages.read_pages)
+  evens out crawl-order skew in page sizes.
+- Parse failures never kill a task: errors land in an ``error``
+  column (null on success) so one hostile page in a 100 TB crawl
+  costs one row, not a stage retry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import types as T
+
+from ..functions.microdata import MicrodataExtractor
+from ..functions.html_events import HtmlTagEventParser
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("subj", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj", T.StringType(), True),
+        T.StructField("obj_kind", T.StringType(), True),  # iri|blank|literal
+        T.StructField("obj_lang", T.StringType(), True),
+        T.StructField("obj_datatype", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
+
+
+def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool):
+    """Parse one page with the given base IRI; returns triples."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    extractor = MicrodataExtractor(base_iri or "", vocab_registry)
+    tokenizer = HtmlTagEventParser(extractor, xml_mode=xml_mode)
+    tokenizer.feed(html)
+    tokenizer.end()
+    return extractor.triples
+
+
+def make_extract_fn(vocab_registry: dict | None = None, xml_mode: bool = False):
+    """Build the mapInPandas function (registry captured in the closure;
+    shipped once per executor like a broadcast variable).
+
+    If the incoming batch has a ``base_iri`` column it overrides the
+    parser base (mirrors the reference's ``baseIRI`` option being
+    independent of stream identity); otherwise ``url`` is the base.
+    """
+    import pandas as pd
+
+    def extract_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {c: [] for c in TRIPLE_COLS}
+            bases = pdf["base_iri"] if "base_iri" in pdf.columns else pdf["url"]
+            for url, base, html in zip(pdf["url"], bases, pdf["html"]):
+                try:
+                    triples = _extract_page(base, html, vocab_registry, xml_mode)
+                except Exception as exc:  # noqa: BLE001 - quarantine bad pages
+                    out["url"].append(url)
+                    for c in TRIPLE_COLS[1:-1]:
+                        out[c].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
+                for t in triples:
+                    out["url"].append(url)
+                    out["subj"].append(t.subj)
+                    out["pred"].append(t.pred)
+                    out["obj"].append(t.obj)
+                    out["obj_kind"].append(t.obj_kind)
+                    out["obj_lang"].append(t.obj_lang)
+                    out["obj_datatype"].append(t.obj_datatype)
+                    out["error"].append(None)
+            yield pd.DataFrame(out, columns=TRIPLE_COLS)
+
+    return extract_fn
+
+
+def extract_triples(
+    pages: "DataFrame",
+    vocab_registry: dict | None = None,
+    xml_mode: bool = False,
+    keep_errors: bool = False,
+) -> "DataFrame":
+    """pages(url, html, ...) -> triples DataFrame.
+
+    Only ``url`` and ``html`` are selected, so Catalyst pushes column
+    pruning into the source scan regardless of the pages schema.
+    """
+    cols = ["url", "html"] + (
+        ["base_iri"] if "base_iri" in pages.columns else []
+    )
+    raw = pages.select(*cols).mapInPandas(
+        make_extract_fn(vocab_registry, xml_mode), schema=TRIPLES_SCHEMA
+    )
+    if keep_errors:
+        return raw
+    return raw.filter(raw.error.isNull()).drop("error")
+
+
+def extract_text_fn():
+    """mapInPandas fn: pages(url, html) -> (url, text) using the same
+    tokenizer — backs the byte-identity invariant check at scale."""
+    import pandas as pd
+
+    from ..functions.microdata import extract_text
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = []
+            for html in pdf["html"]:
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                texts.append(extract_text(html))
+            yield pd.DataFrame({"url": pdf["url"], "text": texts})
+
+    return fn
+
+
+TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)

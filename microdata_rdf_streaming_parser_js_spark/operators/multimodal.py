@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, decode/feature steps as Arrow-batched
+``mapInPandas`` stages.
+
+The decode kernels themselves are STUBBED (the image/audio libraries
+are not in this container): :func:`decode_image` raises unless
+``fake=True``, in which case a deterministic fake decoder produces
+shape/feature values derived from the bytes — the Spark-side plumbing
+(schemas, batch iteration, partitioning) is real and tested, and a real
+decoder drops in by replacing one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("phash", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 100) -> "DataFrame":
+    """Deterministic fake media table (bytes = seeded digest stream)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (i, f"http://media.example.org/{kind}/{i}", kind, payload,
+             {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
+             len(payload))
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, str, list[float]]:
+    """Deterministic stand-in for a real image decode: derives a fake
+    (w, h, c), a perceptual-hash-like hex string, and an 8-dim feature
+    vector from the bytes. Replace with PIL/libvips in production."""
+    digest = hashlib.sha256(content or b"").digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    phash = digest[:8].hex()
+    features = [round(b / 255.0, 6) for b in digest[8:16]]
+    return width, height, 3, phash, features
+
+
+def decode_image_features(
+    media: "DataFrame", fake: bool = True, batch_size_hint: int = 256
+) -> "DataFrame":
+    """image rows -> (media_id, width, height, channels, phash,
+    features) via mapInPandas. With ``fake=False`` this raises
+    NotImplementedError in the kernel (no decoder libs here)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "channels", "phash", "features")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decoding requires PIL/libvips; "
+                        "run with fake=True in this environment"
+                    )
+                w, h, c, ph, feats = _fake_decode(bytes(content) if content is not None else b"")
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["phash"].append(ph)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def frame_sample_plan(media: "DataFrame", every_n_seconds: int = 5) -> "DataFrame":
+    """Video frame-sampling *plan*: one row per planned frame (the
+    decode itself is the stubbed kernel). Demonstrates the explode
+    pattern for 1->N media expansion without a UDF."""
+    est_duration = (F.col("n_bytes") / F.lit(100_000)).cast("int") + 1
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts",
+            F.explode(
+                F.sequence(
+                    F.lit(0), est_duration * F.lit(1), F.lit(every_n_seconds)
+                )
+            ),
+        )
+        .select("media_id", "url", "frame_ts")
+    )

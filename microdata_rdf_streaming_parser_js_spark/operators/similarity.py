@@ -1,0 +1,243 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k (the exactness
+  baseline): dot products via ``zip_with`` + ``aggregate`` higher-order
+  functions (JVM, codegen) and a window rank. The candidate join is an
+  index-free cross join per query — correct, O(n·q), used for small q
+  or as the verifier for the ANN path.
+- :func:`lsh_topk` — scale path: random-hyperplane LSH. Signatures are
+  computed scan-side from deterministic pseudo-hyperplanes (hash of
+  (dim, plane)), candidates come from an equi-join on band keys, and
+  only candidates get exact cosine — turning O(n·q) into
+  O(candidates). Recall is tunable via (n_planes, n_bands).
+- :func:`embedding_near_dup` — near-duplicate pairs by cosine >=
+  threshold, LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def dot(a: "Column", b: "Column") -> "Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: "Column") -> "Column":
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: "Column", b: "Column") -> "Column":
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: "DataFrame",
+    queries: "DataFrame",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> "DataFrame":
+    """Exact top-k neighbors per query row.
+
+    queries(query_id, embedding) x embeddings(vec_id, embedding)
+    -> (query_id, vec_id, cos_sim, rank<=k). The small queries side is
+    broadcast so the big side never shuffles.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e_vec")
+    )
+    scored = q.crossJoin(e).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("e_vec").cast("array<double>"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _signature(vec: "Column", dim: int, n_planes: int) -> "Column":
+    """Random-hyperplane sign bits from deterministic pseudo-planes.
+
+    Plane p's weight for dim d = (pmod(hash(d*7919+p), 2001) - 1000):
+    a fixed integer lattice that both engines could reproduce; bit p =
+    (v . w_p) >= 0.
+    """
+    def _weighted(p):
+        def mul(v, d):
+            w = (
+                F.pmod(F.hash(d * 7919 + F.lit(p * 104729)), F.lit(2001)) - 1000
+            ).cast("double")
+            return v * w
+
+        return mul
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _weighted(p)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    df: "DataFrame",
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> "DataFrame":
+    """Explode each row into (band_id, band_key) bucket rows."""
+    bits_per_band = n_planes // n_bands
+    sig = df.withColumn(
+        "_sig", _signature(F.col(vec_col).cast("array<double>"), dim, n_planes)
+    )
+    return sig.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("_sig", b * bits_per_band + 1, bits_per_band).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(
+        *[c for c in df.columns], F.col("_band.band_id"), F.col("_band.band_key")
+    )
+
+
+def lsh_topk(
+    embeddings: "DataFrame",
+    queries: "DataFrame",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> "DataFrame":
+    """Approximate top-k: bucket join on LSH bands, exact cosine on
+    candidates only."""
+    e_b = lsh_buckets(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e_vec")),
+        "e_vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    q_b = lsh_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    cand = (
+        q_b.join(e_b, ["band_id", "band_key"])
+        .select("query_id", "vec_id", "q_vec", "e_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("e_vec").cast("array<double>"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    embeddings: "DataFrame",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Near-duplicate vector pairs (cos >= threshold), LSH-blocked."""
+    b = lsh_buckets(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        "vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_id_a"),
+            F.col("r.vec_id").alias("vec_id_b"),
+            F.col("l.vec").alias("vec_a"),
+            F.col("r.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            F.round(
+                cosine(
+                    F.col("vec_a").cast("array<double>"),
+                    F.col("vec_b").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cos_sim")
+    )

@@ -1,0 +1,581 @@
+"""Driver-facing query registry: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) an
+exactly-matching DuckDB oracle over the pre-registered parquet views
+(documents, embeddings, events, ...) or over golden-fixture VALUES.
+
+Cross-engine parity rules used throughout:
+- hashing: md5 / sha256 only (identical hex in Spark + DuckDB);
+- doubles: identical expression *shape* (sequential folds both sides)
+  so IEEE results match bit-for-bit; thresholds on exact rationals;
+- rounding ambiguity avoided via floor(x * 1e6) integers;
+- timestamps exported as epoch-second bigints.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..fixtures import FIXTURES
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    lang_id,
+    subword_count,
+    token_count,
+)
+from ..operators.canonicalize import dedup_triples
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.extract import extract_triples
+from ..operators.linking import detect_mentions, score_and_link
+from ..operators.similarity import cosine_topk, embedding_near_dup, lsh_topk
+from ..operators.skolemize import DEFAULT_SALT, skolemize
+from ..sources.pages import synthesize_oracle_pages
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_NORM = r"regexp_replace(lower(trim({c})), '\s+', ' ', 'g')"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+def _sql_str(value) -> str:
+    if value is None:
+        return "NULL"
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def _golden_values() -> str:
+    """VALUES rows of the transcribed golden triples (url, subj, pred,
+    obj, obj_kind, obj_lang, obj_datatype) — deduped set semantics."""
+    rows = []
+    seen = set()
+    for f in FIXTURES:
+        url = f"http://pages.example.org/{f.name}.html"
+        for (s, p, o, kind, lang, dt) in f.expected:
+            key = (url, s, p, o, kind, lang, dt)
+            if key in seen:
+                continue
+            seen.add(key)
+            rows.append(
+                f"({_sql_str(url)}, {_sql_str(s)}, {_sql_str(p)}, {_sql_str(o)}, "
+                f"{_sql_str(kind)}, {_sql_str(lang)}, {_sql_str(dt)})"
+            )
+    return ",\n".join(rows)
+
+
+def _golden_skolemized_cte() -> str:
+    """CTE 'golden' = transcribed expected triples with SQL-side
+    skolemization (same salted-sha256 scheme as operators/skolemize)."""
+    return f"""
+golden_raw(url, subj, pred, obj, obj_kind, obj_lang, obj_datatype) AS (
+  VALUES
+{_golden_values()}
+),
+golden AS (
+  SELECT
+    url,
+    CASE WHEN subj LIKE '\\_:%' ESCAPE '\\'
+         THEN 'urn:skolem:' || sha256(url || '|{DEFAULT_SALT}|' || subj)
+         ELSE subj END AS subj,
+    pred,
+    CASE WHEN obj_kind = 'blank'
+         THEN 'urn:skolem:' || sha256(url || '|{DEFAULT_SALT}|' || obj)
+         ELSE obj END AS obj,
+    CASE WHEN obj_kind = 'blank' THEN 'iri' ELSE obj_kind END AS obj_kind,
+    obj_lang,
+    obj_datatype
+  FROM golden_raw
+)"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (golden-fixture corpus)
+# ---------------------------------------------------------------------------
+
+def q_extract_triples(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D2+D3+D5: extract conformance corpus -> skolemize -> dedup."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    return triples.select(
+        "url", "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_datatype"
+    )
+
+
+def sql_extract_triples() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT CAST(url AS VARCHAR) AS url, CAST(subj AS VARCHAR) AS subj,
+       CAST(pred AS VARCHAR) AS pred, CAST(obj AS VARCHAR) AS obj,
+       CAST(obj_kind AS VARCHAR) AS obj_kind,
+       CAST(obj_lang AS VARCHAR) AS obj_lang,
+       CAST(obj_datatype AS VARCHAR) AS obj_datatype
+FROM golden"""
+
+
+_MENTION_PREDS = ("http://example.org/prop", "http://example.org/prop1")
+
+
+def q_entity_link_mapping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D4: mention detection + scoring + argmax over the extracted
+    conformance triples -> (iri -> canonical_iri) mapping."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    mentions = detect_mentions(triples, name_preds=_MENTION_PREDS)
+    return score_and_link(mentions).select("iri", "canonical_iri")
+
+
+def sql_entity_link_mapping() -> str:
+    preds = ", ".join(_sql_str(p) for p in _MENTION_PREDS)
+    return f"""WITH {_golden_skolemized_cte()},
+mentions AS (
+  SELECT subj AS entity_iri,
+         regexp_replace(regexp_replace(lower(trim(obj)), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
+                        '\\s+', ' ', 'g') AS mention_key
+  FROM golden
+  WHERE pred IN ({preds}) AND obj_kind = 'literal'
+    AND length(regexp_replace(regexp_replace(lower(trim(obj)), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
+                              '\\s+', ' ', 'g')) > 0
+),
+freq AS (
+  SELECT mention_key, entity_iri, COUNT(*) AS n_mentions
+  FROM mentions GROUP BY mention_key, entity_iri
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY mention_key ORDER BY n_mentions DESC, entity_iri ASC
+  ) AS rank FROM freq
+),
+canon AS (
+  SELECT mention_key, entity_iri AS canonical_iri FROM ranked WHERE rank = 1
+)
+SELECT r.entity_iri AS iri, c.canonical_iri
+FROM ranked r JOIN canon c USING (mention_key)
+WHERE r.entity_iri <> c.canonical_iri"""
+
+
+def q_host_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Host extraction + per-host volume (the partitioning key for D6)
+    over synthetic urls derived from documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("http://host"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(F.parse_url(url, F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def sql_host_stats() -> str:
+    return """SELECT regexp_extract('http://host' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/d/' || CAST(doc_id AS VARCHAR), '^[a-z]+://([^/]+)', 1) AS host,
+       COUNT(*) AS n_pages
+FROM documents GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def sql_dedup_exact() -> str:
+    return f"""SELECT md5({_NORM.format(c="text")}) AS digest,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1"""
+
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+_MH_K = 3
+
+
+def q_minhash_lsh_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    )
+
+
+def sql_minhash_lsh_pairs() -> str:
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS h{j}"
+        for j in range(_MH_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, md5("
+        + " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS band_key FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - {_MH_K - 1}),
+                        i -> array_to_string(t[i + 1 : i + {_MH_K}], ' ')) AS sh
+  FROM toks WHERE len(t) >= {_MH_K}
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id"""
+
+
+_NJ_K = 3
+_NJ_THRESHOLD = 0.8
+
+
+def q_ngram_jaccard_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, k=_NJ_K, threshold=_NJ_THRESHOLD)
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_u"),
+    )
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {_NJ_K}
+                THEN list_transform(range(0, len(t) - {_NJ_K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {_NJ_K}], ' '))
+                ELSE [] END) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (
+  SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(floor((i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) * 1e6) AS BIGINT) AS jaccard_u
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_NJ_THRESHOLD}"""
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+_SIMHASH_BITS = 32
+
+
+def q_simhash32(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Engine-portable 32-bit SimHash (bit b = high bit of md5 hex
+    nibble b) — the oracle-checkable variant of simhash64."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    def _bit_sum(b):
+        def merge(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t), b + 1, 1).isin(*_HEX_HIGH), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(toks, F.lit(0), merge)
+
+    sig = F.lit(0).cast("long")
+    for b in range(_SIMHASH_BITS):
+        sig = sig + F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return docs.select("doc_id", sig.alias("simhash32"))
+
+
+def sql_simhash32() -> str:
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(t,
+           x -> CASE WHEN substr(md5(x), {b + 1}, 1) IN {repr(_HEX_HIGH)} THEN 1 ELSE -1 END)) > 0
+        THEN {1 << b} ELSE 0 END)"""
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash32 FROM toks"""
+
+
+def q_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Production 64-bit xxhash64 SimHash near-dup pairs (Spark-native
+    hash -> no SQL oracle; rows-only check)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def sql_token_stats() -> str:
+    return f"""SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len({_TOKS.format(c="text")}) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+  md5({_NORM.format(c="text")}) AS fingerprint
+FROM documents"""
+
+
+def q_lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def sql_lang_id() -> str:
+    def hits(markers):
+        in_list = ", ".join(_sql_str(m) for m in markers)
+        return f"len(list_filter({_TOKS.format(c='text')}, x -> x IN ({in_list})))"
+
+    en, de, fr, es = (hits(LANG_MARKERS[k]) for k in ("en", "de", "fr", "es"))
+    return f"""SELECT doc_id,
+  CASE
+    WHEN {en} > 0 AND {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+    WHEN {de} > 0 AND {de} >= {fr} AND {de} >= {es} THEN 'de'
+    WHEN {fr} > 0 AND {fr} >= {es} THEN 'fr'
+    WHEN {es} > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents"""
+
+
+def q_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..functions.text import _count_matches, _tokens  # noqa: PLC2701
+
+    col = F.col("text")
+    n_chars = F.length(col)
+    n_alpha = _count_matches(col, r"[A-Za-z]")
+    n_punct = _count_matches(col, r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]")
+    toks = token_count(col)
+    stop_hits = F.size(F.filter(_tokens(col), lambda t: t.isin(*STOPWORDS_EN)))
+    len_score = F.when(n_chars >= 200, F.lit(1.0)).otherwise(n_chars / F.lit(200.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars.cast("double")).otherwise(F.lit(0.0))
+    stop_ratio = F.when(toks > 0, stop_hits / toks.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    raw = (
+        F.lit(0.25) * len_score
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.25) * F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id", F.floor(raw * 1e6).cast("long").alias("quality_u")
+    )
+
+
+def sql_quality() -> str:
+    stop_list = ", ".join(_sql_str(s) for s in STOPWORDS_EN)
+    toks = _TOKS.format(c="text")
+    return f"""WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    len(regexp_extract_all(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_toks,
+    len(list_filter({toks}, t -> t IN ({stop_list}))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, CAST(floor((
+    0.25 * (CASE WHEN n_chars >= 200 THEN 1.0 ELSE n_chars / 200.0 END)
+  + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+  + 0.25 * least((CASE WHEN n_toks > 0 THEN stop_hits / CAST(n_toks AS DOUBLE) ELSE 0.0 END) * 2, 1.0)
+  + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 4, 1.0))
+) * 1e6) AS BIGINT) AS quality_u
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 10
+_N_QUERIES = 5
+
+
+def q_topk_cosine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=_TOPK_K).select(
+        "query_id", "vec_id", F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"), "rank"
+    )
+
+
+def sql_topk_cosine() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.e) + 1), "
+        "i -> q.e[i] * e.e[i]), (a, b) -> a + b)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e FROM vecs WHERE vec_id < {_N_QUERIES}),
+e AS (SELECT vec_id, e FROM vecs),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot} / ({nrm.format(v="q.e")} * {nrm.format(v="e.e")}), 6) AS cos_sim
+  FROM q, e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u, rank
+FROM ranked WHERE rank <= {_TOPK_K}"""
+
+
+def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ANN path (random-hyperplane LSH; Spark-native hash -> rows-only)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=_TOPK_K, dim=dim).select(
+        "query_id", "vec_id", F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"), "rank"
+    )
+
+
+def q_embedding_near_dup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dup(emb, threshold=0.9, dim=dim).select(
+        "vec_id_a", "vec_id_b",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (streaming-shaped windowed aggregation, batch-checkable)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value") * 1e6).cast("long").alias("sum_value_u"),
+        )
+    )
+
+
+def sql_events_window() -> str:
+    return """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 1e6) AS BIGINT) AS sum_value_u
+FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (synthesized media; rows-only)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    from ..operators.multimodal import decode_image_features, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return decode_image_features(media, fake=True)
+
+
+def q_frame_sample_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    from ..operators.multimodal import frame_sample_plan, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return frame_sample_plan(media)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_extract_triples": q_extract_triples,
+    "q_entity_link_mapping": q_entity_link_mapping,
+    "q_host_stats": q_host_stats,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_simhash32": q_simhash32,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_token_stats": q_token_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality": q_quality,
+    "q_topk_cosine": q_topk_cosine,
+    "q_lsh_topk": q_lsh_topk,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_events_window": q_events_window,
+    "q_multimodal_image_features": q_multimodal_image_features,
+    "q_frame_sample_plan": q_frame_sample_plan,
+}
+
+ORACLES = {
+    "q_extract_triples": sql_extract_triples,
+    "q_entity_link_mapping": sql_entity_link_mapping,
+    "q_host_stats": sql_host_stats,
+    "q_dedup_exact": sql_dedup_exact,
+    "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
+    "q_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
+    "q_simhash32": sql_simhash32,
+    "q_token_stats": sql_token_stats,
+    "q_lang_id": sql_lang_id,
+    "q_quality": sql_quality,
+    "q_topk_cosine": sql_topk_cosine,
+    "q_events_window": sql_events_window,
+}

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this pipeline.
+
+Local-mode testing uses ``local[N]``; the same settings hold on a real
+cluster (spark-submit --py-files) where ``master``/memory come from the
+cluster manager instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "microdata-rdf-kg",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - Arrow enabled: the extraction UDF is ``mapInPandas`` (Arrow batches).
+    - AQE + skew-join: runtime coalescing and skew splitting for the
+      dedup/linking shuffles.
+    - shuffle partitions default to 2x cores locally (cluster jobs
+      should set this to ~2-3x total executor cores).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    n_cores = os.cpu_count() or 8 if cores in ("*", "") else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * n_cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
