@@ -66,21 +66,35 @@ def shingles(col: "Column", k: int = 3) -> "Column":
     )).otherwise(F.array())
 
 
-def minhash_signature(col: "Column", num_hashes: int = 16, k: int = 3) -> "Column":
-    """MinHash signature as an array of hex digests.
+def minhash_signatures(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> "DataFrame":
+    """Per-doc MinHash signature columns h0..h{n-1} (hex digests).
 
     Permutation j = md5(shingle || '#j'); the min over shingles of a
     fixed-length hex string equals the numeric min, so signatures stay
     engine-portable (DuckDB md5 produces identical digests).
+
+    Shape: explode(shingles) -> groupBy(doc).agg(min md5 x n). The
+    explode stays in the scan stage and map-side partial aggregation
+    reduces the shuffle to ONE row per doc per partition — this beats
+    the pure-expression formulation, whose signature tree gets
+    re-inlined (no CSE) into every downstream band projection.
+    Docs with fewer than k tokens produce no shingles and drop out.
     """
-    sh = shingles(col, k)
-
-    def _perm(j):
-        return lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, _perm(j))) for j in range(num_hashes)]
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
     )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -98,10 +112,7 @@ def minhash_lsh_pairs(
     (doc_id_a, doc_id_b) with a < b, distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, k)
 
     band_rows = sig.select(
         "doc_id",
@@ -112,7 +123,11 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band_id"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
                             )
                         ).alias("band_key"),
                     )
@@ -154,13 +169,13 @@ def ngram_jaccard_pairs(
     shingle, then |intersection| per pair) — fine at test scale and
     still index-based rather than a cross join.
     """
-    sh = docs.select(
+    inv = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     if candidates is None:
-        inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
         inter = (
             inv.alias("l")
             .join(
@@ -175,23 +190,27 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("n_inter"))
         )
     else:
+        # verify only LSH survivors: semi-join the inverted index down
+        # to candidate docs, then count shared shingles per pair.
+        cand_docs = candidates.select(
+            F.col("doc_id_a").alias("doc_id")
+        ).union(candidates.select(F.col("doc_id_b").alias("doc_id"))).distinct()
+        inv_c = inv.join(F.broadcast(cand_docs), "doc_id")
         inter = (
-            candidates.join(
-                sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),
-                "doc_id_a",
-            )
+            inv_c.alias("l")
             .join(
-                sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")),
-                "doc_id_b",
+                inv_c.alias("r"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
             )
-            .select(
-                "doc_id_a",
-                "doc_id_b",
-                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            .groupBy(
+                F.col("l.doc_id").alias("doc_id_a"),
+                F.col("r.doc_id").alias("doc_id_b"),
             )
+            .agg(F.count("*").alias("n_inter"))
+            .join(candidates, ["doc_id_a", "doc_id_b"], "left_semi")
         )
 
-    sizes = sh.select("doc_id", "n_sh")
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")),
@@ -210,34 +229,37 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(col: "Column") -> "Column":
-    """64-bit SimHash from xxhash64 token hashes (production path).
+def simhash_signatures(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """63-bit SimHash (positive signed long) from xxhash64 token hashes.
 
-    For each bit b: sign of sum over tokens of (+1 if bit set else -1).
-    Computed as one expression per bit over the token array —
-    scan-side, no explode/shuffle.
+    bit b = sign of sum over tokens of (+1 if hash bit b set else -1).
+    Shape: explode(tokens) -> groupBy(doc).agg(63 signed sums) -> fold
+    bits into one long. Map-side combine keeps the shuffle at one row
+    per doc per partition.
     """
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _bit_sum(b):
-        def merge(acc, h):
-            return acc + F.when(
-                h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
             ).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0).cast("long"), merge)
-
-    bits = [
-        F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for b in range(63)  # stay in signed-long positive range
+        ).alias(f"b{b}")
+        for b in range(63)
     ]
-    out = bits[0]
-    for bexpr in bits[1:]:
-        out = out.bitwiseOR(bexpr)
-    return out
+    sums = ex.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -252,9 +274,7 @@ def simhash_pairs(
     least one of ``n_chunks`` chunks (pigeonhole) when
     max_hamming < n_chunks — join per chunk, then verify distance.
     """
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig")
-    )
+    sig = simhash_signatures(docs, id_col, text_col)
     chunk_bits = 64 // n_chunks
     chunks = sig.select(
         "doc_id",

@@ -1,0 +1,141 @@
+"""End-to-end pipeline tests: materialization layout, checkpoint
+resume, text byte-identity invariant, skolemization stability."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from microdata_rdf_streaming_parser_js_spark.sources.pages import (
+        synthesize_fixture_pages,
+    )
+
+    return synthesize_fixture_pages(spark, n_pages=224, n_hosts=12).cache()
+
+
+def test_text_invariant(spark, pages):
+    """Distributed extract_text == the pages table's text column,
+    byte-identical per url (BASELINE input_hint invariant)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        TEXT_SCHEMA,
+        extract_text_fn,
+    )
+
+    extracted = pages.select("url", "html").mapInPandas(
+        extract_text_fn(), schema=TEXT_SCHEMA
+    )
+    joined = pages.select("url", F.col("text").alias("expected")).join(
+        extracted, "url"
+    )
+    mismatches = joined.filter(
+        ~F.col("text").eqNullSafe(F.col("expected"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_skolemization_stable_and_complete(spark, pages):
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.skolemize import skolemize
+
+    triples = skolemize(extract_triples(pages))
+    # no blank labels survive
+    assert triples.filter(F.col("subj").startswith("_:")).count() == 0
+    assert triples.filter(F.col("obj_kind") == "blank").count() == 0
+    # deterministic across runs (retry stability)
+    h1 = triples.agg(F.bit_xor(F.xxhash64("subj", "pred", "obj"))).first()[0]
+    h2 = skolemize(extract_triples(pages)).agg(
+        F.bit_xor(F.xxhash64("subj", "pred", "obj"))
+    ).first()[0]
+    assert h1 == h2
+
+
+def test_run_pipeline_and_resume(spark, pages, tmp_path):
+    from microdata_rdf_streaming_parser_js_spark.plans.pipeline import run_pipeline
+    from microdata_rdf_streaming_parser_js_spark.sources.writers import (
+        completed_buckets,
+    )
+
+    out = str(tmp_path / "graph")
+    n_buckets = 8
+    stats = run_pipeline(
+        spark, pages, out, n_buckets=n_buckets, wave_size=4, salt_n=2,
+        input_fingerprint="test-corpus-v1",
+    )
+    assert stats["waves_run"] == 2
+    assert completed_buckets(spark, out) == set(range(n_buckets))
+
+    triples = spark.read.parquet(f"{out}/triples")
+    nodes = spark.read.parquet(f"{out}/nodes")
+    edges = spark.read.parquet(f"{out}/edges")
+    assert triples.count() > 0
+    assert nodes.count() > 0
+    assert edges.count() > 0
+    assert "host_bucket" in triples.columns
+
+    # ledger counts match table contents per bucket
+    progress = spark.read.parquet(f"{out}/_progress")
+    ledger = {r.host_bucket: r.n_triples for r in progress.collect()}
+    actual = {
+        r.host_bucket: r.n
+        for r in triples.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for bucket, n in actual.items():
+        assert ledger[bucket] == n
+
+    # resume: second run skips everything
+    stats2 = run_pipeline(spark, pages, out, n_buckets=n_buckets, wave_size=4)
+    assert stats2["waves_run"] == 0
+    assert stats2["buckets_skipped"] == n_buckets
+
+    # idempotence: partial ledger -> only missing buckets recomputed,
+    # final table contents identical
+    before = sorted(
+        map(tuple, triples.drop("host_bucket").collect())
+    )
+    keep = progress.filter(F.col("host_bucket") < 4)
+    keep.write.mode("overwrite").parquet(f"{out}/_progress_tmp")
+    spark.read.parquet(f"{out}/_progress_tmp").write.mode("overwrite").parquet(
+        f"{out}/_progress"
+    )
+    stats3 = run_pipeline(spark, pages, out, n_buckets=n_buckets, wave_size=4)
+    assert stats3["buckets_skipped"] == 4
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/triples").drop("host_bucket").collect())
+    )
+    assert before == after
+
+
+def test_streaming_pipeline(spark, pages, tmp_path):
+    from microdata_rdf_streaming_parser_js_spark.sources.pages import PAGES_SCHEMA
+    from microdata_rdf_streaming_parser_js_spark.streaming.stream import (
+        read_pages_stream,
+        start_pipeline_stream,
+    )
+
+    src = str(tmp_path / "pages_in")
+    pages.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "graph_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_pages_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=4
+    )
+    q = start_pipeline_stream(spark, stream, out, ckpt, n_buckets=8, salt_n=2)
+    q.awaitTermination(300)
+
+    triples = spark.read.parquet(f"{out}/triples")
+    assert triples.count() > 0
+
+    # streaming output == batch output (same extraction + skolemize)
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.skolemize import skolemize
+
+    batch = skolemize(extract_triples(pages))
+    a = sorted(map(tuple, triples.select(batch.columns).collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
