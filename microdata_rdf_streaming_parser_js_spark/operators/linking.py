@@ -92,17 +92,25 @@ def score_and_link(
             F.count("*").alias("n_mentions")
         )
 
-    w = Window.partitionBy("mention_key").orderBy(
-        F.col("n_mentions").desc(), F.col("entity_iri").asc()
+    # rank-1 pick without a self-join: first() over the ordered window
+    # (one shuffle on mention_key total; the window frame default
+    # covers the whole ordered partition for first()).
+    w = (
+        Window.partitionBy("mention_key")
+        .orderBy(F.col("n_mentions").desc(), F.col("entity_iri").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    ranked = freq.withColumn("rank", F.row_number().over(w))
-    canon = ranked.filter(F.col("rank") == 1).select(
-        "mention_key", F.col("entity_iri").alias("canonical_iri")
-    )
-    return (
-        ranked.join(canon, "mention_key")
+    mapping = (
+        freq.withColumn("canonical_iri", F.first("entity_iri").over(w))
         .filter(F.col("entity_iri") != F.col("canonical_iri"))
         .select(F.col("entity_iri").alias("iri"), "canonical_iri")
+    )
+    # An entity can carry several surface names and land in several
+    # mention keys with different winners; the mapping MUST be
+    # functional (one canonical per iri) or the canonicalize join
+    # multiplies triples. Deterministic pick: min canonical.
+    return mapping.groupBy("iri").agg(
+        F.min("canonical_iri").alias("canonical_iri")
     )
 
 

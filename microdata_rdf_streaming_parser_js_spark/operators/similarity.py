@@ -198,7 +198,7 @@ def embedding_near_dup(
     embeddings: "DataFrame",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int = 24,
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -36,6 +36,9 @@ def build_triples(
     """Logical plan pages -> canonical triples (no writes)."""
     triples = skolemize(extract_triples(pages, vocab_registry))
     if link:
+        # triples feed both the mapping build and the rewrite join;
+        # persist so the Python extraction stage runs exactly once.
+        triples = triples.persist()
         mapping = link_entities(triples)
         triples = canonicalize_subjects(triples, mapping)
     if dedup:

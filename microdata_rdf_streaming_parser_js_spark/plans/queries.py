@@ -130,9 +130,13 @@ _MENTION_PREDS = ("http://example.org/prop", "http://example.org/prop1")
 
 def q_entity_link_mapping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """D4: mention detection + scoring + argmax over the extracted
-    conformance triples -> (iri -> canonical_iri) mapping."""
+    conformance triples -> (iri -> canonical_iri) mapping.
+
+    The triples frame is persisted: linking reads it once for the
+    frequency aggregation, and persisting keeps the Python extraction
+    stage from re-running per downstream reference."""
     pages = synthesize_oracle_pages(spark)
-    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True).persist()
     mentions = detect_mentions(triples, name_preds=_MENTION_PREDS)
     return score_and_link(mentions).select("iri", "canonical_iri")
 
@@ -161,9 +165,10 @@ ranked AS (
 canon AS (
   SELECT mention_key, entity_iri AS canonical_iri FROM ranked WHERE rank = 1
 )
-SELECT r.entity_iri AS iri, c.canonical_iri
+SELECT r.entity_iri AS iri, MIN(c.canonical_iri) AS canonical_iri
 FROM ranked r JOIN canon c USING (mention_key)
-WHERE r.entity_iri <> c.canonical_iri"""
+WHERE r.entity_iri <> c.canonical_iri
+GROUP BY r.entity_iri"""
 
 
 def q_host_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -492,7 +497,7 @@ def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 def q_embedding_near_dup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
-    return embedding_near_dup(emb, threshold=0.9, dim=dim).select(
+    return embedding_near_dup(emb, threshold=0.9, dim=dim, n_planes=24).select(
         "vec_id_a", "vec_id_b",
         F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
     )

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # local mode: shuffles spill through spark.local.dir on the driver
+    # host; pointing it at tmpfs keeps multi-hundred-MB shuffle writes
+    # memory-speed instead of bottlenecking every level of parallelism
+    # on one disk (on a real cluster this is per-executor local SSD).
+    shm = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE", "/dev/shm/spark-local")
+    if shm:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -185,6 +185,8 @@ def synthesize_oracle_pages(spark: "SparkSession"):
                 f.base_iri,
             )
         )
+    # tiny corpus: a handful of partitions beats defaultParallelism-many
+    # near-empty Python tasks
     return spark.createDataFrame(
         rows, schema=PAGES_SCHEMA + ", base_iri string"
-    )
+    ).coalesce(4)
