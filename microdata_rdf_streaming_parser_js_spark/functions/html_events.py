@@ -21,9 +21,8 @@ htmlparser2's HTML-mode structural fixups:
 - inside ``svg``/``math`` foreign content the void/implies-close
   fixups are disabled
 
-``xml_mode`` (the reference's ``xmlMode`` option) disables the HTML
-structural fixups. (Limitation vs htmlparser2 xmlMode: tag/attribute
-names are still lower-cased by the stdlib tokenizer.)
+The reference's ``xmlMode`` option maps to :class:`XmlTagEventParser`
+(expat-based, case-preserving, strict) below.
 """
 
 from __future__ import annotations
@@ -167,6 +166,11 @@ class HtmlTagEventParser(HTMLParser):
             self._sink.on_tag_open("br", {})
             self._sink.on_tag_close()
 
+    # position bookkeeping (lineno/offset) is only used for getpos();
+    # skipping it shaves measurable time off the tokenizer hot loop
+    def updatepos(self, i: int, j: int) -> int:
+        return j
+
     # -- HTMLParser callbacks --------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -214,4 +218,47 @@ class HtmlTagEventParser(HTMLParser):
         while self._stack:
             self._stack.pop()
             self._sink.on_tag_close()
+        self._sink.on_end()
+
+
+class XmlTagEventParser:
+    """Strict-X(HT)ML tokenizer for ``xmlMode`` parity, built on the
+    stdlib C expat parser.
+
+    Matches htmlparser2's xmlMode configuration
+    (lib/MicrodataRdfParser.ts:346-350): tag/attribute case preserved,
+    no void elements, no implied closes, self-closing tags recognized,
+    only XML entities decoded. Malformed XML raises
+    ``xml.parsers.expat.ExpatError`` (the reference emits a stream
+    error; our extraction UDF quarantines it in the ``error`` column).
+    """
+
+    def __init__(self, sink: TagEventSink, xml_mode: bool = True):
+        import xml.parsers.expat as expat
+
+        self._sink = sink
+        self._parser = expat.ParserCreate()
+        self._parser.buffer_text = True
+        self._parser.StartElementHandler = self._start
+        self._parser.EndElementHandler = self._end
+        self._parser.CharacterDataHandler = self._text
+        self._ended = False
+
+    def _start(self, name, attrs):
+        self._sink.on_tag_open(name, attrs)
+
+    def _end(self, name):
+        self._sink.on_tag_close()
+
+    def _text(self, data):
+        if data:
+            self._sink.on_text(data)
+
+    def feed(self, data: str) -> None:
+        self._parser.Parse(data, False)
+
+    def end(self) -> None:
+        if not self._ended:
+            self._ended = True
+            self._parser.Parse("", True)
         self._sink.on_end()

@@ -73,7 +73,11 @@ class MicrodataExtractor:
         self._blank_counter = 0
 
         self._scope_stack: list[_ItemScope | None] = []
+        # parallel cache: nearest enclosing scope at each depth -> O(1)
+        # lookup instead of the reference's O(depth) walk (same result)
+        self._nearest_stack: list[_ItemScope | None] = []
         self._text_stack: list[list[str] | None] = []
+        self._active_text_buffers = 0
 
         self._emitting_refs = False
         self._pending_domain: dict[str, list[_ItemScope]] = {}
@@ -88,18 +92,21 @@ class MicrodataExtractor:
         return ("blank", label)
 
     def _get_item_scope(self, parent: bool = False) -> _ItemScope | None:
-        i = len(self._scope_stack) - (2 if parent else 1)
-        while i > 0 and self._scope_stack[i] is None:
-            i -= 1
-        if 0 <= i < len(self._scope_stack):
-            return self._scope_stack[i]
-        return None
+        # nearest-scope cache; equivalent to walking the scope stack
+        # past None entries (lib/MicrodataRdfParser.ts:109-115)
+        nearest = self._nearest_stack
+        if parent:
+            return nearest[-2] if len(nearest) >= 2 else None
+        return nearest[-1] if nearest else None
 
     def _set_text_buffer(self, depth: int, buf: list[str]) -> None:
         # JS arrays allow index == length; Python lists need an append.
         if depth == len(self._text_stack):
             self._text_stack.append(buf)
+            self._active_text_buffers += 1
         else:
+            if self._text_stack[depth] is None:
+                self._active_text_buffers += 1
             self._text_stack[depth] = buf
 
     # ------------------------------------------------------------------
@@ -111,9 +118,10 @@ class MicrodataExtractor:
                     "counter": 0,
                     "ids": [],
                 }
-            for buf in self._pending_range_collecting.values():
-                buf["counter"] += 1
-                buf["events"].append(("open", name, attributes))
+            if self._pending_range_collecting:
+                for buf in self._pending_range_collecting.values():
+                    buf["counter"] += 1
+                    buf["events"].append(("open", name, attributes))
 
         self._text_stack.append(None)
 
@@ -138,9 +146,11 @@ class MicrodataExtractor:
             if parent_scope is not None and parent_scope.vocab:
                 item_scope.vocab = parent_scope.vocab
             self._scope_stack.append(item_scope)
+            self._nearest_stack.append(item_scope)
         else:
             item_scope = self._get_item_scope()
             self._scope_stack.append(None)
+            self._nearest_stack.append(item_scope)
 
         if item_scope is not None:
             # 3-5. Item types; first valid type derives the vocab.
@@ -178,15 +188,16 @@ class MicrodataExtractor:
             )
 
     def on_text(self, data: str) -> None:
-        if not self._emitting_refs:
+        if self._pending_range_collecting and not self._emitting_refs:
             for buf in self._pending_range_collecting.values():
                 buf["events"].append(("text", data))
-        for text_buffer in self._text_stack:
-            if text_buffer is not None:
-                text_buffer.append(data)
+        if self._active_text_buffers:
+            for text_buffer in self._text_stack:
+                if text_buffer is not None:
+                    text_buffer.append(data)
 
     def on_tag_close(self) -> None:
-        if not self._emitting_refs:
+        if self._pending_range_collecting and not self._emitting_refs:
             for reference, buf in list(self._pending_range_collecting.items()):
                 buf["counter"] -= 1
                 buf["events"].append(("close",))
@@ -213,8 +224,10 @@ class MicrodataExtractor:
 
         if self._scope_stack:
             self._scope_stack.pop()
+            self._nearest_stack.pop()
         if self._text_stack:
-            self._text_stack.pop()
+            if self._text_stack.pop() is not None:
+                self._active_text_buffers -= 1
 
     def on_end(self) -> None:
         pass
@@ -299,12 +312,16 @@ class MicrodataExtractor:
             return
 
         scope_stack_old = self._scope_stack
+        nearest_stack_old = self._nearest_stack
         text_stack_old = self._text_stack
+        active_old = self._active_text_buffers
         self._emitting_refs = True
         try:
             for item_scope in applicable:
                 self._scope_stack = [item_scope]
+                self._nearest_stack = [item_scope]
                 self._text_stack = [None]
+                self._active_text_buffers = 0
                 self._replay_id_iter = iter(list(rng["ids"]))
                 for event in rng["events"]:
                     kind = event[0]
@@ -317,7 +334,9 @@ class MicrodataExtractor:
         finally:
             self._replay_id_iter = None
             self._scope_stack = scope_stack_old
+            self._nearest_stack = nearest_stack_old
             self._text_stack = text_stack_old
+            self._active_text_buffers = active_old
             self._emitting_refs = False
 
 
@@ -336,7 +355,12 @@ def parse_html(
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     extractor = MicrodataExtractor(base_iri, vocab_registry)
-    tokenizer = HtmlTagEventParser(extractor, xml_mode=xml_mode)
+    if xml_mode:
+        from .html_events import XmlTagEventParser
+
+        tokenizer = XmlTagEventParser(extractor)
+    else:
+        tokenizer = HtmlTagEventParser(extractor)
     tokenizer.feed(html)
     tokenizer.end()
     return extractor.triples
@@ -367,7 +391,12 @@ def extract_text(html: str | bytes, xml_mode: bool = False) -> str:
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     sink = _TextSink()
-    tokenizer = HtmlTagEventParser(sink, xml_mode=xml_mode)
+    if xml_mode:
+        from .html_events import XmlTagEventParser
+
+        tokenizer = XmlTagEventParser(sink)
+    else:
+        tokenizer = HtmlTagEventParser(sink)
     tokenizer.feed(html)
     tokenizer.end()
     return "".join(sink.parts)

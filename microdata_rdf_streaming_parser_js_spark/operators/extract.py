@@ -54,7 +54,12 @@ def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool):
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     extractor = MicrodataExtractor(base_iri or "", vocab_registry)
-    tokenizer = HtmlTagEventParser(extractor, xml_mode=xml_mode)
+    if xml_mode:
+        from ..functions.html_events import XmlTagEventParser
+
+        tokenizer = XmlTagEventParser(extractor)
+    else:
+        tokenizer = HtmlTagEventParser(extractor)
     tokenizer.feed(html)
     tokenizer.end()
     return extractor.triples
@@ -144,3 +149,82 @@ TEXT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
     ]
 )
+
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("n_tags", T.LongType(), True),
+        T.StructField("n_text_events", T.LongType(), True),
+        T.StructField("n_text_chars", T.LongType(), True),
+        T.StructField("n_triples", T.LongType(), True),
+        T.StructField("n_items", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+class _MetricsTap:
+    """Parse-event tap (the reference's IHtmlParseListener analogue,
+    lib/IHtmlParseListener.ts) counting tags/text alongside extraction."""
+
+    __slots__ = ("inner", "n_tags", "n_text_events", "n_text_chars")
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.n_tags = 0
+        self.n_text_events = 0
+        self.n_text_chars = 0
+
+    def on_tag_open(self, name, attributes):
+        self.n_tags += 1
+        self.inner.on_tag_open(name, attributes)
+
+    def on_text(self, data):
+        self.n_text_events += 1
+        self.n_text_chars += len(data)
+        self.inner.on_text(data)
+
+    def on_tag_close(self):
+        self.inner.on_tag_close()
+
+    def on_end(self):
+        self.inner.on_end()
+
+
+def page_metrics(pages: "DataFrame", vocab_registry: dict | None = None) -> "DataFrame":
+    """Per-page extraction metrics (lineage feed): tag/text counts,
+    triples emitted, distinct items. Same single-pass tokenizer run,
+    with the listener tap counting events (S5 in SURVEY §2.1)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "n_tags", "n_text_events", "n_text_chars",
+                "n_triples", "n_items", "error",
+            )}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                out["url"].append(url)
+                try:
+                    extractor = MicrodataExtractor(url or "", vocab_registry)
+                    tap = _MetricsTap(extractor)
+                    tokenizer = HtmlTagEventParser(tap)
+                    tokenizer.feed(html)
+                    tokenizer.end()
+                    items = {t.subj for t in extractor.triples}
+                    out["n_tags"].append(tap.n_tags)
+                    out["n_text_events"].append(tap.n_text_events)
+                    out["n_text_chars"].append(tap.n_text_chars)
+                    out["n_triples"].append(len(extractor.triples))
+                    out["n_items"].append(len(items))
+                    out["error"].append(None)
+                except Exception as exc:  # noqa: BLE001
+                    for k in ("n_tags", "n_text_events", "n_text_chars", "n_triples", "n_items"):
+                        out[k].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html").mapInPandas(fn, schema=METRICS_SCHEMA)

@@ -171,6 +171,76 @@ WHERE r.entity_iri <> c.canonical_iri
 GROUP BY r.entity_iri"""
 
 
+def q_graph_nodes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D7 nodes derivation over the conformance graph."""
+    from ..sources.writers import nodes_from_triples, with_host_bucket
+
+    pages = synthesize_oracle_pages(spark)
+    triples = with_host_bucket(
+        dedup_triples(skolemize(extract_triples(pages)), per_graph=True), 8
+    )
+    return nodes_from_triples(triples).select("iri", "kind").distinct()
+
+
+def sql_graph_nodes() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT DISTINCT iri, 'iri' AS kind FROM (
+  SELECT subj AS iri FROM golden
+  UNION ALL
+  SELECT obj FROM golden WHERE obj_kind <> 'literal'
+)"""
+
+
+def q_graph_edges(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D7 edges derivation (iri->iri only) over the conformance graph."""
+    from ..sources.writers import edges_from_triples, with_host_bucket
+
+    pages = synthesize_oracle_pages(spark)
+    triples = with_host_bucket(
+        dedup_triples(skolemize(extract_triples(pages)), per_graph=True), 8
+    )
+    return edges_from_triples(triples).select("subj", "pred", "obj", "url")
+
+
+def sql_graph_edges() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT subj, pred, obj, url FROM golden WHERE obj_kind <> 'literal'"""
+
+
+def q_extract_text(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Byte-identity invariant as a driver-checked query: distributed
+    text extraction vs the synthesis-time text column."""
+    from ..operators.extract import TEXT_SCHEMA, extract_text_fn
+
+    pages = synthesize_oracle_pages(spark)
+    return pages.select("url", "html").mapInPandas(
+        extract_text_fn(), schema=TEXT_SCHEMA
+    )
+
+
+def sql_extract_text() -> str:
+    from ..sources.pages import synthesize_oracle_pages as _sop  # noqa: F401
+    from ..fixtures import FIXTURES as _FX
+    from ..functions.microdata import extract_text as _et
+
+    rows = ",\n".join(
+        f"({_sql_str(f'http://pages.example.org/{f.name}.html')}, {_sql_str(_et(f.html))})"
+        for f in _FX
+    )
+    return (
+        "SELECT CAST(url AS VARCHAR) AS url, CAST(text AS VARCHAR) AS text\n"
+        f"FROM (VALUES\n{rows}\n) t(url, text)"
+    )
+
+
+def q_page_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """S5 parse-event tap: per-page tag/text/triple counts (lineage)."""
+    from ..operators.extract import page_metrics
+
+    pages = synthesize_oracle_pages(spark)
+    return page_metrics(pages)
+
+
 def q_host_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Host extraction + per-host volume (the partitioning key for D6)
     over synthetic urls derived from documents."""
@@ -553,6 +623,10 @@ def q_frame_sample_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 QUERIES = {
     "q_extract_triples": q_extract_triples,
     "q_entity_link_mapping": q_entity_link_mapping,
+    "q_graph_nodes": q_graph_nodes,
+    "q_graph_edges": q_graph_edges,
+    "q_extract_text": q_extract_text,
+    "q_page_metrics": q_page_metrics,
     "q_host_stats": q_host_stats,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -573,6 +647,9 @@ QUERIES = {
 ORACLES = {
     "q_extract_triples": sql_extract_triples,
     "q_entity_link_mapping": sql_entity_link_mapping,
+    "q_graph_nodes": sql_graph_nodes,
+    "q_graph_edges": sql_graph_edges,
+    "q_extract_text": sql_extract_text,
     "q_host_stats": sql_host_stats,
     "q_dedup_exact": sql_dedup_exact,
     "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
