@@ -1,0 +1,159 @@
+"""Fast whole-document HTML tokenizer (regex scanner).
+
+Drop-in replacement for the stdlib-``html.parser`` tokenizer in
+:mod:`html_events` for the extraction hot path. It produces the same
+``handle_starttag / handle_startendtag / handle_endtag / handle_data``
+callback stream and DELEGATES to the existing
+:class:`~.html_events.HtmlTagEventParser` adapter instance for all
+structural normalization (void elements, openImpliesClose, implicit
+closes, first-wins attributes) — so the htmlparser2-parity semantics
+live in exactly one place.
+
+Scope: whole-document parsing (the extraction UDF always has the full
+page per row). ``feed`` accumulates; ``end`` scans once. Equivalence
+with the stdlib path is enforced by the golden conformance suite plus
+differential fuzzing (tests/test_fast_html.py).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .html_events import HtmlTagEventParser, TagEventSink
+
+_TAG_OPEN = re.compile(r"<(?:(/)\s*)?([a-zA-Z][^\t\n\r\f />\x00]*)")
+_MARKUP_SKIP = re.compile(r"<(!--|[!?/])")
+_ATTR = re.compile(
+    r"""[\s/]*([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
+    re.S,
+)
+# consume a start-tag body up to the closing '>' with quote skipping
+_TAG_BODY = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
+_RAWTEXT_END = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+class FastHtmlTokenizer:
+    """Tokenize ``end()``-time over the accumulated document."""
+
+    def __init__(self, sink: TagEventSink):
+        # the adapter carries ALL structural semantics; we bypass its
+        # stdlib feed() and call its handle_* callbacks directly.
+        self._adapter = HtmlTagEventParser(sink)
+        self._chunks: list[str] = []
+
+    def feed(self, data: str) -> None:
+        self._chunks.append(data)
+
+    def end(self) -> None:
+        self._scan("".join(self._chunks))
+        self._chunks.clear()
+        self._adapter.end()
+
+    # ------------------------------------------------------------------
+    def _emit_text(self, raw: str) -> None:
+        if raw:
+            self._adapter.handle_data(unescape(raw) if "&" in raw else raw)
+
+    def _scan(self, doc: str) -> None:  # noqa: PLR0912 - single hot loop
+        adapter = self._adapter
+        n = len(doc)
+        pos = 0
+        text_start = 0
+        while pos < n:
+            lt = doc.find("<", pos)
+            if lt < 0:
+                break
+            m = _TAG_OPEN.match(doc, lt)
+            if m is None:
+                ms = _MARKUP_SKIP.match(doc, lt)
+                if ms is None:
+                    # stray '<' is literal text; keep scanning after it
+                    pos = lt + 1
+                    continue
+                self._emit_text(doc[text_start:lt])
+                if ms.group(1) == "!--":
+                    close = doc.find("-->", ms.end())
+                    close_end = close + 3
+                else:  # <!doctype> / <?pi> / bogus end tag "</!" "</>"
+                    close = doc.find(">", ms.end())
+                    close_end = close + 1
+                if close < 0:
+                    # unterminated markup at EOF: stdlib flushes it as text
+                    self._emit_text(doc[lt:])
+                    pos = n
+                else:
+                    pos = close_end
+                text_start = pos
+                continue
+
+            self._emit_text(doc[text_start:lt])
+            is_end, name = m.group(1), m.group(2).lower()
+
+            if is_end:
+                close = doc.find(">", m.end())
+                if close < 0:
+                    # unterminated end tag at EOF: stdlib flushes as text
+                    self._emit_text(doc[lt:])
+                    pos = text_start = n
+                    break
+                adapter.handle_endtag(name)
+                pos = text_start = close + 1
+                continue
+
+            # start tag: find its real end, honoring quoted attr values
+            bm = _TAG_BODY.match(doc, m.end())
+            i = bm.end()
+            if i < n and doc[i] != ">":
+                # unterminated quote: everything to EOF belongs to the tag
+                i = n
+            if i >= n:
+                # unterminated tag at EOF: stdlib emits the rest as data
+                self._emit_text(doc[lt:])
+                pos = text_start = n
+                break
+            body = doc[m.end():i]
+
+            # stdlib parity: attrs parse greedily (an unquoted value may
+            # consume slashes); the tag is self-closing only when the
+            # leftover tail after the last attr is exactly '/'
+            attrs: list[tuple[str, str | None]] = []
+            last_end = 0
+            if body and not body.isspace():
+                for am in _ATTR.finditer(body):
+                    aname = am.group(1).lower()
+                    value = am.group(2)
+                    if value is None:
+                        value = am.group(3)
+                    if value is None:
+                        value = am.group(4)
+                    if value is not None and "&" in value:
+                        value = unescape(value)
+                    attrs.append((aname, value))
+                    last_end = am.end()
+            self_closing = body[last_end:].strip() == "/"
+
+            if self_closing:
+                adapter.handle_startendtag(name, attrs)
+            else:
+                adapter.handle_starttag(name, attrs)
+            pos = text_start = i + 1
+
+            # raw-text elements: script/style content is CDATA
+            raw_re = _RAWTEXT_END.get(name)
+            if raw_re is not None and not self_closing:
+                em = raw_re.search(doc, pos)
+                if em is None:
+                    # unterminated script/style at EOF: the stdlib
+                    # tokenizer discards the buffered CDATA; match it
+                    pos = text_start = n
+                    break
+                if em.start() > pos:
+                    adapter.handle_data(doc[pos:em.start()])
+                pos = text_start = em.start()
+
+        if text_start < n:
+            self._emit_text(doc[text_start:])

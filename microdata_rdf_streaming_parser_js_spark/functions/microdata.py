@@ -360,7 +360,11 @@ def parse_html(
 
         tokenizer = XmlTagEventParser(extractor)
     else:
-        tokenizer = HtmlTagEventParser(extractor)
+        # fast regex scanner; event-stream parity with the stdlib-backed
+        # HtmlTagEventParser is enforced by tests/test_fast_html.py
+        from .fast_html import FastHtmlTokenizer
+
+        tokenizer = FastHtmlTokenizer(extractor)
     tokenizer.feed(html)
     tokenizer.end()
     return extractor.triples
@@ -396,7 +400,9 @@ def extract_text(html: str | bytes, xml_mode: bool = False) -> str:
 
         tokenizer = XmlTagEventParser(sink)
     else:
-        tokenizer = HtmlTagEventParser(sink)
+        from .fast_html import FastHtmlTokenizer
+
+        tokenizer = FastHtmlTokenizer(sink)
     tokenizer.feed(html)
     tokenizer.end()
     return "".join(sink.parts)

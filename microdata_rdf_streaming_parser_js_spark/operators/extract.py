@@ -59,7 +59,9 @@ def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool):
 
         tokenizer = XmlTagEventParser(extractor)
     else:
-        tokenizer = HtmlTagEventParser(extractor)
+        from ..functions.fast_html import FastHtmlTokenizer
+
+        tokenizer = FastHtmlTokenizer(extractor)
     tokenizer.feed(html)
     tokenizer.end()
     return extractor.triples
@@ -211,7 +213,9 @@ def page_metrics(pages: "DataFrame", vocab_registry: dict | None = None) -> "Dat
                 try:
                     extractor = MicrodataExtractor(url or "", vocab_registry)
                     tap = _MetricsTap(extractor)
-                    tokenizer = HtmlTagEventParser(tap)
+                    from ..functions.fast_html import FastHtmlTokenizer
+
+                    tokenizer = FastHtmlTokenizer(tap)
                     tokenizer.feed(html)
                     tokenizer.end()
                     items = {t.subj for t in extractor.triples}

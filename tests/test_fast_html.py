@@ -1,0 +1,157 @@
+"""Differential tests: FastHtmlTokenizer must emit the exact same
+normalized event stream as the stdlib-backed HtmlTagEventParser on the
+golden fixtures AND on hypothesis-fuzzed HTML-ish documents."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from microdata_rdf_streaming_parser_js_spark.fixtures import FIXTURES
+from microdata_rdf_streaming_parser_js_spark.functions.fast_html import (
+    FastHtmlTokenizer,
+)
+from microdata_rdf_streaming_parser_js_spark.functions.html_events import (
+    HtmlTagEventParser,
+)
+
+
+class RecordingSink:
+    def __init__(self):
+        self.events = []
+        self._text = []
+
+    def _flush(self):
+        if self._text:
+            self.events.append(("text", "".join(self._text)))
+            self._text = []
+
+    def on_tag_open(self, name, attributes):
+        self._flush()
+        self.events.append(("open", name, dict(attributes)))
+
+    def on_text(self, data):
+        # text chunking may differ between tokenizers; coalesce
+        self._text.append(data)
+
+    def on_tag_close(self):
+        self._flush()
+        self.events.append(("close",))
+
+    def on_end(self):
+        self._flush()
+        self.events.append(("end",))
+
+
+def events_stdlib(doc: str):
+    sink = RecordingSink()
+    p = HtmlTagEventParser(sink)
+    p.feed(doc)
+    p.end()
+    return sink.events
+
+
+def events_fast(doc: str):
+    sink = RecordingSink()
+    p = FastHtmlTokenizer(sink)
+    p.feed(doc)
+    p.end()
+    return sink.events
+
+
+@pytest.mark.parametrize("fixture", FIXTURES, ids=[f.name for f in FIXTURES])
+def test_fixture_event_parity(fixture):
+    assert events_fast(fixture.html) == events_stdlib(fixture.html)
+
+
+REALISTIC = [
+    '<!DOCTYPE html><html lang="en"><head><meta charset="utf-8">'
+    "<title>T &amp; U</title><style>p>a{color:red}</style></head>"
+    '<body><p>one<p>two<ul><li>a<li>b</ul><img src="x.png" alt>'
+    "<script>if (a<b) { x(\"</div>\"); }</script>tail</body></html>",
+    "<table><tr><td>1<td>2<tr><td>3</table>",
+    '<div itemscope itemtype="http://schema.org/Thing" ITEMPROP="p" itemprop="q">x</div>',
+    "<p>a &notin; b &amp c &unknown; d &#65; e &#x42; f</p>",
+    "<a href=/x//>text</a>",
+    "<br/><br></br><hr>",
+    "<div>unclosed <span>spans",
+    "< notatag <3 <<div>ok</div>",
+    "<!-- comment <div>no</div> --><p>after</p>",
+    "<![CDATA[ not html ]]><p>x</p>",
+    "<svg><title>svg title<circle/></title></svg>",
+    "<select><option>a<option>b</select>",
+    "text only, no tags at all & entities &lt;here&gt;",
+    "",
+    "<p attr='sq' other=\"dq\" bare=unquoted flag>mix</p>",
+]
+
+
+@pytest.mark.parametrize("doc", REALISTIC, ids=range(len(REALISTIC)))
+def test_realistic_event_parity(doc):
+    assert events_fast(doc) == events_stdlib(doc)
+
+
+_tag_names = st.sampled_from(
+    ["div", "span", "p", "li", "ul", "a", "img", "br", "table", "tr", "td",
+     "script", "style", "b", "i", "time", "meta", "link", "data"]
+)
+_attr_names = st.sampled_from(
+    ["itemscope", "itemtype", "itemprop", "itemref", "itemid", "id", "lang",
+     "href", "src", "content", "datetime", "value", "class"]
+)
+_attr_values = st.text(
+    alphabet="abc &#;<'\"=/ \t\né", min_size=0, max_size=12
+)
+_texts = st.text(alphabet="ab &#;x<>/!-\n\té", min_size=0, max_size=20)
+
+
+@st.composite
+def html_docs(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(_texts))
+        elif kind == 1:
+            name = draw(_tag_names)
+            attrs = []
+            for _ in range(draw(st.integers(0, 3))):
+                a = draw(_attr_names)
+                if draw(st.booleans()):
+                    v = draw(_attr_values).replace('"', "")
+                    attrs.append(f'{a}="{v}"')
+                else:
+                    attrs.append(a)
+            slash = "/" if draw(st.booleans()) else ""
+            parts.append(f"<{name} {' '.join(attrs)}{slash}>")
+        elif kind == 2:
+            parts.append(f"</{draw(_tag_names)}>")
+        elif kind == 3:
+            parts.append(f"<!-- {draw(_texts)} -->")
+        elif kind == 4:
+            parts.append(draw(st.sampled_from(["<", "< ", "<3", "<>", "<!", "<!x>", "<?pi>"])))
+        else:
+            parts.append(f"&{draw(st.sampled_from(['amp;', 'lt;', 'notin;', 'amp', 'bogus;', '#65;', '#x42;']))}")
+    return "".join(parts)
+
+
+@settings(max_examples=400, deadline=None)
+@given(html_docs())
+def test_fuzz_event_parity(doc):
+    assert events_fast(doc) == events_stdlib(doc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_docs())
+def test_fuzz_triple_parity(doc):
+    from microdata_rdf_streaming_parser_js_spark.functions.microdata import (
+        MicrodataExtractor,
+    )
+
+    def run(tokcls):
+        ex = MicrodataExtractor("http://example.org/document.html")
+        tk = tokcls(ex)
+        tk.feed(doc)
+        tk.end()
+        return ex.triples
+
+    assert run(FastHtmlTokenizer) == run(HtmlTagEventParser)
