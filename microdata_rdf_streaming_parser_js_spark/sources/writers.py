@@ -47,11 +47,20 @@ def with_host_bucket(df: "DataFrame", n_buckets: int = 64) -> "DataFrame":
 
 
 def _write_partitioned(
-    df: "DataFrame", path: str, salt_n: int, mode: str = "overwrite"
+    df: "DataFrame",
+    path: str,
+    salt_n: int,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
 ) -> None:
-    out = df.repartition(
-        F.col("host_bucket"), F.pmod(F.hash("url"), F.lit(salt_n))
-    ) if "url" in df.columns else df.repartition("host_bucket")
+    # explicit partition count: AQE treats user-specified repartition
+    # numbers as final, so the salt split is not coalesced back into
+    # one writer task per (possibly mega-) host bucket
+    if "url" in df.columns:
+        cols = [F.col("host_bucket"), F.pmod(F.hash("url"), F.lit(salt_n))]
+    else:
+        cols = [F.col("host_bucket")]
+    out = df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
     (
         out.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
@@ -113,11 +122,12 @@ def materialize_wave(
     triples = triples.persist()
     try:
         n_triples = triples.count()
-        _write_partitioned(triples, f"{out_dir}/triples", salt_n, mode)
+        n_parts = max(1, len(buckets)) * salt_n
+        _write_partitioned(triples, f"{out_dir}/triples", salt_n, mode, n_parts)
         nodes = nodes_from_triples(triples)
-        _write_partitioned(nodes, f"{out_dir}/nodes", salt_n, mode)
+        _write_partitioned(nodes, f"{out_dir}/nodes", salt_n, mode, n_parts)
         edges = edges_from_triples(triples)
-        _write_partitioned(edges, f"{out_dir}/edges", salt_n, mode)
+        _write_partitioned(edges, f"{out_dir}/edges", salt_n, mode, n_parts)
 
         per_bucket = {
             r["host_bucket"]: r

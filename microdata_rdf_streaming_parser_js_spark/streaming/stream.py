@@ -67,3 +67,77 @@ def start_pipeline_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_host_counts(
+    pages_stream: "DataFrame",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> "DataFrame":
+    """Late-data-tolerant windowed aggregation: pages per (host,
+    tumbling window of warc_ts), with a watermark bounding state.
+
+    Streaming-aggregation shape (watermark + window + groupBy) used for
+    crawl-rate monitoring; in append output mode a window closes once
+    the watermark passes its end.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("win"),
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
+FIRST_SEEN_SCHEMA = "url string, digest string"
+_FIRST_SEEN_STATE = "seen boolean"
+
+
+def streaming_first_seen_dedup(pages_stream: "DataFrame") -> "DataFrame":
+    """Custom stateful streaming operator: emit only the FIRST page per
+    content digest across the whole stream (exact streaming dedup).
+
+    Built on ``applyInPandasWithState``: one boolean state cell per
+    digest group; later arrivals of the same digest are dropped. This
+    is the streaming analogue of exact_dedup for continuous ingestion.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import doc_digest
+
+    with_digest = pages_stream.select(
+        "url",
+        doc_digest(
+            F.decode(F.col("html"), "utf-8")
+        ).alias("digest"),
+    )
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        import pandas as pd
+
+        first = next(pdf_iter)
+        for _rest in pdf_iter:
+            pass
+        return iter([pd.DataFrame({"url": [first["url"].iloc[0]], "digest": [key[0]]})])
+
+    return with_digest.groupBy("digest").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
