@@ -521,7 +521,10 @@ def q_topk_cosine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(emb, queries, k=_TOPK_K).select(
-        "query_id", "vec_id", F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"), "rank"
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+        F.col("rank").cast("long").alias("rank"),  # match DuckDB ROW_NUMBER (BIGINT)
     )
 
 
@@ -560,7 +563,10 @@ def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries, k=_TOPK_K, dim=dim).select(
-        "query_id", "vec_id", F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"), "rank"
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
