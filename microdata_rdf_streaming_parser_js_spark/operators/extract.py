@@ -49,10 +49,22 @@ TRIPLES_SCHEMA = T.StructType(
 TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
 
 
-def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool):
+# crawler hygiene: a 100 TB crawl contains pathological pages; cap the
+# bytes one page may cost before it ever reaches the parser.
+MAX_HTML_BYTES = 16 * 1024 * 1024
+
+
+def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool,
+                  max_html_bytes: int = MAX_HTML_BYTES):
     """Parse one page with the given base IRI; returns triples."""
+    if html is None:
+        raise ValueError("null html")
     if isinstance(html, (bytes, bytearray, memoryview)):
+        if len(html) > max_html_bytes:
+            raise ValueError(f"html too large: {len(html)} bytes")
         html = bytes(html).decode("utf-8", errors="replace")
+    elif len(html) > max_html_bytes:
+        raise ValueError(f"html too large: {len(html)} chars")
     extractor = MicrodataExtractor(base_iri or "", vocab_registry)
     if xml_mode:
         from ..functions.html_events import XmlTagEventParser
