@@ -22,14 +22,19 @@ from html import unescape
 
 from .html_events import HtmlTagEventParser, TagEventSink
 
-_TAG_OPEN = re.compile(r"<(?:(/)\s*)?([a-zA-Z][^\t\n\r\f />\x00]*)")
+_TAG_OPEN = re.compile(r"<(?:(/)\s*)?([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 _MARKUP_SKIP = re.compile(r"<(!--|[!?/])")
+# faithful port of the stdlib tokenizer's attrfind_tolerant: attr name
+# must follow a separator (lookbehind), '=+' value indicator, bare
+# values may not start with a quote, trailing separators consumed
 _ATTR = re.compile(
-    r"""[\s/]*([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
-    re.S,
+    r"""((?<=['"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"""
+    r"""('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?(?:\s|/(?!>))*"""
 )
 # consume a start-tag body up to the closing '>' with quote skipping
 _TAG_BODY = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
+# stdlib parity: a comment closes at '--' + optional ws + '>'
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 _RAWTEXT_END = {
     "script": re.compile(r"</\s*script", re.I),
     "style": re.compile(r"</\s*style", re.I),
@@ -76,8 +81,9 @@ class FastHtmlTokenizer:
                     continue
                 self._emit_text(doc[text_start:lt])
                 if ms.group(1) == "!--":
-                    close = doc.find("-->", ms.end())
-                    close_end = close + 3
+                    cm = _COMMENT_CLOSE.search(doc, ms.end())
+                    close = cm.start() if cm else -1
+                    close_end = cm.end() if cm else 0
                 else:  # <!doctype> / <?pi> / bogus end tag "</!" "</>"
                     close = doc.find(">", ms.end())
                     close_end = close + 1
@@ -107,39 +113,66 @@ class FastHtmlTokenizer:
             # start tag: find its real end, honoring quoted attr values
             bm = _TAG_BODY.match(doc, m.end())
             i = bm.end()
+            body_peek = doc[m.end():i]
+            if (
+                ('"' in body_peek or "'" in body_peek)
+                and ("<" in body_peek or ">" in body_peek)
+            ):
+                # quoted attr values containing angle brackets hit the
+                # stdlib tokenizer's tolerant-regex recovery paths;
+                # delegate the rest of the document for exact parity
+                adapter.feed(doc[lt:])
+                adapter.goahead(1)
+                pos = text_start = n
+                return
             if i < n and doc[i] != ">":
-                # unterminated quote: everything to EOF belongs to the tag
-                i = n
+                # unterminated quoted attribute: the stdlib tokenizer's
+                # recovery is an intricate backtracking dance; route the
+                # rest of the document through the embedded stdlib
+                # parser (the adapter IS one) for exact parity. This is
+                # a broken-markup path, never the hot path. (pending
+                # text before this tag was already emitted above)
+                adapter.feed(doc[lt:])
+                adapter.goahead(1)
+                pos = text_start = n
+                return
             if i >= n:
                 # unterminated tag at EOF: stdlib emits the rest as data
                 self._emit_text(doc[lt:])
                 pos = text_start = n
                 break
-            body = doc[m.end():i]
-
-            # stdlib parity: attrs parse greedily (an unquoted value may
-            # consume slashes); the tag is self-closing only when the
-            # leftover tail after the last attr is exactly '/'
+            # stdlib-parity attr loop: anchored matches from the end of
+            # the tag-name match (which consumed trailing separators);
+            # a non-matching remainder stops the loop, and a leftover
+            # tail other than '>'/'/>' turns the whole tag into data.
             attrs: list[tuple[str, str | None]] = []
-            last_end = 0
-            if body and not body.isspace():
-                for am in _ATTR.finditer(body):
-                    aname = am.group(1).lower()
-                    value = am.group(2)
-                    if value is None:
-                        value = am.group(3)
-                    if value is None:
-                        value = am.group(4)
-                    if value is not None and "&" in value:
+            k = m.end()
+            while k < i:
+                am = _ATTR.match(doc, k)
+                if am is None or am.end() > i:
+                    break
+                aname = am.group(1).lower()
+                value = am.group(3)
+                if value is not None:
+                    if value[:1] in "\"'" and value[:1] == value[-1:]:
+                        value = value[1:-1]
+                    if "&" in value:
                         value = unescape(value)
-                    attrs.append((aname, value))
-                    last_end = am.end()
-            self_closing = body[last_end:].strip() == "/"
-
-            if self_closing:
+                attrs.append((aname, value))
+                if am.end() == k:
+                    break
+                k = am.end()
+            tail = doc[k : i + 1].strip()
+            self_closing = tail == "/>"
+            if tail == ">":
+                adapter.handle_starttag(name, attrs)
+            elif self_closing:
                 adapter.handle_startendtag(name, attrs)
             else:
-                adapter.handle_starttag(name, attrs)
+                # junk inside the tag: stdlib emits the whole tag as data
+                self._emit_text(doc[lt : i + 1])
+                pos = text_start = i + 1
+                continue
             pos = text_start = i + 1
 
             # raw-text elements: script/style content is CDATA

@@ -111,6 +111,16 @@ class MicrodataExtractor:
 
     # ------------------------------------------------------------------
     def on_tag_open(self, name: str, attributes: dict[str, str]) -> None:
+        # fast path: attribute-less tags (the vast majority on real
+        # crawl pages) can't open scopes, set language, or carry
+        # props/ids — only the three stack pushes are observable.
+        if not attributes and not self._pending_range_collecting:
+            self._text_stack.append(None)
+            nearest = self._nearest_stack
+            nearest.append(nearest[-1] if nearest else None)
+            self._scope_stack.append(None)
+            return
+
         if not self._emitting_refs:
             if "id" in attributes:
                 self._pending_range_collecting[attributes["id"]] = {
@@ -270,7 +280,11 @@ class MicrodataExtractor:
                     self._emit_predicate_triples(parent_scope, predicates, obj, reverse)
                     depth_map.pop(key, None)
 
-        if depth_map.get(key):
+        # JS parity: an EMPTY predicates array is truthy in the
+        # reference's `if (predicates[depth][key])` check
+        # (lib/MicrodataRdfParser.ts:412), so text is still collected
+        # (and then emitted zero times) for e.g. itemprop="".
+        if key in depth_map:
             self._set_text_buffer(depth, [])
 
     def _emit_predicate_triples(self, item_scope, predicates, obj, reverse) -> None:

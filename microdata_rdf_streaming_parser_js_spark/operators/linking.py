@@ -117,3 +117,76 @@ def score_and_link(
 def link_entities(triples: "DataFrame") -> "DataFrame":
     """Convenience: mentions -> mapping in one call."""
     return score_and_link(detect_mentions(triples))
+
+
+MENTION_SCORE_SCHEMA = (
+    "mention_key string, entity_iri string, surface string, score double"
+)
+
+
+def score_mentions_pandas(mentions: "DataFrame") -> "DataFrame":
+    """Batched (mention, candidate) scoring in a grouped pandas UDF —
+    the slow-path hook for model-based linkers (BASELINE: 'batched
+    mention detection and entity-link scoring').
+
+    Groups by ``mention_key`` (the blocking key) and scores every
+    member's surface form against the block's most frequent surface
+    with a character-trigram Jaccard — a deterministic, dependency-free
+    stand-in with the exact shape a learned scorer would use
+    (pandas DataFrame in / out, Arrow transfer, one group per block).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def _trigrams(s: str) -> set:
+        s = f"  {s.lower()}  "
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    def score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        anchor = pdf["surface"].mode().iloc[0]
+        anchor_grams = _trigrams(anchor)
+        scores = []
+        for surface in pdf["surface"]:
+            grams = _trigrams(surface)
+            union = len(anchor_grams | grams)
+            scores.append(len(anchor_grams & grams) / union if union else 0.0)
+        return pd.DataFrame(
+            {
+                "mention_key": pdf["mention_key"],
+                "entity_iri": pdf["entity_iri"],
+                "surface": pdf["surface"],
+                "score": scores,
+            }
+        )
+
+    return mentions.groupBy("mention_key").applyInPandas(
+        score_block, schema=MENTION_SCORE_SCHEMA
+    )
+
+
+def link_entities_scored(
+    triples: "DataFrame",
+    name_preds: tuple[str, ...] = (SCHEMA_NAME,),
+    min_score: float = 0.5,
+) -> "DataFrame":
+    """Scored linking path: block -> pandas-UDF score -> drop weak
+    candidates -> frequency+score argmax -> functional mapping."""
+    mentions = detect_mentions(triples, name_preds)
+    scored = score_mentions_pandas(mentions).filter(F.col("score") >= min_score)
+    freq = scored.groupBy("mention_key", "entity_iri").agg(
+        F.count("*").alias("n_mentions"), F.max("score").alias("best_score")
+    )
+    w = (
+        Window.partitionBy("mention_key")
+        .orderBy(
+            F.col("best_score").desc(),
+            F.col("n_mentions").desc(),
+            F.col("entity_iri").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    mapping = (
+        freq.withColumn("canonical_iri", F.first("entity_iri").over(w))
+        .filter(F.col("entity_iri") != F.col("canonical_iri"))
+        .select(F.col("entity_iri").alias("iri"), "canonical_iri")
+    )
+    return mapping.groupBy("iri").agg(F.min("canonical_iri").alias("canonical_iri"))

