@@ -73,10 +73,20 @@ def lang_id(col: "Column") -> "Column":
     )
 
 
+def quality_score_u(col: "Column") -> "Column":
+    """Integer quality score: floor(raw * 1e6) — rounding-ambiguity-free
+    for cross-engine comparison."""
+    return F.floor(_quality_raw(col) * 1e6).cast("long")
+
+
 def quality_score(col: "Column") -> "Column":
     """Composite quality in [0,1]: length band + alpha ratio +
     stopword presence - punctuation excess. Deterministic arithmetic
     (rounded to 6 dp) so oracles match bit-for-bit."""
+    return F.round(_quality_raw(col), 6)
+
+
+def _quality_raw(col: "Column") -> "Column":
     n_chars = F.length(col)
     n_alpha = _count_matches(col, r"[A-Za-z]")
     n_punct = _count_matches(col, r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]")
@@ -88,13 +98,12 @@ def quality_score(col: "Column") -> "Column":
     stop_ratio = F.when(toks > 0, stop_hits / toks.cast("double")).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
 
-    raw = (
+    return (
         F.lit(0.25) * len_score
         + F.lit(0.35) * alpha_ratio
         + F.lit(0.25) * F.least(stop_ratio * 2, F.lit(1.0))
         + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
     )
-    return F.round(raw, 6)
 
 
 def fingerprint(col: "Column") -> "Column":

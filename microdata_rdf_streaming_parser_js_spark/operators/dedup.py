@@ -317,3 +317,36 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def curate_documents(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_u: int = 300_000,
+    langs: tuple[str, ...] = ("en",),
+) -> "DataFrame":
+    """Composite training-data curation: language filter + quality
+    floor + exact dedup (keep min doc_id per content digest).
+
+    One scan computes the filters (codegen'd exprs); the dedup groupBy
+    is the only shuffle. Output: surviving doc ids + their stats.
+    """
+    from ..functions.text import lang_id, quality_score_u
+
+    col = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id(col).alias("lang_pred"),
+        quality_score_u(col).alias("quality_u"),
+        doc_digest(col).alias("digest"),
+    ).filter(
+        (F.col("quality_u") >= min_quality_u) & F.col("lang_pred").isin(*langs)
+    )
+    w_min = scored.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+    return w_min.join(scored, ["digest", "doc_id"]).select(
+        "doc_id", "lang_pred", "quality_u", "digest", "n_dups"
+    )

@@ -462,28 +462,10 @@ FROM documents"""
 
 
 def q_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from ..functions.text import _count_matches, _tokens  # noqa: PLC2701
+    from ..functions.text import quality_score_u
 
-    col = F.col("text")
-    n_chars = F.length(col)
-    n_alpha = _count_matches(col, r"[A-Za-z]")
-    n_punct = _count_matches(col, r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]")
-    toks = token_count(col)
-    stop_hits = F.size(F.filter(_tokens(col), lambda t: t.isin(*STOPWORDS_EN)))
-    len_score = F.when(n_chars >= 200, F.lit(1.0)).otherwise(n_chars / F.lit(200.0))
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars.cast("double")).otherwise(F.lit(0.0))
-    stop_ratio = F.when(toks > 0, stop_hits / toks.cast("double")).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
-    raw = (
-        F.lit(0.25) * len_score
-        + F.lit(0.35) * alpha_ratio
-        + F.lit(0.25) * F.least(stop_ratio * 2, F.lit(1.0))
-        + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
-    )
-    return docs.select(
-        "doc_id", F.floor(raw * 1e6).cast("long").alias("quality_u")
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", quality_score_u(F.col("text")).alias("quality_u"))
 
 
 def sql_quality() -> str:
@@ -667,3 +649,73 @@ ORACLES = {
     "q_topk_cosine": sql_topk_cosine,
     "q_events_window": sql_events_window,
 }
+
+
+# ---------------------------------------------------------------------------
+# composite curation (quality x lang x dedup)
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_QUALITY_U = 300_000
+_CURATE_LANGS = ("en",)
+
+
+def q_curation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Composite training-data curation pipeline over documents."""
+    from ..operators.dedup import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_documents(
+        docs, min_quality_u=_CURATE_MIN_QUALITY_U, langs=_CURATE_LANGS
+    )
+
+
+def sql_curation() -> str:
+    stop_list = ", ".join(_sql_str(s) for s in STOPWORDS_EN)
+    toks = _TOKS.format(c="text")
+    langs = ", ".join(_sql_str(lang) for lang in _CURATE_LANGS)
+
+    def hits(markers):
+        in_list = ", ".join(_sql_str(m) for m in markers)
+        return f"len(list_filter({toks}, x -> x IN ({in_list})))"
+
+    en, de, fr, es = (hits(LANG_MARKERS[k]) for k in ("en", "de", "fr", "es"))
+    return f"""WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    len(regexp_extract_all(text, '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_toks,
+    len(list_filter({toks}, t -> t IN ({stop_list}))) AS stop_hits,
+    CASE
+      WHEN {en} > 0 AND {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+      WHEN {de} > 0 AND {de} >= {fr} AND {de} >= {es} THEN 'de'
+      WHEN {fr} > 0 AND {fr} >= {es} THEN 'fr'
+      WHEN {es} > 0 THEN 'es'
+      ELSE 'und'
+    END AS lang_pred,
+    md5({_NORM.format(c="text")}) AS digest
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang_pred, digest, CAST(floor((
+      0.25 * (CASE WHEN n_chars >= 200 THEN 1.0 ELSE n_chars / 200.0 END)
+    + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+    + 0.25 * least((CASE WHEN n_toks > 0 THEN stop_hits / CAST(n_toks AS DOUBLE) ELSE 0.0 END) * 2, 1.0)
+    + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 4, 1.0))
+  ) * 1e6) AS BIGINT) AS quality_u
+  FROM m
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE quality_u >= {_CURATE_MIN_QUALITY_U} AND lang_pred IN ({langs})
+),
+w AS (
+  SELECT digest, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+  FROM kept GROUP BY digest
+)
+SELECT k.doc_id, k.lang_pred, k.quality_u, k.digest, w.n_dups
+FROM w JOIN kept k ON k.digest = w.digest AND k.doc_id = w.doc_id"""
+
+
+QUERIES["q_curation"] = q_curation
+ORACLES["q_curation"] = sql_curation
