@@ -206,41 +206,44 @@ class _MetricsTap:
         self.inner.on_end()
 
 
+def compute_page_metrics(
+    url: str, html, vocab_registry: dict | None = None
+) -> tuple:
+    """Pure per-page metrics kernel (no Spark): one tokenizer pass with
+    the listener tap. Returns the METRICS_SCHEMA tuple; shared by the
+    distributed UDF below and the driver oracle's golden VALUES."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    try:
+        extractor = MicrodataExtractor(url or "", vocab_registry)
+        tap = _MetricsTap(extractor)
+        from ..functions.fast_html import FastHtmlTokenizer
+
+        tokenizer = FastHtmlTokenizer(tap)
+        tokenizer.feed(html)
+        tokenizer.end()
+        items = {t.subj for t in extractor.triples}
+        return (url, tap.n_tags, tap.n_text_events, tap.n_text_chars,
+                len(extractor.triples), len(items), None)
+    except Exception as exc:  # noqa: BLE001
+        return (url, None, None, None, None, None,
+                f"{type(exc).__name__}: {exc}")
+
+
 def page_metrics(pages: "DataFrame", vocab_registry: dict | None = None) -> "DataFrame":
     """Per-page extraction metrics (lineage feed): tag/text counts,
     triples emitted, distinct items. Same single-pass tokenizer run,
     with the listener tap counting events (S5 in SURVEY §2.1)."""
     import pandas as pd
 
+    cols = [f.name for f in METRICS_SCHEMA.fields]
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "url", "n_tags", "n_text_events", "n_text_chars",
-                "n_triples", "n_items", "error",
-            )}
-            for url, html in zip(pdf["url"], pdf["html"]):
-                if isinstance(html, (bytes, bytearray, memoryview)):
-                    html = bytes(html).decode("utf-8", errors="replace")
-                out["url"].append(url)
-                try:
-                    extractor = MicrodataExtractor(url or "", vocab_registry)
-                    tap = _MetricsTap(extractor)
-                    from ..functions.fast_html import FastHtmlTokenizer
-
-                    tokenizer = FastHtmlTokenizer(tap)
-                    tokenizer.feed(html)
-                    tokenizer.end()
-                    items = {t.subj for t in extractor.triples}
-                    out["n_tags"].append(tap.n_tags)
-                    out["n_text_events"].append(tap.n_text_events)
-                    out["n_text_chars"].append(tap.n_text_chars)
-                    out["n_triples"].append(len(extractor.triples))
-                    out["n_items"].append(len(items))
-                    out["error"].append(None)
-                except Exception as exc:  # noqa: BLE001
-                    for k in ("n_tags", "n_text_events", "n_text_chars", "n_triples", "n_items"):
-                        out[k].append(None)
-                    out["error"].append(f"{type(exc).__name__}: {exc}")
-            yield pd.DataFrame(out)
+            rows = [
+                compute_page_metrics(url, html, vocab_registry)
+                for url, html in zip(pdf["url"], pdf["html"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(fn, schema=METRICS_SCHEMA)

@@ -57,7 +57,9 @@ def synthesize_media(spark, n: int = 100) -> "DataFrame":
              {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
              len(payload))
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # tiny synthetic table: a handful of partitions, not
+    # default.parallelism-many one-row Python-worker spin-ups
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(4)
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, str, list[float]]:
@@ -105,11 +107,17 @@ def decode_image_features(
     )
 
 
-def frame_sample_plan(media: "DataFrame", every_n_seconds: int = 5) -> "DataFrame":
+def frame_sample_plan(
+    media: "DataFrame",
+    every_n_seconds: int = 5,
+    bytes_per_second: int = 100_000,
+) -> "DataFrame":
     """Video frame-sampling *plan*: one row per planned frame (the
     decode itself is the stubbed kernel). Demonstrates the explode
-    pattern for 1->N media expansion without a UDF."""
-    est_duration = (F.col("n_bytes") / F.lit(100_000)).cast("int") + 1
+    pattern for 1->N media expansion without a UDF.
+    ``bytes_per_second`` calibrates the duration estimate to the
+    corpus's bitrate (the synthetic media uses tiny payloads)."""
+    est_duration = (F.col("n_bytes") / F.lit(bytes_per_second)).cast("int") + 1
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(

@@ -85,25 +85,23 @@ def cosine_topk(
 
 
 def _signature(vec: "Column", dim: int, n_planes: int) -> "Column":
-    """Random-hyperplane sign bits from deterministic pseudo-planes.
+    """Random-hyperplane sign bits from a precomputed md5-derived
+    integer lattice (functions/lattice.py): bit p = (v . w_p) >= 0.
 
-    Plane p's weight for dim d = (pmod(hash(d*7919+p), 2001) - 1000):
-    a fixed integer lattice that both engines could reproduce; bit p =
-    (v . w_p) >= 0.
+    The weights are plan-time literals — no per-row hashing, the whole
+    projection stays in whole-stage codegen, and the DuckDB oracle can
+    embed the identical lattice (Spark's native ``hash`` would not be
+    reproducible there). Fold shape (left fold, init 0.0) matches the
+    oracle's ``list_reduce`` exactly, so the sign bits are computed on
+    bit-identical IEEE doubles in both engines.
     """
-    def _weighted(p):
-        def mul(v, d):
-            w = (
-                F.pmod(F.hash(d * 7919 + F.lit(p * 104729)), F.lit(2001)) - 1000
-            ).cast("double")
-            return v * w
-
-        return mul
+    from ..functions.lattice import plane_weights
 
     bits = []
-    for p in range(n_planes):
+    for row in plane_weights(dim, n_planes):
+        w = F.array(*[F.lit(float(x)) for x in row])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _weighted(p)),
+            F.zip_with(vec, w, lambda v, wt: v * wt),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -241,6 +241,31 @@ def q_page_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return page_metrics(pages)
 
 
+def sql_page_metrics() -> str:
+    """Golden VALUES: the identical pure-Python metrics kernel
+    (operators/extract.compute_page_metrics) run locally over the same
+    fixture corpus — pins the distributed tap output exactly."""
+    from ..operators.extract import compute_page_metrics
+
+    rows = []
+    for f in FIXTURES:
+        url = f"http://pages.example.org/{f.name}.html"
+        m = compute_page_metrics(url, f.html)
+        rows.append("(" + ", ".join(_sql_str(v) if i in (0, 6) else str(v)
+                                    for i, v in enumerate(m)) + ")")
+    values = ",\n".join(rows)
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(n_tags AS BIGINT) AS n_tags,
+       CAST(n_text_events AS BIGINT) AS n_text_events,
+       CAST(n_text_chars AS BIGINT) AS n_text_chars,
+       CAST(n_triples AS BIGINT) AS n_triples,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(error AS VARCHAR) AS error
+FROM (VALUES
+{values}
+) t(url, n_tags, n_text_events, n_text_chars, n_triples, n_items, error)"""
+
+
 def q_host_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Host extraction + per-host volume (the partitioning key for D6)
     over synthetic urls derived from documents."""
@@ -537,14 +562,29 @@ SELECT query_id, vec_id, CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u, rank
 FROM ranked WHERE rank <= {_TOPK_K}"""
 
 
+_LSH_DIM = 64
+_LSH_PLANES = 16
+_LSH_BANDS = 4
+_ND_PLANES = 24
+_ND_BANDS = 4
+_ND_THRESHOLD = 0.95
+_ND_NDUP = 40
+_ND_ID_OFFSET = 1_000_000
+_ND_NOISE_SEED = "near-dup-noise"
+_ND_NOISE_SCALE = 20_000.0
+
+
 def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """ANN path (random-hyperplane LSH; Spark-native hash -> rows-only)."""
+    """ANN path: random-hyperplane LSH candidates (md5 weight lattice,
+    functions/lattice.py) + exact cosine on candidates only."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=_TOPK_K, dim=dim).select(
+    return lsh_topk(
+        emb, queries, k=_TOPK_K, dim=_LSH_DIM,
+        n_planes=_LSH_PLANES, n_bands=_LSH_BANDS,
+    ).select(
         "query_id",
         "vec_id",
         F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
@@ -552,13 +592,145 @@ def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def _noise_vector() -> tuple[float, ...]:
+    from ..functions.lattice import plane_weights
+
+    return tuple(
+        w / _ND_NOISE_SCALE
+        for w in plane_weights(_LSH_DIM, 1, seed=_ND_NOISE_SEED)[0]
+    )
+
+
 def q_embedding_near_dup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    return embedding_near_dup(emb, threshold=0.9, dim=dim, n_planes=24).select(
+    """Near-dup pairs over embeddings augmented with deterministic
+    planted duplicates (first _ND_NDUP vectors + a fixed small noise
+    vector -> cos ~ 0.998): the raw table has no near-dup pairs at any
+    SF (max pairwise cos 0.60), so the operator is exercised on a
+    derived corpus both engines construct identically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noise = F.array(*[F.lit(x) for x in _noise_vector()])
+    dups = emb.filter(F.col("vec_id") < _ND_NDUP).select(
+        (F.col("vec_id") + _ND_ID_OFFSET).alias("vec_id"),
+        F.zip_with("embedding", noise, lambda v, n: v + n).alias("embedding"),
+    )
+    aug = emb.unionByName(dups)
+    return embedding_near_dup(
+        aug, threshold=_ND_THRESHOLD, dim=_LSH_DIM,
+        n_planes=_ND_PLANES, n_bands=_ND_BANDS,
+    ).select(
         "vec_id_a", "vec_id_b",
         F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
     )
+
+
+def _planes_values(dim: int, n_planes: int) -> str:
+    from ..functions.lattice import plane_weights
+
+    return ",\n   ".join(
+        f"({p}, [" + ", ".join(str(w) for w in row) + "]::DOUBLE[])"
+        for p, row in enumerate(plane_weights(dim, n_planes))
+    )
+
+
+def _lsh_bands_cte(dim: int, n_planes: int, n_bands: int) -> str:
+    """CTEs vecs->planes->proj->sig->bands mirroring lsh_buckets.
+
+    Fold shapes match Spark exactly: per-element product then a left
+    fold (DuckDB list_reduce starts at the first element; Spark's
+    aggregate starts at 0.0 — identical doubles since 0.0 + x == x)."""
+    bpb = n_planes // n_bands
+    bands_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""planes(plane_id, w) AS (VALUES
+   {_planes_values(dim, n_planes)}
+),
+proj AS (
+  SELECT v.vec_id, p.plane_id,
+         list_reduce(list_transform(range(1, {dim} + 1), i -> v.e[i] * p.w[i]),
+                     (a, b) -> a + b) AS pr
+  FROM vecs v CROSS JOIN planes p
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane_id) AS s
+  FROM proj GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, band_id, substr(s, band_id * {bpb} + 1, {bpb}) AS band_key
+  FROM sig CROSS JOIN (VALUES {bands_vals}) b(band_id)
+)"""
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, {dim} + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_SQL_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+
+
+def sql_lsh_topk() -> str:
+    dot = _SQL_DOT.format(dim=_LSH_DIM, a="q.e", b="e.e")
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+{_lsh_bands_cte(_LSH_DIM, _LSH_PLANES, _LSH_BANDS)},
+qb AS (SELECT vec_id AS query_id, band_id, band_key FROM bands
+       WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM qb q JOIN bands e USING (band_id, band_key)
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round({dot} / ({_SQL_NORM.format(v="q.e")} * {_SQL_NORM.format(v="e.e")}), 6) AS cos_sim
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u, rank
+FROM ranked WHERE rank <= {_TOPK_K}"""
+
+
+def sql_embedding_near_dup() -> str:
+    noise = "[" + ", ".join(repr(x) for x in _noise_vector()) + "]::DOUBLE[]"
+    dot = _SQL_DOT.format(dim=_LSH_DIM, a="a.e", b="b.e")
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+noise(n) AS (VALUES ({noise})),
+vecs AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + {_ND_ID_OFFSET},
+         list_transform(range(1, {_LSH_DIM} + 1), i -> e[i] + noise.n[i])
+  FROM base CROSS JOIN noise WHERE vec_id < {_ND_NDUP}
+),
+{_lsh_bands_cte(_LSH_DIM, _ND_PLANES, _ND_BANDS)},
+pairs AS (
+  SELECT DISTINCT l.vec_id AS vec_id_a, r.vec_id AS vec_id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT p.vec_id_a, p.vec_id_b,
+         round({dot} / ({_SQL_NORM.format(v="a.e")} * {_SQL_NORM.format(v="b.e")}), 6) AS cos_sim
+  FROM pairs p
+  JOIN vecs a ON a.vec_id = p.vec_id_a
+  JOIN vecs b ON b.vec_id = p.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u
+FROM scored WHERE cos_sim >= {_ND_THRESHOLD}"""
 
 
 # ---------------------------------------------------------------------------
@@ -590,18 +762,96 @@ FROM events GROUP BY 1, 2"""
 # multimodal (synthesized media; rows-only)
 # ---------------------------------------------------------------------------
 
+_MM_N = 120
+_MM_FRAME_BPS = 16
+
+
 def q_multimodal_image_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Image decode plumbing (deterministic fake kernel). The float32
+    feature vector is projected to a joined floor(x*1e6) string so the
+    driver can value-compare it across engines."""
     from ..operators.multimodal import decode_image_features, synthesize_media
 
-    media = synthesize_media(spark, n=120)
-    return decode_image_features(media, fake=True)
+    media = synthesize_media(spark, n=_MM_N)
+    feats = decode_image_features(media, fake=True)
+    feat_u = F.concat_ws(
+        ",",
+        F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * 1e6).cast("long").cast("string"),
+        ),
+    )
+    return feats.select(
+        "media_id", "width", "height", "channels", "phash",
+        feat_u.alias("feat_u"),
+    )
+
+
+def _media_rows() -> list[tuple]:
+    """Local mirror of multimodal.synthesize_media's deterministic rows."""
+    import hashlib
+
+    rows = []
+    for i in range(_MM_N):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, f"http://media.example.org/{kind}/{i}", kind, payload))
+    return rows
+
+
+def sql_multimodal_image_features() -> str:
+    """Golden VALUES: the identical fake-decode kernel run locally,
+    with the exact float32->double->floor arithmetic Spark applies."""
+    import math
+
+    import numpy as np
+
+    from ..operators.multimodal import _fake_decode
+
+    out = []
+    for media_id, _url, kind, payload in _media_rows():
+        if kind != "image":
+            continue
+        w, h, c, ph, feats = _fake_decode(payload)
+        feat_u = ",".join(
+            str(int(math.floor(float(np.float32(v)) * 1e6))) for v in feats
+        )
+        out.append(f"({media_id}, {w}, {h}, {c}, {_sql_str(ph)}, {_sql_str(feat_u)})")
+    values = ",\n".join(out)
+    return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(phash AS VARCHAR) AS phash, CAST(feat_u AS VARCHAR) AS feat_u
+FROM (VALUES
+{values}
+) t(media_id, width, height, channels, phash, feat_u)"""
 
 
 def q_frame_sample_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from ..operators.multimodal import frame_sample_plan, synthesize_media
 
-    media = synthesize_media(spark, n=120)
-    return frame_sample_plan(media)
+    media = synthesize_media(spark, n=_MM_N)
+    return frame_sample_plan(media, bytes_per_second=_MM_FRAME_BPS).select(
+        "media_id", "url", F.col("frame_ts").cast("long").alias("frame_ts")
+    )
+
+
+def sql_frame_sample_plan() -> str:
+    """Golden VALUES: frame plan computed locally with the same
+    truncating-division duration estimate and inclusive sequence."""
+    out = []
+    for media_id, url, kind, payload in _media_rows():
+        if kind != "video":
+            continue
+        est = len(payload) // _MM_FRAME_BPS + 1
+        for ts in range(0, est + 1, 5):
+            out.append(f"({media_id}, {_sql_str(url)}, {ts})")
+    values = ",\n".join(out)
+    return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(url AS VARCHAR) AS url, CAST(frame_ts AS BIGINT) AS frame_ts
+FROM (VALUES
+{values}
+) t(media_id, url, frame_ts)"""
 
 
 # ---------------------------------------------------------------------------
@@ -647,7 +897,12 @@ ORACLES = {
     "q_lang_id": sql_lang_id,
     "q_quality": sql_quality,
     "q_topk_cosine": sql_topk_cosine,
+    "q_lsh_topk": sql_lsh_topk,
+    "q_embedding_near_dup": sql_embedding_near_dup,
     "q_events_window": sql_events_window,
+    "q_page_metrics": sql_page_metrics,
+    "q_multimodal_image_features": sql_multimodal_image_features,
+    "q_frame_sample_plan": sql_frame_sample_plan,
 }
 
 
