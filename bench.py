@@ -113,6 +113,7 @@ def main() -> None:
         "q_quality",
         "q_topk_cosine",
         "q_lsh_topk",
+        "q_ivf_topk",
         "q_embedding_near_dup",
         "q_events_window",
     ]

@@ -319,6 +319,96 @@ def simhash_pairs(
     )
 
 
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash32_signatures(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Engine-portable 32-bit SimHash: bit b = sign of the sum over
+    tokens of (+1 if the high bit of md5-hex nibble b is set else -1).
+
+    Same explode -> groupBy(doc) -> 32 signed sums shape as the
+    xxhash64 production variant (map-side combine, one shuffle row per
+    doc per partition), but md5-based so the DuckDB oracle reproduces
+    the identical signature. Integer arithmetic only — no float-order
+    concerns.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("doc_id", F.md5("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    sums = ex.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("sig"))
+
+
+def simhash32_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> "DataFrame":
+    """Oracle-checkable SimHash near-dup pairs: 32-bit portable
+    signatures + the same pigeonhole chunk blocking as simhash_pairs
+    (agree exactly on >= 1 of n_chunks chunks when
+    max_hamming < n_chunks), Hamming verified by bit_count(xor)."""
+    sig = simhash32_signatures(docs, id_col, text_col)
+    chunk_bits = 32 // n_chunks
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
+                        .alias("chunk_key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_key")
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 def curate_documents(
     docs: "DataFrame",
     id_col: str = "doc_id",

@@ -192,6 +192,85 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    embeddings: "DataFrame",
+    queries: "DataFrame",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> "DataFrame":
+    """IVF-style approximate top-k (the brief's "IVF variant as the
+    scale path"): partition vectors into inverted lists by nearest
+    centroid, probe only the ``n_probe`` closest lists per query, exact
+    cosine within the probed lists.
+
+    Centroids are deterministic (the first ``n_centroids`` vectors by
+    id — a seeded-sample stand-in for k-means), collected once on the
+    driver (a 16-row dim table) and embedded as plan-time literal
+    arrays. List assignment is therefore SCAN-SIDE — an array_max over
+    per-centroid cosine structs, no shuffle, no UDF — which is the
+    property that matters at 100 TB: the big side is read once,
+    assigned in codegen, and only candidate rows reach the final
+    per-query rank. Tie-breaks: max cosine, then min centroid id
+    (struct compares (cos, -cid))."""
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    ]
+    cents.sort()
+
+    def cent_scores(vec: "Column") -> "Column":
+        """array<struct<cos,negcid>> of the vector vs every centroid."""
+        return F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cvec])).alias("cos"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e_vec"),
+    )
+    assigned = e.withColumn(
+        "cid", -F.array_max(cent_scores(F.col("e_vec"))).getField("negcid")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(cent_scores(F.col("q_vec")))), 1, n_probe
+            )
+        ).alias("p"),
+    ).select("query_id", "q_vec", (-F.col("p.negcid")).alias("cid"))
+
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "vec_id", "q_vec", "e_vec"
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("e_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     embeddings: "DataFrame",
     threshold: float = 0.95,

@@ -436,9 +436,57 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash32 FROM toks"""
 
 def q_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Production 64-bit xxhash64 SimHash near-dup pairs (Spark-native
-    hash -> no SQL oracle; rows-only check)."""
+    hash -> no SQL oracle; rows-only check). The oracle-exact variant
+    of the same algorithm is q_simhash32_pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(docs, max_hamming=3)
+
+
+_SH32_MAX_HAMMING = 3
+_SH32_CHUNKS = 4
+
+
+def q_simhash32_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Portable SimHash near-dup pairs: 32-bit md5 signatures + chunk
+    blocking + Hamming verify — identical algorithm to q_simhash_pairs,
+    engine-portable hash, so the pairs themselves are oracle-checked."""
+    from ..operators.dedup import simhash32_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash32_pairs(
+        docs, max_hamming=_SH32_MAX_HAMMING, n_chunks=_SH32_CHUNKS
+    )
+
+
+def sql_simhash32_pairs() -> str:
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(t,
+           x -> CASE WHEN substr(md5(x), {b + 1}, 1) IN {repr(_HEX_HIGH)} THEN 1 ELSE -1 END)) > 0
+        THEN {1 << b} ELSE 0 END)"""
+        for b in range(_SIMHASH_BITS)
+    )
+    chunk_bits = 32 // _SH32_CHUNKS
+    chunk_vals = ", ".join(f"({c})" for c in range(_SH32_CHUNKS))
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sigs AS (
+  SELECT doc_id, CAST({terms} AS BIGINT) AS sig FROM toks
+),
+chunks AS (
+  SELECT doc_id, sig, c.chunk_id,
+         (sig >> (c.chunk_id * {chunk_bits})) & {(1 << chunk_bits) - 1} AS chunk_key
+  FROM sigs CROSS JOIN (VALUES {chunk_vals}) c(chunk_id)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM chunks l JOIN chunks r
+    ON l.chunk_id = r.chunk_id AND l.chunk_key = r.chunk_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH32_MAX_HAMMING}"""
 
 
 # ---------------------------------------------------------------------------
@@ -590,6 +638,84 @@ def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+
+
+def q_ivf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """IVF ANN path: deterministic centroids (first 16 vectors),
+    scan-side inverted-list assignment, probe 4 lists per query."""
+    from ..operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=_TOPK_K,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+    ).select(
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sql_ivf_topk() -> str:
+    cdot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v.e[i] * c.ce[i]), (x, y) -> x + y)"
+    )
+    qdot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> q.e[i] * e.e[i]), (x, y) -> x + y)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, e AS ce FROM vecs WHERE vec_id < {_IVF_CENTROIDS}),
+vc AS (
+  SELECT v.vec_id, c.cid,
+         {cdot} / ({nrm.format(v="v.e")} * {nrm.format(v="c.ce")}) AS cos
+  FROM vecs v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a USING (cid)
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round({qdot} / ({nrm.format(v="q.e")} * {nrm.format(v="e.e")}), 6) AS cos_sim
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u, rank
+FROM ranked WHERE rank <= {_TOPK_K}"""
 
 
 def _noise_vector() -> tuple[float, ...]:
@@ -871,11 +997,13 @@ QUERIES = {
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_simhash32": q_simhash32,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_simhash32_pairs": q_simhash32_pairs,
     "q_token_stats": q_token_stats,
     "q_lang_id": q_lang_id,
     "q_quality": q_quality,
     "q_topk_cosine": q_topk_cosine,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_events_window": q_events_window,
     "q_multimodal_image_features": q_multimodal_image_features,
@@ -893,11 +1021,13 @@ ORACLES = {
     "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
     "q_simhash32": sql_simhash32,
+    "q_simhash32_pairs": sql_simhash32_pairs,
     "q_token_stats": sql_token_stats,
     "q_lang_id": sql_lang_id,
     "q_quality": sql_quality,
     "q_topk_cosine": sql_topk_cosine,
     "q_lsh_topk": sql_lsh_topk,
+    "q_ivf_topk": sql_ivf_topk,
     "q_embedding_near_dup": sql_embedding_near_dup,
     "q_events_window": sql_events_window,
     "q_page_metrics": sql_page_metrics,
