@@ -152,10 +152,13 @@ class HtmlTagEventParser(HTMLParser):
             if self._foreign:
                 self._foreign.pop()
         if not self._is_void(name):
-            if name in self._stack:
-                pos = len(self._stack) - 1 - self._stack[::-1].index(name)
-                while len(self._stack) > pos:
-                    self._stack.pop()
+            stack = self._stack
+            pos = len(stack) - 1
+            while pos >= 0 and stack[pos] != name:  # last occurrence, no copy
+                pos -= 1
+            if pos >= 0:
+                while len(stack) > pos:
+                    stack.pop()
                     self._sink.on_tag_close()
             elif not self._xml and name == "p":
                 self._open("p", {})

@@ -171,6 +171,64 @@ WHERE r.entity_iri <> c.canonical_iri
 GROUP BY r.entity_iri"""
 
 
+def q_entity_link_scored(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D4 slow-path hook: the grouped pandas-UDF scorer
+    (linking.score_mentions_pandas — Arrow batch per mention block,
+    character-trigram Jaccard vs the block's modal surface). Scores
+    are exported as floor(score*1e6) ints; the division is a single
+    int/int IEEE op so DuckDB reproduces it exactly."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    mentions = detect_mentions(triples, name_preds=_MENTION_PREDS)
+    from ..operators.linking import score_mentions_pandas
+
+    scored = score_mentions_pandas(mentions)
+    return scored.select(
+        "mention_key", "entity_iri", "surface",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_u"),
+    )
+
+
+def sql_entity_link_scored() -> str:
+    preds = ", ".join(_sql_str(p) for p in _MENTION_PREDS)
+    norm = (
+        "regexp_replace(regexp_replace(lower(trim(obj)), '[^\\p{L}\\p{N}\\s]', '', 'g'), "
+        "'\\s+', ' ', 'g')"
+    )
+
+    def grams(col: str) -> str:
+        padded = f"'  ' || lower({col}) || '  '"
+        return (
+            f"list_distinct(list_transform(range(1, length({padded}) - 1), "
+            f"i -> substr({padded}, CAST(i AS INTEGER), 3)))"
+        )
+
+    return f"""WITH {_golden_skolemized_cte()},
+mentions AS (
+  SELECT subj AS entity_iri, obj AS surface, {norm} AS mention_key
+  FROM golden
+  WHERE pred IN ({preds}) AND obj_kind = 'literal' AND length({norm}) > 0
+),
+anchors AS (
+  SELECT mention_key, surface AS anchor FROM (
+    SELECT mention_key, surface,
+           ROW_NUMBER() OVER (PARTITION BY mention_key
+                              ORDER BY COUNT(*) DESC, surface ASC) AS rn
+    FROM mentions GROUP BY mention_key, surface
+  ) WHERE rn = 1
+),
+grams AS (
+  SELECT m.mention_key, m.entity_iri, m.surface,
+         {grams("m.surface")} AS g, {grams("a.anchor")} AS ag
+  FROM mentions m JOIN anchors a USING (mention_key)
+)
+SELECT mention_key, entity_iri, surface,
+       CAST(floor((len(list_intersect(g, ag))
+                   / len(list_distinct(list_concat(g, ag)))) * 1e6) AS BIGINT)
+         AS score_u
+FROM grams"""
+
+
 def q_graph_nodes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """D7 nodes derivation over the conformance graph."""
     from ..sources.writers import nodes_from_triples, with_host_bucket
@@ -884,6 +942,101 @@ def sql_events_window() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+_STREAM_SEQ = [0]
+
+
+def q_events_window_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The windowed events aggregation as a REAL Structured Streaming
+    job: file-source readStream -> stateful streaming aggregation ->
+    memory sink, trigger availableNow (drains the input then stops).
+    Exactly oracle-checkable because the aggregate is integer-exact:
+    sum over per-row floor(value*1e6) longs — no float fold-order
+    sensitivity between streaming state-store merges and DuckDB."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; expose the (read-only) file
+    # through a temp dir symlink
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    agg = src.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 300) * 300)
+        .cast("long")
+        .alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("sum_value_u"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_window_stream_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sql_events_window_stream() -> str:
+    return """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_u
+FROM events GROUP BY 1, 2"""
+
+
+def q_first_seen_dedup_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first page per content digest across the stream. Which URL wins a
+    digest follows arrival order, so the checked projection is the
+    digest set itself (deterministic: one row per distinct digest)."""
+    import os
+    import tempfile
+
+    from ..streaming.stream import read_pages_stream, streaming_first_seen_dedup
+
+    pages = synthesize_oracle_pages(spark).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    src_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream_pages")
+    pages.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = read_pages_stream(spark, src_dir, spark.read.parquet(src_dir).schema)
+    deduped = streaming_first_seen_dedup(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"first_seen_stream_{_STREAM_SEQ[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("digest")
+
+
+def sql_first_seen_dedup_stream() -> str:
+    """Golden check: the distinct md5(normalized html) set over the
+    same fixture corpus, computed by DuckDB from VALUES of the raw
+    html (same normalization expression as sql_dedup_exact)."""
+    htmls = ",\n".join(f"({_sql_str(f.html)})" for f in FIXTURES)
+    return f"""SELECT DISTINCT md5({_NORM.format(c="html")}) AS digest
+FROM (VALUES
+{htmls}
+) t(html)"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (synthesized media; rows-only)
 # ---------------------------------------------------------------------------
@@ -987,6 +1140,7 @@ FROM (VALUES
 QUERIES = {
     "q_extract_triples": q_extract_triples,
     "q_entity_link_mapping": q_entity_link_mapping,
+    "q_entity_link_scored": q_entity_link_scored,
     "q_graph_nodes": q_graph_nodes,
     "q_graph_edges": q_graph_edges,
     "q_extract_text": q_extract_text,
@@ -1006,6 +1160,8 @@ QUERIES = {
     "q_ivf_topk": q_ivf_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_events_window": q_events_window,
+    "q_events_window_stream": q_events_window_stream,
+    "q_first_seen_dedup_stream": q_first_seen_dedup_stream,
     "q_multimodal_image_features": q_multimodal_image_features,
     "q_frame_sample_plan": q_frame_sample_plan,
 }
@@ -1013,6 +1169,7 @@ QUERIES = {
 ORACLES = {
     "q_extract_triples": sql_extract_triples,
     "q_entity_link_mapping": sql_entity_link_mapping,
+    "q_entity_link_scored": sql_entity_link_scored,
     "q_graph_nodes": sql_graph_nodes,
     "q_graph_edges": sql_graph_edges,
     "q_extract_text": sql_extract_text,
@@ -1030,6 +1187,8 @@ ORACLES = {
     "q_ivf_topk": sql_ivf_topk,
     "q_embedding_near_dup": sql_embedding_near_dup,
     "q_events_window": sql_events_window,
+    "q_events_window_stream": sql_events_window_stream,
+    "q_first_seen_dedup_stream": sql_first_seen_dedup_stream,
     "q_page_metrics": sql_page_metrics,
     "q_multimodal_image_features": sql_multimodal_image_features,
     "q_frame_sample_plan": sql_frame_sample_plan,
