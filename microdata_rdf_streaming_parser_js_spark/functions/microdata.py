@@ -56,6 +56,15 @@ class _ItemScope:
         self.block_emission = False
 
 
+# attributes with ANY observable effect in on_tag_open (reference
+# handling lib/MicrodataRdfParser.ts:124-238); everything else —
+# class/href/style/src/... — takes the three-push fast path
+_MD_ATTRS = frozenset(
+    ("id", "itemscope", "itemprop", "itemprop-reverse",
+     "itemtype", "itemref", "lang", "xml:lang")
+)
+
+
 class MicrodataExtractor:
     """One-document extraction state machine.
 
@@ -111,10 +120,14 @@ class MicrodataExtractor:
 
     # ------------------------------------------------------------------
     def on_tag_open(self, name: str, attributes: dict[str, str]) -> None:
-        # fast path: attribute-less tags (the vast majority on real
-        # crawl pages) can't open scopes, set language, or carry
-        # props/ids — only the three stack pushes are observable.
-        if not attributes and not self._pending_range_collecting:
+        # fast path: tags carrying no microdata-relevant attribute (the
+        # vast majority on real crawl pages — class/href/style/... only)
+        # can't open scopes, set language, or carry props/ids — only the
+        # three stack pushes are observable. Must not fire while an
+        # itemref range is collecting (every event must be buffered).
+        if not self._pending_range_collecting and (
+            not attributes or _MD_ATTRS.isdisjoint(attributes)
+        ):
             self._text_stack.append(None)
             nearest = self._nearest_stack
             nearest.append(nearest[-1] if nearest else None)

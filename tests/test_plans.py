@@ -1,0 +1,142 @@
+"""Physical-plan invariants — the properties that make the pipeline
+viable at 100 TB, locked in as tests so a refactor can't silently
+regress them:
+
+- column pruning reaches the parquet scan through mapInPandas
+  (extraction reads url+html only, whatever the pages schema);
+- the canonicalization rewrite broadcasts the mapping (the big triples
+  side never shuffles);
+- brute-force cosine top-k broadcasts the query side;
+- dedup does map-side partial aggregation before its single exchange;
+- LSH/IVF signature work contains no per-row Python (no
+  BatchEvalPython / ArrowEvalPython nodes — pure codegen expressions).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from microdata_rdf_streaming_parser_js_spark.sources.pages import (
+        synthesize_fixture_pages,
+    )
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    synthesize_fixture_pages(spark, n_pages=40, n_hosts=4).write.parquet(path)
+    return path
+
+
+def test_extraction_scan_prunes_columns(spark, pages_parquet):
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+
+    pages = spark.read.parquet(pages_parquet)  # 5-column schema
+    plan = plan_str(extract_triples(pages))
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    # warc_ts/text/lang never leave the scan
+    assert "warc_ts" not in plan
+
+
+def test_canonicalize_broadcasts_mapping(spark, pages_parquet):
+    from microdata_rdf_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_subjects,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+
+    triples = extract_triples(spark.read.parquet(pages_parquet))
+    mapping = spark.createDataFrame(
+        [("http://a.example/x", "http://a.example/y")], "iri string, canonical_iri string"
+    )
+    plan = plan_str(canonicalize_subjects(triples, mapping))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_str(cosine_topk(emb, q, k=3))
+    assert "Broadcast" in plan  # BroadcastNestedLoopJoin BuildLeft
+
+
+def test_dedup_partial_aggregates_before_shuffle(spark, pages_parquet):
+    from microdata_rdf_streaming_parser_js_spark.operators.canonicalize import (
+        dedup_triples,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+
+    plan = plan_str(dedup_triples(extract_triples(spark.read.parquet(pages_parquet))))
+    # partial + final aggregate around one Exchange (Spark picks
+    # SortAggregate for the no-agg-expression dedup; either kind is a
+    # two-phase map-side-combine shape)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_lsh_and_ivf_have_no_python_eval(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for df in (
+        lsh_topk(emb, q, k=3, dim=64, n_planes=8, n_bands=2),
+        ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2),
+    ):
+        plan = plan_str(df)
+        assert "EvalPython" not in plan  # no row-at-a-time or Arrow UDF
+
+
+def test_salted_write_repartition_survives_aqe(spark, pages_parquet):
+    """The writer's salted repartition (writers._write_partitioned
+    shape) must be a user-specified exchange — AQE only coalesces
+    non-user-specified ones, so the salt split per (possibly mega-)
+    host bucket survives."""
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+    from microdata_rdf_streaming_parser_js_spark.sources.writers import (
+        with_host_bucket,
+    )
+
+    triples = with_host_bucket(
+        extract_triples(spark.read.parquet(pages_parquet)), 8
+    )
+    salted = triples.repartition(
+        32, F.col("host_bucket"), F.pmod(F.hash("url"), F.lit(4))
+    )
+    plan = plan_str(salted)
+    assert "Exchange" in plan
+    assert "REPARTITION_BY_NUM" in plan
