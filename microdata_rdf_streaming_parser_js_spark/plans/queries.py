@@ -996,6 +996,39 @@ def sql_events_window_stream() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+def q_extract_triples_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The FULL Microdata extraction running as a Structured Streaming
+    job (readStream over the fixture pages -> mapInPandas extraction ->
+    skolemize -> memory sink, availableNow), finalized by the batch
+    per-graph dedup on the drained sink table. Checked against the same
+    transcribed golden triples as the batch q_extract_triples."""
+    import os
+    import tempfile
+
+    from ..streaming.stream import read_pages_stream, stream_triples
+
+    pages = synthesize_oracle_pages(spark).select(
+        "url", "warc_ts", "html", "text", "lang", "base_iri"
+    )
+    src_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream_pages_b")
+    pages.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = read_pages_stream(spark, src_dir, spark.read.parquet(src_dir).schema)
+    triples = stream_triples(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"extract_stream_{_STREAM_SEQ[0]}"
+    q = (
+        triples.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dedup_triples(spark.table(name), per_graph=True).select(
+        "url", "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_datatype"
+    )
+
+
 def q_first_seen_dedup_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Custom stateful streaming operator (applyInPandasWithState):
     first page per content digest across the stream. Which URL wins a
@@ -1161,6 +1194,7 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_events_window": q_events_window,
     "q_events_window_stream": q_events_window_stream,
+    "q_extract_triples_stream": q_extract_triples_stream,
     "q_first_seen_dedup_stream": q_first_seen_dedup_stream,
     "q_multimodal_image_features": q_multimodal_image_features,
     "q_frame_sample_plan": q_frame_sample_plan,
@@ -1188,6 +1222,7 @@ ORACLES = {
     "q_embedding_near_dup": sql_embedding_near_dup,
     "q_events_window": sql_events_window,
     "q_events_window_stream": sql_events_window_stream,
+    "q_extract_triples_stream": sql_extract_triples,
     "q_first_seen_dedup_stream": sql_first_seen_dedup_stream,
     "q_page_metrics": sql_page_metrics,
     "q_multimodal_image_features": sql_multimodal_image_features,
