@@ -171,6 +171,42 @@ WHERE r.entity_iri <> c.canonical_iri
 GROUP BY r.entity_iri"""
 
 
+_QUARANTINE_OK_HTML = (
+    '<div itemscope itemtype="http://schema.org/Thing">'
+    '<span itemprop="name">ok</span></div>'
+)
+_QUARANTINE_BIG = 16 * 1024 * 1024 + 1
+
+
+def q_extract_quarantine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """D2's crawler-hygiene property as a checked query: hostile pages
+    (null html, oversized html) land in the error column — one row per
+    bad page, no task failure — while good pages extract normally."""
+    rows = [
+        ("http://hostile.example.org/ok", bytearray(_QUARANTINE_OK_HTML.encode())),
+        ("http://hostile.example.org/null", None),
+        ("http://hostile.example.org/big", bytearray(b"x" * _QUARANTINE_BIG)),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary").repartition(2)
+    raw = extract_triples(pages, keep_errors=True)
+    return raw.groupBy("url").agg(
+        F.count("subj").alias("n_triples"),
+        F.min("error").alias("error"),
+    )
+
+
+def sql_extract_quarantine() -> str:
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(n_triples AS BIGINT) AS n_triples,
+       CAST(error AS VARCHAR) AS error
+FROM (VALUES
+ ('http://hostile.example.org/ok', 2, NULL),
+ ('http://hostile.example.org/null', 0, 'ValueError: null html'),
+ ('http://hostile.example.org/big', 0,
+  'ValueError: html too large: {_QUARANTINE_BIG} bytes')
+) t(url, n_triples, error)"""
+
+
 def q_entity_link_scored(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """D4 slow-path hook: the grouped pandas-UDF scorer
     (linking.score_mentions_pandas — Arrow batch per mention block,
@@ -1172,6 +1208,7 @@ FROM (VALUES
 
 QUERIES = {
     "q_extract_triples": q_extract_triples,
+    "q_extract_quarantine": q_extract_quarantine,
     "q_entity_link_mapping": q_entity_link_mapping,
     "q_entity_link_scored": q_entity_link_scored,
     "q_graph_nodes": q_graph_nodes,
@@ -1202,6 +1239,7 @@ QUERIES = {
 
 ORACLES = {
     "q_extract_triples": sql_extract_triples,
+    "q_extract_quarantine": sql_extract_quarantine,
     "q_entity_link_mapping": sql_entity_link_mapping,
     "q_entity_link_scored": sql_entity_link_scored,
     "q_graph_nodes": sql_graph_nodes,
