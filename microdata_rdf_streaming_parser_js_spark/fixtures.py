@@ -392,6 +392,20 @@ _add(
     '<span itemscope><span lang="en" itemprop="http://example.org/prop">b</span></span>',
     [l("_:b0", EX + "prop", "b", lang="en")],
 )
+_add(
+    # test:990 'itemscope+xml:lang with value'
+    "xmllang_itemscope_text",
+    "language",
+    '<span itemscope xml:lang="en"><span itemprop="http://example.org/prop">b</span></span>',
+    [l("_:b0", EX + "prop", "b", lang="en")],
+)
+_add(
+    # test:1022 'itemprop+xml:lang with value'
+    "xmllang_itemprop_text",
+    "language",
+    '<span itemscope><span xml:lang="en" itemprop="http://example.org/prop">b</span></span>',
+    [l("_:b0", EX + "prop", "b", lang="en")],
+)
 
 # -- nested itemscope (test:1035-1178) ---------------------------------------------
 _add(
@@ -703,6 +717,26 @@ _add(
     f'<span {_P1} itemref="a"></span>\n    <span {_P2} itemref="a"></span>\n'
     '    <span id="a" itemprop="prop">Name: <span itemprop="prop2" itemscope>b</span>'
     ' <span itemprop="prop3" itemscope>c</span></span>',
+    [
+        _T1,
+        l(_S1, EX + "prop", "Name: b c"),
+        b(_S1, EX + "prop2", "_:b0"),
+        b(_S1, EX + "prop3", "_:b1"),
+        _T2,
+        l(_S2, EX + "prop", "Name: b c"),
+        b(_S2, EX + "prop2", "_:b0"),
+        b(_S2, EX + "prop3", "_:b1"),
+    ],
+)
+_add(
+    # test:1636 'two backward itemrefs to the same deeper itemscopes':
+    # the range (with its two inner blank items) is parsed BEFORE the
+    # domains; the recorded inner subjects are reused on both replays
+    "itemref_two_domains_same_deeper_itemscopes_backward",
+    "itemref",
+    '<span id="a" itemprop="prop">Name: <span itemprop="prop2" itemscope>b</span>'
+    ' <span itemprop="prop3" itemscope>c</span></span>\n'
+    f'    <span {_P1} itemref="a"></span>\n    <span {_P2} itemref="a"></span>',
     [
         _T1,
         l(_S1, EX + "prop", "Name: b c"),

@@ -488,6 +488,81 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_NJ_THRESHOLD}"""
 
 
+_NJL_THRESHOLD = 0.7
+
+
+def q_ngram_jaccard_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The scalable near-dup shape: MinHash-LSH candidate pairs, then
+    exact n-gram Jaccard verification on the survivors only (the
+    all-pairs inverted index of q_ngram_jaccard_pairs is the
+    correctness baseline; this is what runs at 100 TB)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K)
+    pairs = ngram_jaccard_pairs(
+        docs, k=_NJ_K, threshold=_NJL_THRESHOLD, candidates=cands
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_u"),
+    )
+
+
+def sql_ngram_jaccard_lsh() -> str:
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS h{j}"
+        for j in range(_MH_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, md5("
+        + " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS band_key FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_MH_K}
+              THEN list_transform(range(0, len(t) - {_MH_K - 1}),
+                                  i -> array_to_string(t[i + 1 : i + {_MH_K}], ' '))
+              ELSE [] END AS sh
+  FROM toks
+),
+sh AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+sigs AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM dsh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM dsh
+        WHERE doc_id IN (SELECT doc_id_a FROM cand UNION SELECT doc_id_b FROM cand)),
+inter AS (
+  SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(floor((i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) * 1e6) AS BIGINT) AS jaccard_u
+FROM inter i
+JOIN cand c ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_NJL_THRESHOLD}"""
+
+
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 _SIMHASH_BITS = 32
 
@@ -1219,6 +1294,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "q_simhash32": q_simhash32,
     "q_simhash_pairs": q_simhash_pairs,
     "q_simhash32_pairs": q_simhash32_pairs,
@@ -1249,6 +1325,7 @@ ORACLES = {
     "q_dedup_exact": sql_dedup_exact,
     "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
+    "q_ngram_jaccard_lsh": sql_ngram_jaccard_lsh,
     "q_simhash32": sql_simhash32,
     "q_simhash32_pairs": sql_simhash32_pairs,
     "q_token_stats": sql_token_stats,
