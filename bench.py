@@ -107,6 +107,7 @@ def main() -> None:
         "q_dedup_exact",
         "q_minhash_lsh_pairs",
         "q_ngram_jaccard_pairs",
+        "q_ngram_jaccard_lsh",
         "q_simhash_pairs",
         "q_token_stats",
         "q_lang_id",

@@ -97,7 +97,8 @@ class FastHtmlTokenizer:
                 continue
 
             self._emit_text(doc[text_start:lt])
-            is_end, name = m.group(1), m.group(2).lower()
+            is_end, name = m.group(1, 2)
+            name = name.lower()
 
             if is_end:
                 close = doc.find(">", m.end())
@@ -111,12 +112,13 @@ class FastHtmlTokenizer:
                 continue
 
             # start tag: find its real end, honoring quoted attr values
-            bm = _TAG_BODY.match(doc, m.end())
+            me = m.end()
+            bm = _TAG_BODY.match(doc, me)
             i = bm.end()
-            body_peek = doc[m.end():i]
+            # bounded finds instead of slicing out a body_peek string
             if (
-                ('"' in body_peek or "'" in body_peek)
-                and ("<" in body_peek or ">" in body_peek)
+                (doc.find('"', me, i) != -1 or doc.find("'", me, i) != -1)
+                and (doc.find("<", me, i) != -1 or doc.find(">", me, i) != -1)
             ):
                 # quoted attr values containing angle brackets hit the
                 # stdlib tokenizer's tolerant-regex recovery paths;
