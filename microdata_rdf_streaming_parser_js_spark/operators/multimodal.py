@@ -107,6 +107,104 @@ def decode_image_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize kernel: output bytes =
+    repeated sha256 of (content, w, h) cut to a size proportional to
+    the target area. Replace with PIL/libvips in production."""
+    seed = hashlib.sha256(
+        (content or b"") + f"|{width}x{height}".encode()
+    ).digest()
+    target = max(32, (width * height) // 256)
+    return (seed * (target // len(seed) + 1))[:target]
+
+
+def resize_images(
+    media: "DataFrame", width: int = 64, height: int = 64, fake: bool = True
+) -> "DataFrame":
+    """image rows -> resized binary column via mapInPandas (Arrow
+    batches of opaque bytes in AND out — the shape that matters for a
+    100 TB media pipeline: bytes never hit the driver, batches stream).
+    With ``fake=False`` the kernel raises (no image libs here)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "content", "n_bytes")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize requires PIL/libvips; "
+                        "run with fake=True in this environment"
+                    )
+                resized = _fake_resize(
+                    bytes(content) if content is not None else b"", width, height
+                )
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["content"].append(resized)
+                out["n_bytes"].append(len(resized))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(fn, schema=RESIZED_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
+    ]
+)
+
+
+def decode_audio_features(
+    media: "DataFrame", bytes_per_ms: int = 16, fake: bool = True
+) -> "DataFrame":
+    """audio rows -> (sample_rate, duration estimate, chromaprint-like
+    fingerprint) via mapInPandas; kernel stubbed like the image path."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "duration_ms", "fingerprint")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio decoding requires ffmpeg/librosa; "
+                        "run with fake=True in this environment"
+                    )
+                raw = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(raw).digest()
+                out["media_id"].append(mid)
+                out["sample_rate"].append(8000 + (digest[0] % 5) * 8000)
+                out["duration_ms"].append(len(raw) // bytes_per_ms)
+                out["fingerprint"].append(digest[:12].hex())
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def frame_sample_plan(
     media: "DataFrame",
     every_n_seconds: int = 5,

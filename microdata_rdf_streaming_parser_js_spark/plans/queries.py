@@ -1250,6 +1250,73 @@ FROM (VALUES
 ) t(media_id, width, height, channels, phash, feat_u)"""
 
 
+def q_multimodal_resize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Resize plumbing (binary in -> binary out through Arrow batches);
+    the opaque resized bytes are checked as sha256 hex so the driver
+    can value-compare the binary column across engines."""
+    from ..operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=_MM_N)
+    resized = resize_images(media, width=64, height=64, fake=True)
+    return resized.select(
+        "media_id", "width", "height", "n_bytes",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+def sql_multimodal_resize() -> str:
+    import hashlib
+
+    from ..operators.multimodal import _fake_resize
+
+    out = []
+    for media_id, _url, kind, payload in _media_rows():
+        if kind != "image":
+            continue
+        resized = _fake_resize(payload, 64, 64)
+        out.append(
+            f"({media_id}, 64, 64, {len(resized)}, "
+            f"{_sql_str(hashlib.sha256(resized).hexdigest())})"
+        )
+    values = ",\n".join(out)
+    return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(content_sha AS VARCHAR) AS content_sha
+FROM (VALUES
+{values}
+) t(media_id, width, height, n_bytes, content_sha)"""
+
+
+def q_multimodal_audio_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    from ..operators.multimodal import decode_audio_features, synthesize_media
+
+    media = synthesize_media(spark, n=_MM_N)
+    return decode_audio_features(media, fake=True)
+
+
+def sql_multimodal_audio_features() -> str:
+    import hashlib
+
+    out = []
+    for media_id, _url, kind, payload in _media_rows():
+        if kind != "audio":
+            continue
+        digest = hashlib.sha256(payload).digest()
+        out.append(
+            f"({media_id}, {8000 + (digest[0] % 5) * 8000}, "
+            f"{len(payload) // 16}, {_sql_str(digest[:12].hex())})"
+        )
+    values = ",\n".join(out)
+    return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(fingerprint AS VARCHAR) AS fingerprint
+FROM (VALUES
+{values}
+) t(media_id, sample_rate, duration_ms, fingerprint)"""
+
+
 def q_frame_sample_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from ..operators.multimodal import frame_sample_plan, synthesize_media
 
@@ -1310,6 +1377,8 @@ QUERIES = {
     "q_extract_triples_stream": q_extract_triples_stream,
     "q_first_seen_dedup_stream": q_first_seen_dedup_stream,
     "q_multimodal_image_features": q_multimodal_image_features,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_audio_features": q_multimodal_audio_features,
     "q_frame_sample_plan": q_frame_sample_plan,
 }
 
@@ -1341,6 +1410,8 @@ ORACLES = {
     "q_first_seen_dedup_stream": sql_first_seen_dedup_stream,
     "q_page_metrics": sql_page_metrics,
     "q_multimodal_image_features": sql_multimodal_image_features,
+    "q_multimodal_resize": sql_multimodal_resize,
+    "q_multimodal_audio_features": sql_multimodal_audio_features,
     "q_frame_sample_plan": sql_frame_sample_plan,
 }
 
