@@ -46,8 +46,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media(spark, n: int = 100) -> "DataFrame":
-    """Deterministic fake media table (bytes = seeded digest stream)."""
+def media_rows(n: int = 100) -> list[tuple]:
+    """Deterministic fake media rows (bytes = seeded digest stream);
+    pure Python so the driver oracles can re-derive the same rows."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
@@ -57,9 +58,14 @@ def synthesize_media(spark, n: int = 100) -> "DataFrame":
              {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
              len(payload))
         )
+    return rows
+
+
+def synthesize_media(spark, n: int = 100) -> "DataFrame":
+    """Deterministic fake media table over :func:`media_rows`."""
     # tiny synthetic table: a handful of partitions, not
     # default.parallelism-many one-row Python-worker spin-ups
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(4)
+    return spark.createDataFrame(media_rows(n), schema=MEDIA_SCHEMA).repartition(4)
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, str, list[float]]:
@@ -174,6 +180,18 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _fake_audio_features(content: bytes, bytes_per_ms: int = 16) -> tuple[int, int, str]:
+    """Deterministic stand-in for a real audio decode: (sample_rate,
+    duration_ms, fingerprint hex). Shared by the kernel and the driver
+    oracle's golden VALUES. Replace with ffmpeg/librosa in production."""
+    digest = hashlib.sha256(content or b"").digest()
+    return (
+        8000 + (digest[0] % 5) * 8000,
+        len(content or b"") // bytes_per_ms,
+        digest[:12].hex(),
+    )
+
+
 def decode_audio_features(
     media: "DataFrame", bytes_per_ms: int = 16, fake: bool = True
 ) -> "DataFrame":
@@ -191,11 +209,11 @@ def decode_audio_features(
                         "run with fake=True in this environment"
                     )
                 raw = bytes(content) if content is not None else b""
-                digest = hashlib.sha256(raw).digest()
+                rate, dur, fp = _fake_audio_features(raw, bytes_per_ms)
                 out["media_id"].append(mid)
-                out["sample_rate"].append(8000 + (digest[0] % 5) * 8000)
-                out["duration_ms"].append(len(raw) // bytes_per_ms)
-                out["fingerprint"].append(digest[:12].hex())
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(dur)
+                out["fingerprint"].append(fp)
             yield pd.DataFrame(out)
 
     return (

@@ -223,6 +223,12 @@ def ivf_topk(
         .collect()
     ]
     cents.sort()
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"ivf_topk: only {len(cents)} of {n_centroids} centroid rows "
+            f"found with {id_col} < {n_centroids}; ids must be 0-based "
+            "contiguous (or pass a smaller n_centroids)"
+        )
 
     def cent_scores(vec: "Column") -> "Column":
         """array<struct<cos,negcid>> of the vector vs every centroid."""

@@ -412,7 +412,12 @@ def q_minhash_lsh_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def sql_minhash_lsh_pairs() -> str:
+def _minhash_cand_cte() -> str:
+    """Shared CTE chain toks -> mh_sh -> sigs -> bands -> cand
+    mirroring operators/dedup.minhash_lsh_pairs exactly (docs with
+    fewer than _MH_K tokens produce no shingles and drop out). Used by
+    both sql_minhash_lsh_pairs and sql_ngram_jaccard_lsh so the
+    banding scheme lives in ONE place per engine."""
     rows_per_band = _MH_HASHES // _MH_BANDS
     sig_exprs = ",\n    ".join(
         f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS h{j}"
@@ -424,10 +429,10 @@ def sql_minhash_lsh_pairs() -> str:
         + ") AS band_key FROM sigs"
         for b in range(_MH_BANDS)
     )
-    return f"""WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
 ),
-sh AS (
+mh_sh AS (
   SELECT doc_id,
          list_transform(range(0, len(t) - {_MH_K - 1}),
                         i -> array_to_string(t[i + 1 : i + {_MH_K}], ' ')) AS sh
@@ -436,14 +441,21 @@ sh AS (
 sigs AS (
   SELECT doc_id,
     {sig_exprs}
-  FROM sh
+  FROM mh_sh
 ),
 bands AS (
 {band_rows}
-)
-SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
-FROM bands l JOIN bands r
-  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id"""
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return f"""WITH {_minhash_cand_cte()}
+SELECT doc_id_a, doc_id_b FROM cand"""
 
 
 _NJ_K = 3
@@ -509,45 +521,21 @@ def q_ngram_jaccard_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def sql_ngram_jaccard_lsh() -> str:
-    rows_per_band = _MH_HASHES // _MH_BANDS
-    sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS h{j}"
-        for j in range(_MH_HASHES)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_id, md5("
-        + " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        + ") AS band_key FROM sigs"
-        for b in range(_MH_BANDS)
-    )
-    return f"""WITH toks AS (
-  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
-),
-shl AS (
+    # verification shingles use _NJ_K (matching the Spark-side
+    # ngram_jaccard_pairs(k=_NJ_K) call) — independent of the _MH_K the
+    # shared candidate CTE uses for MinHash signatures
+    return f"""WITH {_minhash_cand_cte()},
+vsh AS (
   SELECT doc_id,
-         CASE WHEN len(t) >= {_MH_K}
-              THEN list_transform(range(0, len(t) - {_MH_K - 1}),
-                                  i -> array_to_string(t[i + 1 : i + {_MH_K}], ' '))
-              ELSE [] END AS sh
+         list_distinct(
+           CASE WHEN len(t) >= {_NJ_K}
+                THEN list_transform(range(0, len(t) - {_NJ_K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {_NJ_K}], ' '))
+                ELSE [] END) AS sh
   FROM toks
 ),
-sh AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
-sigs AS (
-  SELECT doc_id,
-    {sig_exprs}
-  FROM sh
-),
-bands AS (
-{band_rows}
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
-  FROM bands l JOIN bands r
-    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-),
-dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM dsh),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM dsh
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM vsh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM vsh
         WHERE doc_id IN (SELECT doc_id_a FROM cand UNION SELECT doc_id_b FROM cand)),
 inter AS (
   SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_inter
@@ -640,7 +628,9 @@ def sql_simhash32_pairs() -> str:
   SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
 ),
 sigs AS (
-  SELECT doc_id, CAST({terms} AS BIGINT) AS sig FROM toks
+  -- NULL-text docs drop out on the Spark side (explode of a NULL
+  -- token array yields no rows before the groupBy); mirror that here
+  SELECT doc_id, CAST({terms} AS BIGINT) AS sig FROM toks WHERE t IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, sig, c.chunk_id,
@@ -791,10 +781,21 @@ _ND_NOISE_SEED = "near-dup-noise"
 _ND_NOISE_SCALE = 20_000.0
 
 
+def _assert_embedding_dim(emb: "DataFrame") -> None:
+    """The LSH/near-dup oracles embed a {_LSH_DIM}-wide lattice; a
+    different on-disk dim would silently zip_with-pad to NULL
+    projections and collapse every vector into one bucket. Fail loudly
+    instead (one tiny first() probe)."""
+    dim = len(emb.select("embedding").first()[0])
+    if dim != _LSH_DIM:
+        raise ValueError(f"embeddings dim {dim} != expected {_LSH_DIM}")
+
+
 def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """ANN path: random-hyperplane LSH candidates (md5 weight lattice,
     functions/lattice.py) + exact cosine on candidates only."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -902,7 +903,9 @@ def q_embedding_near_dup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     vector -> cos ~ 0.998): the raw table has no near-dup pairs at any
     SF (max pairwise cos 0.60), so the operator is exercised on a
     derived corpus both engines construct identically."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    emb = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     noise = F.array(*[F.lit(x) for x in _noise_vector()])
@@ -1211,15 +1214,11 @@ def q_multimodal_image_features(spark: "SparkSession", sf_dir: str) -> "DataFram
 
 
 def _media_rows() -> list[tuple]:
-    """Local mirror of multimodal.synthesize_media's deterministic rows."""
-    import hashlib
+    """(media_id, url, kind, payload) from the SAME row builder the
+    Spark table uses (multimodal.media_rows) — no drift surface."""
+    from ..operators.multimodal import media_rows
 
-    rows = []
-    for i in range(_MM_N):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
-        kind = ("image", "audio", "video")[i % 3]
-        rows.append((i, f"http://media.example.org/{kind}/{i}", kind, payload))
-    return rows
+    return [(i, url, kind, payload) for i, url, kind, payload, _ct, _n in media_rows(_MM_N)]
 
 
 def sql_multimodal_image_features() -> str:
@@ -1296,17 +1295,14 @@ def q_multimodal_audio_features(spark: "SparkSession", sf_dir: str) -> "DataFram
 
 
 def sql_multimodal_audio_features() -> str:
-    import hashlib
+    from ..operators.multimodal import _fake_audio_features
 
     out = []
     for media_id, _url, kind, payload in _media_rows():
         if kind != "audio":
             continue
-        digest = hashlib.sha256(payload).digest()
-        out.append(
-            f"({media_id}, {8000 + (digest[0] % 5) * 8000}, "
-            f"{len(payload) // 16}, {_sql_str(digest[:12].hex())})"
-        )
+        rate, dur, fp = _fake_audio_features(payload)
+        out.append(f"({media_id}, {rate}, {dur}, {_sql_str(fp)})")
     values = ",\n".join(out)
     return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(sample_rate AS INTEGER) AS sample_rate,
