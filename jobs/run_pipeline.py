@@ -17,7 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on
+# sys.path; make the package importable for the documented local-smoke
+# invocation (spark-submit --py-files covers the cluster case)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> None:
