@@ -5,10 +5,21 @@ exactly-matching DuckDB oracle over the pre-registered parquet views
 
 Cross-engine parity rules used throughout:
 - hashing: md5 / sha256 only (identical hex in Spark + DuckDB);
-- doubles: identical expression *shape* (sequential folds both sides)
-  so IEEE results match bit-for-bit; thresholds on exact rationals;
-- rounding ambiguity avoided via floor(x * 1e6) integers;
-- timestamps exported as epoch-second bigints.
+- doubles: identical expression *shape* (sequential folds both sides:
+  Spark ``aggregate`` with init 0.0 == DuckDB ``list_reduce`` without
+  init, exact because 0.0 + x == x) so IEEE results match
+  bit-for-bit; thresholds on exact rationals;
+- rounding ambiguity avoided via floor(x * 1e6) integers; streaming
+  aggregations sum per-row floored longs so state-store merge order
+  cannot drift;
+- randomized structures (LSH hyperplanes, near-dup noise) come from a
+  precomputed md5 integer lattice (functions/lattice.py) embedded as
+  plan-time literals on BOTH engines — never an engine-native hash;
+- deterministic Python kernels (page metrics, multimodal fakes) are
+  imported by their oracle builders and re-run locally into golden
+  VALUES — one shared implementation, no drift surface;
+- timestamps exported as epoch-second bigints (tz-free on both
+  engines: raw parquet micros -> epoch).
 """
 
 from __future__ import annotations
