@@ -312,6 +312,73 @@ def sql_graph_edges() -> str:
 SELECT subj, pred, obj, url FROM golden WHERE obj_kind <> 'literal'"""
 
 
+def q_graph_components(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Iterative min-label-propagation connected components over the
+    conformance KG (operators/graph.py). The oracle expresses the same
+    fixpoint as a DuckDB recursive CTE, so even the iterative operator
+    is value-checked."""
+    from ..operators.graph import connected_components
+    from ..sources.writers import (
+        edges_from_triples,
+        nodes_from_triples,
+        with_host_bucket,
+    )
+
+    pages = synthesize_oracle_pages(spark)
+    triples = with_host_bucket(
+        dedup_triples(skolemize(extract_triples(pages)), per_graph=True), 8
+    ).persist()
+    nodes = nodes_from_triples(triples).select("iri").distinct()
+    edges = edges_from_triples(triples).select("subj", "obj")
+    return connected_components(nodes, edges)
+
+
+def sql_graph_components() -> str:
+    return f"""WITH RECURSIVE {_golden_skolemized_cte()},
+nodes AS (
+  SELECT DISTINCT iri FROM (
+    SELECT subj AS iri FROM golden
+    UNION ALL
+    SELECT obj FROM golden WHERE obj_kind <> 'literal'
+  )
+),
+und AS (
+  SELECT subj AS a, obj AS b FROM golden WHERE obj_kind <> 'literal'
+  UNION
+  SELECT obj, subj FROM golden WHERE obj_kind <> 'literal'
+),
+reach(a, b) AS (
+  SELECT iri, iri FROM nodes
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS iri, MIN(b) AS comp FROM reach GROUP BY a"""
+
+
+def q_graph_degrees(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Degree distribution of the conformance KG (one shuffle)."""
+    from ..operators.graph import degree_stats
+    from ..sources.writers import edges_from_triples, with_host_bucket
+
+    pages = synthesize_oracle_pages(spark)
+    triples = with_host_bucket(
+        dedup_triples(skolemize(extract_triples(pages)), per_graph=True), 8
+    )
+    return degree_stats(edges_from_triples(triples).select("subj", "obj"))
+
+
+def sql_graph_degrees() -> str:
+    return f"""WITH {_golden_skolemized_cte()},
+e AS (SELECT subj, obj FROM golden WHERE obj_kind <> 'literal'),
+o AS (SELECT subj AS iri, COUNT(*) AS out_deg FROM e GROUP BY 1),
+i AS (SELECT obj AS iri, COUNT(*) AS in_deg FROM e GROUP BY 1)
+SELECT COALESCE(o.iri, i.iri) AS iri,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
+FROM o FULL OUTER JOIN i ON o.iri = i.iri"""
+
+
 def q_extract_text(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Byte-identity invariant as a driver-checked query: distributed
     text extraction vs the synthesis-time text column."""
@@ -393,6 +460,88 @@ def sql_host_stats() -> str:
          || '.example.org/d/' || CAST(doc_id AS VARCHAR), '^[a-z]+://([^/]+)', 1) AS host,
        COUNT(*) AS n_pages
 FROM documents GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-style over the stock tables; money handled
+# as per-row floor(x*100) integer cents so distributed double-sum
+# fold order can never drift from the oracle)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF_EPOCH = 904_694_400  # 1998-09-02 UTC
+_Q3_SEGMENT = "BUILDING"
+_Q3_TOPK = 10
+
+
+def _cents(col: "F.Column") -> "F.Column":  # type: ignore[name-defined]
+    return F.floor(col * 100).cast("long")
+
+
+def q_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q1-shaped pricing summary: one scan, map-side partial
+    aggregation, one exchange on the 6-group key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice")
+    return (
+        li.filter(F.unix_timestamp("l_shipdate") <= _Q1_CUTOFF_EPOCH)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(price)).alias("sum_base_c"),
+            F.sum(_cents(price * (F.lit(1.0) - F.col("l_discount")))).alias(
+                "sum_disc_c"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary() -> str:
+    return f"""SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE epoch(l_shipdate) <= {_Q1_CUTOFF_EPOCH}
+GROUP BY 1, 2"""
+
+
+def q_top_revenue_orders(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q3-shaped top-k: selective dim filter broadcast into the
+    fact join, revenue in integer cents, deterministic rank."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", F.unix_timestamp("o_orderdate").alias("o_epoch"))
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q3_TOPK)
+    )
+
+
+def sql_top_revenue_orders() -> str:
+    return f"""WITH j AS (
+  SELECT o.o_orderkey, CAST(epoch(o.o_orderdate) AS BIGINT) AS o_epoch,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = {_sql_str(_Q3_SEGMENT)}
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, o_epoch, revenue_c,
+       ROW_NUMBER() OVER (ORDER BY revenue_c DESC, o_orderkey ASC) AS rank
+FROM j QUALIFY rank <= {_Q3_TOPK}"""
 
 
 # ---------------------------------------------------------------------------
@@ -1362,9 +1511,13 @@ QUERIES = {
     "q_entity_link_scored": q_entity_link_scored,
     "q_graph_nodes": q_graph_nodes,
     "q_graph_edges": q_graph_edges,
+    "q_graph_components": q_graph_components,
+    "q_graph_degrees": q_graph_degrees,
     "q_extract_text": q_extract_text,
     "q_page_metrics": q_page_metrics,
     "q_host_stats": q_host_stats,
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_revenue_orders": q_top_revenue_orders,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1396,8 +1549,12 @@ ORACLES = {
     "q_entity_link_scored": sql_entity_link_scored,
     "q_graph_nodes": sql_graph_nodes,
     "q_graph_edges": sql_graph_edges,
+    "q_graph_components": sql_graph_components,
+    "q_graph_degrees": sql_graph_degrees,
     "q_extract_text": sql_extract_text,
     "q_host_stats": sql_host_stats,
+    "q_pricing_summary": sql_pricing_summary,
+    "q_top_revenue_orders": sql_top_revenue_orders,
     "q_dedup_exact": sql_dedup_exact,
     "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
