@@ -1216,6 +1216,114 @@ def sql_events_window() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+_SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    new-session flags over a per-user window — the standard two-window
+    shape, one shuffle on user_id, fully codegen'd."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    new_session = F.when(
+        ep - F.lag(ep).over(w) > _SESSION_GAP_S, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min(ep).cast("long").alias("session_start"),
+        F.max(ep).cast("long").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sql_events_sessionize() -> str:
+    # ep = floor(epoch) to match Spark's unix_timestamp truncation;
+    # both windows order by (ts, event_id) exactly like the Spark side
+    return f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ep,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(MIN(ep) AS BIGINT) AS session_start,
+       CAST(MAX(ep) AS BIGINT) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY 1, 2"""
+
+
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """KMV (k-minimum-values) distinct-token sketch: an engine-portable
+    alternative to HLL. Hash every distinct token with md5, keep the k
+    smallest hashes, estimate NDV = (k-1) / fraction(kth hash). The
+    sketch is mergeable (union = k smallest of the union) — the
+    distributed shape is a per-partition top-k then a global top-k, and
+    md5 makes it bit-identical across engines (Spark's
+    approx_count_distinct HLL would not be)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("t")
+    ).filter(F.col("t") != "")
+    hashes = toks.select(F.md5("t").alias("h")).distinct()
+    kth = (
+        hashes.orderBy("h").limit(_KMV_K)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("k"))
+    )
+    frac = F.conv(F.substring("kth", 1, 12), 16, 10).cast("double") / F.lit(
+        float(16 ** 12)
+    )
+    return kth.select(
+        F.col("k").alias("k"),
+        F.col("kth").alias("kth_hash"),
+        F.when(F.col("k") < _KMV_K, F.col("k").cast("long")).otherwise(
+            F.floor((F.lit(_KMV_K - 1) / frac)).cast("long")
+        ).alias("ndv_estimate"),
+    )
+
+
+def sql_kmv_distinct() -> str:
+    # 12 hex nibbles -> exact integer-valued double (16^12 < 2^53),
+    # same frac = v / 16^12 then (k-1)/frac shape as the Spark side
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(kth, {i + 1}, 1)) - 1) * {16 ** (11 - i)}.0"
+        for i in range(12)
+    )
+    return f"""WITH toks AS (
+  SELECT unnest({_TOKS.format(c="text")}) AS t FROM documents
+),
+hashes AS (SELECT DISTINCT md5(t) AS h FROM toks WHERE t <> ''),
+topk AS (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K}),
+kth AS (SELECT MAX(h) AS kth, COUNT(*) AS k FROM topk)
+SELECT k, kth AS kth_hash,
+       CASE WHEN k < {_KMV_K} THEN CAST(k AS BIGINT)
+            ELSE CAST(floor(({_KMV_K - 1}) /
+                 (({nibbles}) / {float(16 ** 12)!r})) AS BIGINT)
+       END AS ndv_estimate
+FROM kth"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1533,6 +1641,8 @@ QUERIES = {
     "q_ivf_topk": q_ivf_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_events_window": q_events_window,
+    "q_events_sessionize": q_events_sessionize,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_events_window_stream": q_events_window_stream,
     "q_extract_triples_stream": q_extract_triples_stream,
     "q_first_seen_dedup_stream": q_first_seen_dedup_stream,
@@ -1569,6 +1679,8 @@ ORACLES = {
     "q_ivf_topk": sql_ivf_topk,
     "q_embedding_near_dup": sql_embedding_near_dup,
     "q_events_window": sql_events_window,
+    "q_events_sessionize": sql_events_sessionize,
+    "q_kmv_distinct": sql_kmv_distinct,
     "q_events_window_stream": sql_events_window_stream,
     "q_extract_triples_stream": sql_extract_triples,
     "q_first_seen_dedup_stream": sql_first_seen_dedup_stream,
