@@ -826,7 +826,7 @@ def sql_token_stats() -> str:
     return f"""SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len({_TOKS.format(c="text")}) END AS n_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+  COALESCE(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_subwords,
   md5({_NORM.format(c="text")}) AS fingerprint
 FROM documents"""
 

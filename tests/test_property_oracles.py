@@ -1,0 +1,93 @@
+"""Property-based differential check of the documents-family
+query/oracle pairs: hypothesis generates adversarial corpora (empty
+strings, NULLs, whitespace-only, duplicate docs, punctuation soup),
+each example is written as a real documents.parquet, and the UNCHANGED
+queries()/oracle_sql() pairs run over it on both engines.
+
+This is the systematic version of the NULL-text latent-divergence
+class caught in review: the fixed sf0.01 gate data cannot exercise
+these edges, property corpora can.
+
+Alphabet is printable ASCII + space/tab/newline: the cross-engine
+normalization contract (Java regex vs RE2, JVM lower() vs DuckDB) is
+only *claimed* for that envelope; exotic code points (e.g. \\x0b,
+Turkish dotless i) are documented non-goals.
+"""
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pytestmark = pytest.mark.spark
+
+_WORDS = ["the", "and", "data", "spark", "graph", "le", "la", "der", "und", "el"]
+_CHARS = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABC0123456789.,;:!?()[]'\"-_/ \t\n")
+)
+_TEXT = st.one_of(
+    st.just(""),
+    st.just(None),
+    st.just("   \t\n  "),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    st.text(_CHARS, min_size=0, max_size=60),
+)
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=12)
+
+_QUERY_NAMES = [
+    "q_dedup_exact",
+    "q_token_stats",
+    "q_lang_id",
+    "q_quality",
+    "q_simhash32",
+    "q_simhash32_pairs",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_kmv_distinct",
+    "q_curation",
+]
+
+
+def _canon(v):
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(round(v, 9))
+    return str(v)
+
+
+def _rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_documents_queries_match_oracle_on_random_corpora(spark, tmp_path_factory, texts):
+    from __spark_entry__ import oracle_sql, queries
+
+    sf_dir = str(tmp_path_factory.mktemp("prop"))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB wants the part-file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = queries(), oracle_sql()
+    for name in _QUERY_NAMES:
+        sdf = qs[name](spark, sf_dir)
+        cur = con.execute(oracles[name])  # oracle_sql() returns built SQL strings
+        s = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+        d = _rows(cur.fetchall(), [c[0] for c in cur.description])
+        assert s == d, f"{name} diverged on corpus {texts!r}:\n{s[:4]}\nvs\n{d[:4]}"
