@@ -63,6 +63,62 @@ def _rows(rows, cols):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+_EMB_QUERY_NAMES = [
+    "q_topk_cosine",
+    "q_lsh_topk",
+    "q_ivf_topk",
+    "q_embedding_near_dup",
+]
+
+def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
+    """n random 64-dim float32 vectors from a drawn seed (a full
+    hypothesis strategy over 17x64 floats exceeds its entropy buffer).
+    Components in +-[~1e-3, 2]; zero-norm vectors are out of contract
+    (cos undefined -> NaN ordering differs per engine)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    mags = rng.uniform(1e-3, 2.0, size=(n, 64)).astype(np.float32)
+    signs = rng.choice([-1.0, 1.0], size=(n, 64)).astype(np.float32)
+    return [[float(x) for x in row] for row in (mags * signs)]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       n=st.integers(min_value=17, max_value=24))
+def test_embedding_queries_match_oracle_on_random_vectors(
+    spark, tmp_path_factory, seed, n
+):
+    """The IEEE fold-parity claim (Spark aggregate-with-init-0.0 ==
+    DuckDB list_reduce) exercised on random float32 vectors through
+    the whole ANN family: LSH bucketing, IVF assignment, cosine ranks."""
+    vecs = _seeded_vectors(seed, n)
+    from __spark_entry__ import oracle_sql, queries
+
+    sf_dir = str(tmp_path_factory.mktemp("prop_emb"))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    qs, oracles = queries(), oracle_sql()
+    for name in _EMB_QUERY_NAMES:
+        sdf = qs[name](spark, sf_dir)
+        cur = con.execute(oracles[name])
+        s = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+        d = _rows(cur.fetchall(), [c[0] for c in cur.description])
+        assert s == d, f"{name} diverged on {len(vecs)} vectors:\n{s[:4]}\nvs\n{d[:4]}"
+
+
 @settings(
     max_examples=8,
     deadline=None,
