@@ -125,6 +125,12 @@ def main() -> None:
         "q_ivf_topk",
         "q_embedding_near_dup",
         "q_events_window",
+        "q_events_sessionize",
+        "q_kmv_distinct",
+        "q_pricing_summary",
+        "q_top_revenue_orders",
+        "q_graph_degrees",
+        "q_curation",
     ]
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}
     for name in bench_queries:
