@@ -42,9 +42,18 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).persist()
+    # seed labels from nodes UNION edge endpoints: an endpoint missing
+    # from `nodes` must still self-label, or min-propagation both skips
+    # its id as a candidate minimum and exits early on the changed
+    # check (wrong components, silently)
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .union(und.select(F.col("a").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .persist()
+    )
+    converged = False
     try:
         for i in range(max_iter):
             prop = und.join(
@@ -68,7 +77,15 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds max_iter); "
+                "raise max_iter — unconverged labels would silently "
+                "split real components"
+            )
         return labels.select(F.col("node").alias(id_col), "comp")
     finally:
         und.unpersist()

@@ -328,9 +328,14 @@ def q_graph_components(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     triples = with_host_bucket(
         dedup_triples(skolemize(extract_triples(pages)), per_graph=True), 8
     ).persist()
-    nodes = nodes_from_triples(triples).select("iri").distinct()
-    edges = edges_from_triples(triples).select("subj", "obj")
-    return connected_components(nodes, edges)
+    try:
+        nodes = nodes_from_triples(triples).select("iri").distinct()
+        edges = edges_from_triples(triples).select("subj", "obj")
+        # the returned labels frame is materialized inside the fixpoint
+        # loop, so the triples cache can be dropped before returning
+        return connected_components(nodes, edges)
+    finally:
+        triples.unpersist()
 
 
 def sql_graph_components() -> str:
@@ -522,11 +527,14 @@ def q_top_revenue_orders(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .groupBy("o_orderkey", F.unix_timestamp("o_orderdate").alias("o_epoch"))
         .agg(F.sum(rev).alias("revenue_c"))
     )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then the rank
+    # window runs over <= k rows — an unpartitioned window over all
+    # order groups would funnel everything through one task
+    topk = joined.orderBy(
+        F.col("revenue_c").desc(), F.col("o_orderkey").asc()
+    ).limit(_Q3_TOPK)
     w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _Q3_TOPK)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def sql_top_revenue_orders() -> str:
@@ -1278,14 +1286,12 @@ def q_kmv_distinct(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     distributed shape is a per-partition top-k then a global top-k, and
     md5 makes it bit-identical across engines (Spark's
     approx_count_distinct HLL would not be)."""
+    from ..functions.text import _tokens as _text_tokens
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-            )
-        ).alias("t")
-    ).filter(F.col("t") != "")
+    toks = docs.select(F.explode(_text_tokens(F.col("text"))).alias("t")).filter(
+        F.col("t") != ""
+    )
     hashes = toks.select(F.md5("t").alias("h")).distinct()
     kth = (
         hashes.orderBy("h").limit(_KMV_K)

@@ -14,18 +14,21 @@ Usage: python tools/scaling_control.py [N [4N]]   (defaults 4 16)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from multiprocessing import Pool
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _pages(n: int = 40000) -> list[tuple[str, str]]:
     import duckdb
 
     rows = duckdb.sql(
-        "SELECT text FROM '/root/testdata/sf0.1/documents.parquet'"
+        f"SELECT text FROM '{_SF_DIR}/documents.parquet'"
     ).fetchall()
 
     def page(i: int, text: str) -> tuple[str, str]:
