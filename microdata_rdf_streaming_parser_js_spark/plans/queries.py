@@ -1330,6 +1330,53 @@ SELECT k, kth AS kth_hash,
 FROM kth"""
 
 
+_FH_DIM = 64
+
+
+def q_feature_hash_embed(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Feature hashing (hashed bag-of-words document embedding): every
+    token maps to bucket = md5[0:2] % dim with sign = high bit of
+    md5[2]; the doc vector is the signed count per bucket. Sparse
+    output (doc_id, dim, weight), produced in the natural distributed
+    shape — explode -> groupBy(doc, bucket) with map-side combine —
+    and integer arithmetic end to end, so cross-engine exact. This is
+    the text->vector featurization bridge into the ANN family."""
+    from ..functions.text import _tokens as _text_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(_text_tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    h = F.md5("t")
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _FH_DIM
+    ).alias("dim")
+    sign = F.when(
+        F.substring(h, 3, 1).isin(*_HEX_HIGH), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", bucket, sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("weight"))
+    )
+
+
+def sql_feature_hash_embed() -> str:
+    nib = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_TOKS.format(c="text")}) AS t FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+mapped AS (
+  SELECT doc_id,
+         (({nib.format(i=1)}) * 16 + ({nib.format(i=2)})) % {_FH_DIM} AS dim,
+         CASE WHEN substr(md5(t), 3, 1) IN {repr(_HEX_HIGH)} THEN 1 ELSE -1 END AS s
+  FROM tt
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM mapped GROUP BY 1, 2"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1649,6 +1696,7 @@ QUERIES = {
     "q_events_window": q_events_window,
     "q_events_sessionize": q_events_sessionize,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_feature_hash_embed": q_feature_hash_embed,
     "q_events_window_stream": q_events_window_stream,
     "q_extract_triples_stream": q_extract_triples_stream,
     "q_first_seen_dedup_stream": q_first_seen_dedup_stream,
@@ -1687,6 +1735,7 @@ ORACLES = {
     "q_events_window": sql_events_window,
     "q_events_sessionize": sql_events_sessionize,
     "q_kmv_distinct": sql_kmv_distinct,
+    "q_feature_hash_embed": sql_feature_hash_embed,
     "q_events_window_stream": sql_events_window_stream,
     "q_extract_triples_stream": sql_extract_triples,
     "q_first_seen_dedup_stream": sql_first_seen_dedup_stream,

@@ -46,6 +46,7 @@ _QUERY_NAMES = [
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard_pairs",
     "q_kmv_distinct",
+    "q_feature_hash_embed",
     "q_curation",
 ]
 
