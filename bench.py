@@ -127,6 +127,7 @@ def main() -> None:
         "q_events_window",
         "q_events_sessionize",
         "q_kmv_distinct",
+        "q_feature_hash_embed",
         "q_pricing_summary",
         "q_top_revenue_orders",
         "q_graph_degrees",
