@@ -35,6 +35,12 @@ _ATTR = re.compile(
 _TAG_BODY = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
 # stdlib parity: a comment closes at '--' + optional ws + '>'
 _COMMENT_CLOSE = re.compile(r"--\s*>")
+# marked sections (<![CDATA[ ... ]]>, <![if ...]>): _markupbase parity
+_MS_NAME = re.compile(r"([a-zA-Z][-_.a-zA-Z0-9]*)\s*")
+_MS_CLOSE_DOUBLE = re.compile(r"]\s*]\s*>")
+_MS_CLOSE_SINGLE = re.compile(r"]\s*>")
+_MS_DOUBLE_KW = frozenset(["temp", "cdata", "ignore", "include", "rcdata"])
+_MS_SINGLE_KW = frozenset(["if", "else", "endif"])
 _RAWTEXT_END = {
     "script": re.compile(r"</\s*script", re.I),
     "style": re.compile(r"</\s*style", re.I),
@@ -80,10 +86,57 @@ class FastHtmlTokenizer:
                     pos = lt + 1
                     continue
                 self._emit_text(doc[text_start:lt])
+                if ms.group(1) == "!" and doc.startswith("<![", lt):
+                    # marked section: closes at ']]>' (cdata family) or
+                    # ']>' (if/else/endif) per _markupbase — NOT at the
+                    # first '>'. Unknown keyword / missing name raises
+                    # in the stdlib; delegate so even that is faithful.
+                    mm = _MS_NAME.match(doc, lt + 3)
+                    kw = mm.group(1).lower() if mm else None
+                    if kw in _MS_DOUBLE_KW:
+                        cre = _MS_CLOSE_DOUBLE
+                    elif kw in _MS_SINGLE_KW:
+                        cre = _MS_CLOSE_SINGLE
+                    else:
+                        adapter.feed(doc[lt:])
+                        adapter.goahead(1)
+                        pos = text_start = n
+                        return
+                    cm2 = cre.search(doc, lt + 3)
+                    if cm2 is not None:
+                        pos = text_start = cm2.end()  # unknown_decl: no events
+                        continue
+                    # unterminated at EOF: stdlib recovery — data up to
+                    # and incl. the next '>', else next '<', else one
+                    # char — then resume scanning
+                    k = doc.find(">", lt + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k2 = doc.find("<", lt + 1)
+                        k = k2 if k2 >= 0 else lt + 1
+                    self._emit_text(doc[lt:k])
+                    pos = text_start = k
+                    continue
                 if ms.group(1) == "!--":
                     cm = _COMMENT_CLOSE.search(doc, ms.end())
-                    close = cm.start() if cm else -1
-                    close_end = cm.end() if cm else 0
+                    if cm is None:
+                        # stdlib close()-time recovery for an
+                        # unterminated comment ('<!-->', '<!-- x'):
+                        # emit data up to and including the next '>',
+                        # else up to the next '<', else one char —
+                        # then RESUME scanning (the stdlib does not
+                        # swallow the rest of the document)
+                        k = doc.find(">", lt + 1)
+                        if k >= 0:
+                            k += 1
+                        else:
+                            k2 = doc.find("<", lt + 1)
+                            k = k2 if k2 >= 0 else lt + 1
+                        self._emit_text(doc[lt:k])
+                        pos = text_start = k
+                        continue
+                    close, close_end = cm.start(), cm.end()
                 else:  # <!doctype> / <?pi> / bogus end tag "</!" "</>"
                     close = doc.find(">", ms.end())
                     close_end = close + 1
@@ -170,8 +223,20 @@ class FastHtmlTokenizer:
                 adapter.handle_starttag(name, attrs)
             elif self_closing:
                 adapter.handle_startendtag(name, attrs)
+            elif doc.find('"', me, i) != -1 or doc.find("'", me, i) != -1:
+                # junk tail AND quotes in the body: _TAG_BODY pairs
+                # quotes greedily from the first one, the stdlib pairs
+                # them at attr-value positions — when they disagree
+                # (e.g. <r "=">">) the stdlib may accept a tag where we
+                # see junk. Don't guess: replay the remainder through
+                # the embedded stdlib parser for exact parity.
+                adapter.feed(doc[lt:])
+                adapter.goahead(1)
+                pos = text_start = n
+                return
             else:
-                # junk inside the tag: stdlib emits the whole tag as data
+                # quote-free junk inside the tag: stdlib emits the
+                # whole tag as data
                 self._emit_text(doc[lt : i + 1])
                 pos = text_start = i + 1
                 continue

@@ -82,6 +82,22 @@ REALISTIC = [
     "text only, no tags at all & entities &lt;here&gt;",
     "",
     "<p attr='sq' other=\"dq\" bare=unquoted flag>mix</p>",
+    # quote-pairing mismatch between the scanner's greedy TAG_BODY and
+    # the stdlib's attr-value-positioned pairing: the scanner must
+    # delegate, not guess data-vs-tag (soak regression)
+    '<r "=">">',
+    "<a href=<c;\nb\t><span itemid='x\"\"y' itemscope=b;c\"a itemref>t",
+    "<x-y itemid lang><</style><style datetime=\"ba&'a; class=\"\nc \" itemprop=\"\t>&a'\">",
+    # unterminated comment: stdlib EOF recovery emits up to the next
+    # '>' as data then RESUMES scanning (soak regression)
+    "<!--><l>",
+    "a<!-- never closed <div>x</div>",
+    # marked sections close at ']]>' / ']>' (not the first '>'), with
+    # the same EOF recovery when unterminated (soak regression)
+    "<![CDATA[ a>b ]]>after<p>x</p>",
+    '<![CDATA[x</mi><table id="=>">',
+    "<![if ie]>x<![endif]>tail",
+    "<![rcdata[y>z]]>t",
 ]
 
 
@@ -128,7 +144,11 @@ def html_docs(draw):
         elif kind == 3:
             parts.append(f"<!-- {draw(_texts)} -->")
         elif kind == 4:
-            parts.append(draw(st.sampled_from(["<", "< ", "<3", "<>", "<!", "<!x>", "<?pi>"])))
+            parts.append(draw(st.sampled_from([
+                "<", "< ", "<3", "<>", "<!", "<!x>", "<?pi>",
+                "<!-->", "<![CDATA[x", "<![CDATA[ a>b ]]>", "]]>",
+                "<![if x]>", '<a b="', "<a b='x", '<r "=">',
+            ])))
         else:
             parts.append(f"&{draw(st.sampled_from(['amp;', 'lt;', 'notin;', 'amp', 'bogus;', '#65;', '#x42;']))}")
     return "".join(parts)
