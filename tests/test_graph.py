@@ -1,0 +1,58 @@
+"""Unit tests for operators/graph.py — pins the review-driven guards:
+edge endpoints missing from the nodes frame must still resolve to the
+true component minimum, and hitting max_iter must raise rather than
+return silently-unconverged labels."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _cc(spark, nodes, edges, **kw):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = spark.createDataFrame([(x,) for x in nodes], "iri string")
+    e = spark.createDataFrame(edges, "subj string, obj string")
+    return {
+        r["iri"]: r["comp"]
+        for r in connected_components(n, e, **kw).collect()
+    }
+
+
+def test_components_basic(spark):
+    out = _cc(
+        spark,
+        ["a", "b", "c", "x", "y", "lone"],
+        [("a", "b"), ("b", "c"), ("x", "y")],
+    )
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"}
+
+
+def test_components_seed_missing_endpoints(spark):
+    # 'a' appears only as an edge endpoint, not in nodes — it must
+    # still self-seed so the component minimum is 'a', and it must
+    # appear in the output
+    out = _cc(spark, ["b"], [("a", "b")])
+    assert out == {"a": "a", "b": "a"}
+
+
+def test_components_nonconvergence_raises(spark):
+    # chain of length 6 needs ~5 propagation rounds; max_iter=2 must
+    # raise instead of returning split components
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    nodes = [f"n{i}" for i in range(7)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, nodes, chain, max_iter=2)
+
+
+def test_degree_stats(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import degree_stats
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "subj string, obj string"
+    )
+    out = {r["iri"]: (r["out_deg"], r["in_deg"], r["total_deg"])
+           for r in degree_stats(e).collect()}
+    assert out == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
