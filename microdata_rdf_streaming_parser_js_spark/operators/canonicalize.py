@@ -36,15 +36,31 @@ def canonicalize_subjects(
     triples: "DataFrame",
     mapping: "DataFrame",
     broadcast_threshold: int | None = 10_000_000,
+    mapping_rows: int | None = None,
 ) -> "DataFrame":
     """Rewrite subj/obj IRIs through a (iri -> canonical_iri) mapping.
 
     ``mapping`` columns: ``iri``, ``canonical_iri``. Small mappings are
-    broadcast (no shuffle of the big triples side); large ones fall back
-    to sort-merge join with AQE skew splitting.
+    broadcast (no shuffle of the big triples side); large ones are
+    sort-merge joined (``hint("merge")`` — explicit, so a bad stats
+    estimate can never force a 500M-row mapping into executor memory)
+    with AQE skew splitting.
+
+    The size gate is a capped probe: ``limit(threshold+1).count()``
+    stops scanning once it has threshold+1 rows, so deciding is O(min
+    (|mapping|, threshold)), not a full count. Pass ``mapping_rows``
+    (e.g. from a count the caller already did) to skip the probe job
+    entirely. ``broadcast_threshold=None`` leaves the strategy to
+    Catalyst/AQE stats.
     """
     if broadcast_threshold is not None:
-        mapping = F.broadcast(mapping)
+        n = mapping_rows
+        if n is None:
+            n = mapping.limit(broadcast_threshold + 1).count()
+        if n <= broadcast_threshold:
+            mapping = F.broadcast(mapping)
+        else:
+            mapping = mapping.hint("merge")
     m_subj = mapping.withColumnRenamed("iri", "subj").withColumnRenamed(
         "canonical_iri", "_canon_subj"
     )

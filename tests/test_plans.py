@@ -66,6 +66,42 @@ def test_canonicalize_broadcasts_mapping(spark, pages_parquet):
     assert "BroadcastHashJoin" in plan
 
 
+def test_canonicalize_sort_merges_above_threshold(spark, pages_parquet):
+    """A mapping larger than broadcast_threshold must NOT be broadcast
+    (forced broadcast of a 500M-row mapping is an executor OOM at
+    scale) — it plans as SortMergeJoin via the explicit merge hint."""
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_subjects,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.extract import (
+        extract_triples,
+    )
+
+    triples = extract_triples(spark.read.parquet(pages_parquet))
+    mapping = spark.range(10).select(
+        F.concat(F.lit("http://a.example/"), F.col("id")).alias("iri"),
+        F.lit("http://a.example/canon").alias("canonical_iri"),
+    )
+    plan = plan_str(canonicalize_subjects(triples, mapping, broadcast_threshold=5))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # and the mapping_rows hint short-circuits the probe the same way
+    plan = plan_str(
+        canonicalize_subjects(
+            triples, mapping, broadcast_threshold=5, mapping_rows=10
+        )
+    )
+    assert "SortMergeJoin" in plan
+    plan = plan_str(
+        canonicalize_subjects(
+            triples, mapping, broadcast_threshold=50, mapping_rows=10
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
