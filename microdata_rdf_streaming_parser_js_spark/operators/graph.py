@@ -1,13 +1,14 @@
 """Graph analytics over the constructed KG (nodes/edges DataFrames).
 
-- :func:`connected_components` — iterative min-label propagation
-  (the Pregel/large-star family): each node's component label is the
-  lexicographically smallest node id reachable from it. The driver
-  runs the fixpoint loop (bounded by graph diameter); every iteration
-  is two shuffles (edge-label join + min-aggregate), all JVM-side.
-  At cluster scale the identical loop runs with ``localCheckpoint``
-  every few rounds to truncate lineage — the per-iteration plan shape
-  is what matters and it contains no Python.
+- :func:`connected_components` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): each node's component label is the smallest node id
+  reachable from it. Unlike plain min-label propagation (O(diameter)
+  rounds — web-graph diameters run into the hundreds), the star
+  operations contract the graph toward per-component stars in
+  O(log n) rounds, each round two groupBy-min shuffles + two joins,
+  all JVM-side. ``localCheckpoint`` every few rounds truncates
+  lineage; the per-iteration plan contains no Python.
 - :func:`degree_stats` — in/out/total degree per node, one shuffle.
 
 These are the "iterative algorithm" representatives: SQL cannot
@@ -33,62 +34,114 @@ def connected_components(
     src_col: str = "subj",
     dst_col: str = "obj",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
 ) -> "DataFrame":
-    """(iri, comp) with comp = min node id in the undirected component."""
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    """(iri, comp) with comp = min node id in the undirected component.
+
+    Alternating large-star / small-star contraction. Per round, on the
+    current (large, small)-oriented edge set E:
+
+    - large-star: symmetrize, compute m(u) = min(N(u) ∪ {u}), emit
+      (v, m(u)) for every neighbor v > u — strictly larger neighbors
+      re-hang onto u's minimum;
+    - small-star: on the (now oriented) output, compute m(u) = min of
+      u's smaller neighbors, re-hang those neighbors and u itself onto
+      m(u).
+
+    Fixpoint (per-component stars rooted at the minimum) is detected
+    by an edge-set checksum — exact count plus two independently
+    seeded xxhash64 bit-xors over the oriented edges — one cheap
+    aggregate instead of a join against the previous round. Rounds needed are O(log n) regardless of
+    diameter, so ``max_iter=50`` covers any graph that fits on disk
+    (2^49 nodes); the RuntimeError guard stays because returning
+    silently-unconverged labels would split real components.
+
+    The returned labels frame is localCheckpoint-materialized and the
+    loop's caches are released before returning — callers own nothing.
+    """
+    # orient (large, small), drop self-loops, dedup
+    oriented = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
         .distinct()
         .persist()
     )
-    # seed labels from nodes UNION edge endpoints: an endpoint missing
-    # from `nodes` must still self-label, or min-propagation both skips
-    # its id as a candidate minimum and exits early on the changed
-    # check (wrong components, silently)
-    labels = (
+    # seed universe from nodes UNION edge endpoints: an endpoint
+    # missing from `nodes` must still appear (and be eligible as the
+    # component minimum)
+    all_nodes = (
         nodes.select(F.col(id_col).alias("node"))
-        .union(und.select(F.col("a").alias("node")))
+        .union(oriented.select(F.col("a").alias("node")))
+        .union(oriented.select(F.col("b").alias("node")))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist()
     )
+    cur = oriented
+    prev_sig = None
     converged = False
-    try:
-        for i in range(max_iter):
-            prop = und.join(
-                labels, und["a"] == labels["node"]
-            ).select(und["b"].alias("node"), labels["comp"])
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-            )
-            if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                new_labels = new_labels.localCheckpoint()
-            new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "iterations (component diameter exceeds max_iter); "
-                "raise max_iter — unconverged labels would silently "
-                "split real components"
-            )
-        return labels.select(F.col("node").alias(id_col), "comp")
-    finally:
-        und.unpersist()
+    for i in range(max_iter):
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        l_min = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        large = (
+            sym.join(l_min, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        s_min = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(s_min, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(s_min.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            small = small.localCheckpoint()
+        small = small.persist()
+        # overflow-proof under ANSI mode: two independent 64-bit xors
+        # (seeded differently via a literal prefix) + exact count
+        sig_row = small.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("x1"),
+            F.bit_xor(F.xxhash64(F.lit("s2"), "a", "b")).alias("x2"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["x1"], sig_row["x2"])
+        if cur is not oriented:
+            cur.unpersist()
+        cur = small
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        cur.unpersist() if cur is not oriented else None
+        oriented.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter — unconverged labels would "
+            "silently split real components"
+        )
+    # at fixpoint every non-root points straight at its component
+    # minimum; roots and isolated nodes self-label
+    stars = cur.groupBy("a").agg(F.min("b").alias("comp"))
+    labels = (
+        all_nodes.join(stars.withColumnRenamed("a", "node"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("comp", F.col("node")).alias("comp"),
+        )
+        .localCheckpoint()
+    )
+    if cur is not oriented:
+        cur.unpersist()
+    oriented.unpersist()
+    return labels
 
 
 def degree_stats(

@@ -360,6 +360,44 @@ reach(a, b) AS (
 SELECT a AS iri, MIN(b) AS comp FROM reach GROUP BY a"""
 
 
+def q_graph_components_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Long-diameter stress: a synthetic path graph over the documents
+    table — consecutive doc_ids chained, cut every 100 (five diameter-
+    99 components at sf0.01). Plain O(diameter) min-label propagation
+    needs ~99 rounds here; the large-star/small-star implementation
+    (operators/graph.py) converges in O(log n). The oracle recomputes
+    the same components with a DuckDB recursive CTE."""
+    from ..operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    edges = (
+        ids.select(F.col("doc_id").alias("subj"),
+                   (F.col("doc_id") + F.lit(1)).alias("obj"))
+        .where(F.pmod(F.col("doc_id"), F.lit(100)) != 99)
+        .join(ids.select(F.col("doc_id").alias("obj")), "obj", "left_semi")
+    )
+    out = connected_components(ids, edges, id_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("comp").cast("long").alias("comp"))
+
+
+def sql_graph_components_path() -> str:
+    return """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM ids d JOIN ids x ON x.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 100 <> 99
+),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM ids
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a"""
+
+
 def q_graph_degrees(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Degree distribution of the conformance KG (one shuffle)."""
     from ..operators.graph import degree_stats
@@ -1673,6 +1711,7 @@ QUERIES = {
     "q_graph_nodes": q_graph_nodes,
     "q_graph_edges": q_graph_edges,
     "q_graph_components": q_graph_components,
+    "q_graph_components_path": q_graph_components_path,
     "q_graph_degrees": q_graph_degrees,
     "q_extract_text": q_extract_text,
     "q_page_metrics": q_page_metrics,
@@ -1714,6 +1753,7 @@ ORACLES = {
     "q_graph_nodes": sql_graph_nodes,
     "q_graph_edges": sql_graph_edges,
     "q_graph_components": sql_graph_components,
+    "q_graph_components_path": sql_graph_components_path,
     "q_graph_degrees": sql_graph_degrees,
     "q_extract_text": sql_extract_text,
     "q_host_stats": sql_host_stats,

@@ -39,12 +39,38 @@ def test_components_seed_missing_endpoints(spark):
 
 
 def test_components_nonconvergence_raises(spark):
-    # chain of length 6 needs ~5 propagation rounds; max_iter=2 must
-    # raise instead of returning split components
-    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
-    nodes = [f"n{i}" for i in range(7)]
+    # a 64-node chain cannot reach per-component stars in 2
+    # large-star/small-star rounds; max_iter=2 must raise instead of
+    # returning split components
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(64)]
+    nodes = [f"n{i:03d}" for i in range(65)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, nodes, chain, max_iter=2)
+
+
+def test_components_long_path(spark):
+    # diameter-299 path — plain min-label propagation needs 299 rounds
+    # (the old default max_iter=50 RuntimeErrored); large-star/small-
+    # star converges in O(log n) rounds well inside the default budget
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(299)]
+    nodes = [f"n{i:03d}" for i in range(300)]
+    out = _cc(spark, nodes, chain)
+    assert len(out) == 300
+    assert set(out.values()) == {"n000"}
+
+
+def test_components_two_long_paths_reversed_edges(spark):
+    # two disjoint 60-node paths, edge direction alternating — the
+    # orientation step must not care about src/dst order
+    edges = []
+    for base in ("a", "b"):
+        for i in range(59):
+            u, v = f"{base}{i:02d}", f"{base}{i+1:02d}"
+            edges.append((u, v) if i % 2 else (v, u))
+    nodes = [f"{b}{i:02d}" for b in ("a", "b") for i in range(60)]
+    out = _cc(spark, nodes, edges)
+    assert set(out.values()) == {"a00", "b00"}
+    assert all(v == ("a00" if k[0] == "a" else "b00") for k, v in out.items())
 
 
 def test_degree_stats(spark):
