@@ -115,6 +115,7 @@ def main() -> None:
         "q_dedup_exact",
         "q_minhash_lsh_pairs",
         "q_ngram_jaccard_pairs",
+        "q_ngram_jaccard_capped",
         "q_ngram_jaccard_lsh",
         "q_simhash_pairs",
         "q_token_stats",
@@ -131,6 +132,7 @@ def main() -> None:
         "q_pricing_summary",
         "q_top_revenue_orders",
         "q_graph_degrees",
+        "q_graph_components_path",
         "q_curation",
     ]
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}
@@ -154,11 +156,96 @@ def main() -> None:
         "cpus": cpus,
     }
 
+    try:
+        result["simhash_candidates"] = simhash_candidate_counts(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench error simhash_candidates: {exc}", file=sys.stderr)
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         result["scaling"] = run_scaling(sf_dir)
 
+    try:
+        write_delta(result)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench delta error: {exc}", file=sys.stderr)
+
     print(json.dumps(result))
+
+
+def simhash_candidate_counts(spark, sf_dir: str) -> dict:
+    """Blocking-strategy evidence: candidate-pair volume BEFORE the
+    Hamming verify, classic single-chunk pigeonhole (n_chunks=4, 16-bit
+    keys) vs the combination-blocking default (n_chunks=6, ~32-bit
+    keys). The final pair set is identical (both blockings are exact);
+    the candidate count is the shuffle/verify work saved."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        _simhash_block_rows,
+        _simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(docs).persist()
+    out = {}
+    for label, n_chunks in (("classic_n4", 4), ("combo_n6", 6)):
+        rows = _simhash_block_rows(sig, 63, n_chunks, 3)
+        out[label] = _simhash_candidate_pairs(rows).count()
+    sig.unpersist()
+    return out
+
+
+def _load_prev_bench(path: str) -> dict | None:
+    """Parse a driver-recorded BENCH_r{N}.json (the bench JSON line is
+    embedded in its 'tail' field) or a raw bench.py output file."""
+    with open(path) as f:
+        data = json.load(f)
+    if "queries" in data:
+        return data
+    tail = data.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        idx = line.find('{"metric"')
+        if idx >= 0:
+            try:
+                return json.loads(line[idx:])
+            except ValueError:
+                continue
+    return None
+
+
+def write_delta(result: dict) -> None:
+    """Machine-visible regression tracking: compare this run to the
+    most recent driver-recorded BENCH_r{N}.json and write a per-query
+    delta table to BENCH/DELTA.md."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "BENCH_r*.json")))
+    if not files:
+        return
+    prev = _load_prev_bench(files[-1])
+    if not prev or "queries" not in prev:
+        return
+    prev_q, cur_q = prev["queries"], result["queries"]
+    lines = [
+        "# Bench delta vs " + os.path.basename(files[-1]),
+        "",
+        f"Headline triples/s: {prev.get('value')} -> {result.get('value')}"
+        f" (x{(result.get('value') or 0) / prev['value']:.2f})"
+        if prev.get("value") else "",
+        "",
+        "| query | prev s | now s | now/prev |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(set(prev_q) | set(cur_q)):
+        p, c = prev_q.get(name), cur_q.get(name)
+        ratio = f"{c / p:.2f}" if p and c and p > 0 and c > 0 else "-"
+        lines.append(f"| {name} | {p if p is not None else '-'} | "
+                     f"{c if c is not None else '-'} | {ratio} |")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "DELTA.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def scale_point(level: int, sf_dir: str, replicate: int) -> dict:

@@ -63,12 +63,12 @@ def handle_content(tag: str, attrs: dict, base_iri: str, language: str | None):
 def handle_url(tag: str, attrs: dict, base_iri: str, language: str | None):
     attr = URL_TAG_ATTRS.get(tag)
     if attr is not None and attr in attrs:
-        try:
-            return ("iri", resolve_iri(attrs[attr], base_iri))
-        except InvalidIriError:
-            # relative-to-absolute-iri throws on a schemeless base; the
-            # reference would emit a stream error. We keep the raw value.
-            return ("iri", attrs[attr])
+        # relative-to-absolute-iri throws on a schemeless base; the
+        # reference wraps onTagOpen in try/catch and emits a stream
+        # error (MicrodataRdfParser.ts:325-333), aborting the page.
+        # Letting InvalidIriError propagate routes the page into the
+        # extract quarantine column — the distributed equivalent.
+        return ("iri", resolve_iri(attrs[attr], base_iri))
     return None
 
 

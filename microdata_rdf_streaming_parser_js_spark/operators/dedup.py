@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from itertools import combinations
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
@@ -160,20 +161,40 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     candidates: "DataFrame | None" = None,
+    max_shingle_df: int | None = None,
 ) -> "DataFrame":
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     With ``candidates`` (e.g. from minhash_lsh_pairs) this verifies
     only the LSH survivors — the scalable shape. Without, it computes
     all-pairs via a shingle inverted index (explode + self-join on
-    shingle, then |intersection| per pair) — fine at test scale and
-    still index-based rather than a cross join.
+    shingle, then |intersection| per pair).
+
+    ``max_shingle_df`` caps the document frequency of shingles entering
+    the self-join: a single boilerplate shingle shared by 1M docs would
+    otherwise contribute 10^12 join rows, so the uncapped all-pairs
+    path is a test-scale correctness baseline ONLY. With a cap, hot
+    shingles (df > cap) are dropped from the *intersection* count while
+    denominators stay the exact full shingle-set sizes — the standard
+    df-cap approximation: pairs whose overlap is carried mostly by
+    boilerplate score lower, true near-dups (which share many rare
+    shingles too) are preserved for the thresholds in use. The hot set
+    is tiny by construction (only shingles above the cap), so the
+    anti-join broadcasts.
     """
     inv = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
 
     if candidates is None:
         inter = (
@@ -262,44 +283,86 @@ def simhash_signatures(
     return sums.select("doc_id", sig.alias("sig"))
 
 
-def simhash_pairs(
-    docs: "DataFrame",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    n_chunks: int = 4,
-) -> "DataFrame":
-    """Near-dup pairs by SimHash Hamming distance with chunk blocking:
-    two signatures within ``max_hamming`` bits must agree exactly on at
-    least one of ``n_chunks`` chunks (pigeonhole) when
-    max_hamming < n_chunks — join per chunk, then verify distance.
-    """
-    sig = simhash_signatures(docs, id_col, text_col)
-    chunk_bits = 64 // n_chunks
-    chunks = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
-                        .alias("chunk_key"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_key")
+def _simhash_chunk_spans(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Partition ``bits`` signature bits into ``n_chunks`` contiguous
+    (offset, width) spans; widths differ by at most one bit."""
+    base, rem = divmod(bits, n_chunks)
+    spans, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        spans.append((off, w))
+        off += w
+    return spans
 
-    cand = (
-        chunks.alias("l")
+
+def _simhash_block_rows(
+    sig: "DataFrame", bits: int, n_chunks: int, max_hamming: int
+) -> "DataFrame":
+    """Explode (doc_id, sig) into (doc_id, sig, block_id, block_key)
+    rows for exact Hamming-distance blocking.
+
+    Split the signature into ``n_chunks`` spans. A pair within
+    ``max_hamming`` has errors in at most ``max_hamming`` chunks, so it
+    agrees exactly on every chunk of some (n_chunks - max_hamming)-
+    subset — block keys are all C(n_chunks, n_chunks - max_hamming)
+    such subsets, each packed into one long (chunk values OR'd into
+    disjoint bit ranges). With n_chunks = max_hamming + 1 this is the
+    classic single-chunk pigeonhole; larger n_chunks trades more keys
+    per doc (C(n, n-t) exploded rows) for much wider keys, i.e. far
+    smaller buckets.
+
+    Sizing the knob (exact blocking — recall is always 100%; this is
+    purely a candidate-volume dial): expected candidate volume per
+    block family is ~ n_docs^2 / 2^key_bits. At 10^9 docs the classic
+    max_hamming=3 choices collapse — 4 chunks of 8 bits (32-bit sig)
+    put ~4M docs in a bucket; 4x16 bits (64-bit) still ~15k. The
+    defaults below (n_chunks=6 -> 20 blocks of ~half the signature
+    each: ~32 key bits at 64-bit, ~16 at 32-bit) keep buckets sparse
+    at crawl scale; push n_chunks up (more, wider-coverage blocks)
+    as the corpus grows, or down to cut the explode factor for small
+    corpora.
+    """
+    if not 1 <= n_chunks <= bits:
+        raise ValueError(f"n_chunks must be in [1, {bits}], got {n_chunks}")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole blocking requires max_hamming < n_chunks "
+            f"(got max_hamming={max_hamming}, n_chunks={n_chunks}); "
+            "violating it silently drops true near-dup pairs"
+        )
+    spans = _simhash_chunk_spans(bits, n_chunks)
+    agree = n_chunks - max_hamming
+
+    def chunk_val(off: int, w: int):
+        return F.shiftrightunsigned(F.col("sig"), off).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long")
+        )
+
+    blocks = []
+    for bid, combo in enumerate(combinations(range(n_chunks), agree)):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for c in combo:
+            off, w = spans[c]
+            key = key.bitwiseOR(F.shiftleft(chunk_val(off, w), shift))
+            shift += w
+        blocks.append(
+            F.struct(F.lit(bid).alias("block_id"), key.alias("block_key"))
+        )
+    return sig.select(
+        "doc_id", "sig", F.explode(F.array(*blocks)).alias("b")
+    ).select("doc_id", "sig", "b.block_id", "b.block_key")
+
+
+def _simhash_candidate_pairs(rows: "DataFrame") -> "DataFrame":
+    """Equi-join block rows into distinct candidate (a, b, sig_a,
+    sig_b) pairs with a < b."""
+    return (
+        rows.alias("l")
         .join(
-            chunks.alias("r"),
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+            rows.alias("r"),
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_key") == F.col("r.block_key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
@@ -310,8 +373,25 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 6,
+) -> "DataFrame":
+    """Near-dup pairs by SimHash Hamming distance with exact
+    combination blocking (see :func:`_simhash_block_rows` for the
+    guarantee and the n_chunks sizing guidance) over the 63-bit
+    xxhash64 signature, Hamming verified by bit_count(xor).
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    rows = _simhash_block_rows(sig, 63, n_chunks, max_hamming)
     return (
-        cand.withColumn(
+        _simhash_candidate_pairs(rows)
+        .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -358,49 +438,20 @@ def simhash32_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_chunks: int = 4,
+    n_chunks: int = 6,
 ) -> "DataFrame":
-    """Oracle-checkable SimHash near-dup pairs: 32-bit portable
-    signatures + the same pigeonhole chunk blocking as simhash_pairs
-    (agree exactly on >= 1 of n_chunks chunks when
-    max_hamming < n_chunks), Hamming verified by bit_count(xor)."""
+    """Oracle-checkable SimHash near-dup pairs: 32-bit portable md5
+    signatures + the same exact combination blocking as simhash_pairs
+    (see :func:`_simhash_block_rows`), Hamming verified by
+    bit_count(xor). Blocking is exact, so the output pair set is
+    independent of n_chunks — the DuckDB oracle may use any valid
+    blocking (it uses the classic single-chunk pigeonhole) and still
+    match hash-for-hash."""
     sig = simhash32_signatures(docs, id_col, text_col)
-    chunk_bits = 32 // n_chunks
-    chunks = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
-                        .alias("chunk_key"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_key")
-    cand = (
-        chunks.alias("l")
-        .join(
-            chunks.alias("r"),
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_id_a"),
-            F.col("r.doc_id").alias("doc_id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    rows = _simhash_block_rows(sig, 32, n_chunks, max_hamming)
     return (
-        cand.withColumn(
+        _simhash_candidate_pairs(rows)
+        .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
         )

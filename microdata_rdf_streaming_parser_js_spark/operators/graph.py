@@ -27,6 +27,43 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
+def _large_small_star_round(cur: "DataFrame") -> "DataFrame":
+    """One alternation on a (large, small)-oriented edge set:
+
+    - large-star: symmetrize, compute m(u) = min(N(u) ∪ {u}), emit
+      (v, m(u)) for every neighbor v > u — strictly larger neighbors
+      re-hang onto u's minimum;
+    - small-star: on the (still-oriented) output, compute m(u) = min
+      of u's smaller neighbors, re-hang those neighbors and u itself
+      onto m(u).
+
+    Output stays oriented and distinct. The intermediate large-star
+    result is NOT deduped — duplicates are harmless under the min
+    aggregates and skipping the extra exchange saves a shuffle per
+    round; the final distinct restores set semantics (which the
+    fixpoint checksum relies on)."""
+    sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    l_min = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    large = (
+        sym.join(l_min, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    s_min = large.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        large.join(s_min, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(s_min.select("a", F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: "DataFrame",
     edges: "DataFrame",
@@ -34,94 +71,64 @@ def connected_components(
     src_col: str = "subj",
     dst_col: str = "obj",
     max_iter: int = 50,
-    checkpoint_every: int = 3,
+    check_every: int = 2,
 ) -> "DataFrame":
     """(iri, comp) with comp = min node id in the undirected component.
 
-    Alternating large-star / small-star contraction. Per round, on the
-    current (large, small)-oriented edge set E:
+    Alternating large-star / small-star contraction (see
+    :func:`_large_small_star_round`). ``check_every`` rounds execute
+    lazily inside ONE job, then the edge set is localCheckpoint-
+    materialized (truncating lineage) and a fixpoint checksum runs on
+    the cached blocks — exact count plus two independently seeded
+    xxhash64 bit-xors — so driver round-trips and persist bookkeeping
+    are paid once per check, not once per round. Rounds to fixpoint
+    are O(log n) regardless of diameter, so ``max_iter=50`` covers any
+    graph that fits on disk; the RuntimeError guard stays because
+    returning silently-unconverged labels would split real components.
+    (Detection needs one extra stable check, so max_iter must exceed
+    the converging round count by at least ``check_every``.)
 
-    - large-star: symmetrize, compute m(u) = min(N(u) ∪ {u}), emit
-      (v, m(u)) for every neighbor v > u — strictly larger neighbors
-      re-hang onto u's minimum;
-    - small-star: on the (now oriented) output, compute m(u) = min of
-      u's smaller neighbors, re-hang those neighbors and u itself onto
-      m(u).
-
-    Fixpoint (per-component stars rooted at the minimum) is detected
-    by an edge-set checksum — exact count plus two independently
-    seeded xxhash64 bit-xors over the oriented edges — one cheap
-    aggregate instead of a join against the previous round. Rounds needed are O(log n) regardless of
-    diameter, so ``max_iter=50`` covers any graph that fits on disk
-    (2^49 nodes); the RuntimeError guard stays because returning
-    silently-unconverged labels would split real components.
-
-    The returned labels frame is localCheckpoint-materialized and the
-    loop's caches are released before returning — callers own nothing.
+    Returned labels are localCheckpoint-materialized; no persisted
+    frames are handed to (or owed by) the caller — checkpoint blocks
+    are released when their frames are garbage collected.
     """
     # orient (large, small), drop self-loops, dedup
-    oriented = (
+    cur = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .where(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     # seed universe from nodes UNION edge endpoints: an endpoint
     # missing from `nodes` must still appear (and be eligible as the
     # component minimum)
     all_nodes = (
         nodes.select(F.col(id_col).alias("node"))
-        .union(oriented.select(F.col("a").alias("node")))
-        .union(oriented.select(F.col("b").alias("node")))
+        .union(cur.select(F.col("a").alias("node")))
+        .union(cur.select(F.col("b").alias("node")))
         .distinct()
     )
-    cur = oriented
+    check_every = max(1, check_every)
     prev_sig = None
     converged = False
-    for i in range(max_iter):
-        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        l_min = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select("a", F.least("a", "mn").alias("m"))
-        )
-        large = (
-            sym.join(l_min, "a")
-            .where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        s_min = large.groupBy("a").agg(F.min("b").alias("m"))
-        small = (
-            large.join(s_min, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(s_min.select("a", F.col("m").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            small = small.localCheckpoint()
-        small = small.persist()
+    done = 0
+    while done < max_iter and not converged:
+        for _ in range(min(check_every, max_iter - done)):
+            cur = _large_small_star_round(cur)
+            done += 1
+        cur = cur.localCheckpoint()
         # overflow-proof under ANSI mode: two independent 64-bit xors
         # (seeded differently via a literal prefix) + exact count
-        sig_row = small.agg(
+        sig_row = cur.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("a", "b")).alias("x1"),
             F.bit_xor(F.xxhash64(F.lit("s2"), "a", "b")).alias("x2"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["x1"], sig_row["x2"])
-        if cur is not oriented:
-            cur.unpersist()
-        cur = small
-        if sig == prev_sig:
-            converged = True
-            break
+        converged = sig == prev_sig
         prev_sig = sig
     if not converged:
-        cur.unpersist() if cur is not oriented else None
-        oriented.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations; raise max_iter — unconverged labels would "
@@ -130,7 +137,7 @@ def connected_components(
     # at fixpoint every non-root points straight at its component
     # minimum; roots and isolated nodes self-label
     stars = cur.groupBy("a").agg(F.min("b").alias("comp"))
-    labels = (
+    return (
         all_nodes.join(stars.withColumnRenamed("a", "node"), "node", "left")
         .select(
             F.col("node").alias(id_col),
@@ -138,10 +145,6 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    if cur is not oriented:
-        cur.unpersist()
-    oriented.unpersist()
-    return labels
 
 
 def degree_stats(

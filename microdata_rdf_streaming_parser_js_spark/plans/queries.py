@@ -187,6 +187,10 @@ _QUARANTINE_OK_HTML = (
     '<span itemprop="name">ok</span></div>'
 )
 _QUARANTINE_BIG = 16 * 1024 * 1024 + 1
+_QUARANTINE_NOBASE_HTML = (
+    '<div itemscope itemtype="http://schema.org/Thing">'
+    '<a itemprop="url" href="page.html">x</a></div>'
+)
 
 
 def q_extract_quarantine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -197,6 +201,10 @@ def q_extract_quarantine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         ("http://hostile.example.org/ok", bytearray(_QUARANTINE_OK_HTML.encode())),
         ("http://hostile.example.org/null", None),
         ("http://hostile.example.org/big", bytearray(b"x" * _QUARANTINE_BIG)),
+        # schemeless base + relative URL property: the reference emits
+        # a stream error (onTagOpen try/catch); here the page lands in
+        # quarantine with the InvalidIriError (handlers.handle_url)
+        ("hostile.example.org/nobase", bytearray(_QUARANTINE_NOBASE_HTML.encode())),
     ]
     pages = spark.createDataFrame(rows, "url string, html binary").repartition(2)
     raw = extract_triples(pages, keep_errors=True)
@@ -214,7 +222,9 @@ FROM (VALUES
  ('http://hostile.example.org/ok', 2, NULL),
  ('http://hostile.example.org/null', 0, 'ValueError: null html'),
  ('http://hostile.example.org/big', 0,
-  'ValueError: html too large: {_QUARANTINE_BIG} bytes')
+  'ValueError: html too large: {_QUARANTINE_BIG} bytes'),
+ ('hostile.example.org/nobase', 0,
+  'InvalidIriError: Found invalid baseIRI ''hostile.example.org/nobase'' for relative IRI ''page.html''')
 ) t(url, n_triples, error)"""
 
 
@@ -706,6 +716,58 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_NJ_THRESHOLD}"""
 
 
+_NJ_MAX_DF = 25
+
+
+def q_ngram_jaccard_capped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """All-pairs n-gram Jaccard with the hot-shingle document-frequency
+    cap (max_shingle_df) — the guard that makes the inverted-index
+    self-join callable beyond test scale: a boilerplate shingle shared
+    by 1M docs would otherwise contribute 10^12 join rows. Shingles
+    with df > cap are dropped from the intersection count; denominators
+    stay the exact full shingle-set sizes. The oracle embeds the
+    identical cap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, k=_NJ_K, threshold=_NJ_THRESHOLD, max_shingle_df=_NJ_MAX_DF
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_u"),
+    )
+
+
+def sql_ngram_jaccard_capped() -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {_NJ_K}
+                THEN list_transform(range(0, len(t) - {_NJ_K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {_NJ_K}], ' '))
+                ELSE [] END) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+kept AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) <= {_NJ_MAX_DF}),
+inv2 AS (SELECT i.doc_id, i.shingle FROM inv i JOIN kept k USING (shingle)),
+inter AS (
+  SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM inv2 l JOIN inv2 r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(floor((i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) * 1e6) AS BIGINT) AS jaccard_u
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_NJ_THRESHOLD}"""
+
+
 _NJL_THRESHOLD = 0.7
 
 
@@ -806,13 +868,21 @@ def q_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 _SH32_MAX_HAMMING = 3
-_SH32_CHUNKS = 4
+# Spark side: 6-chunk combination blocking (20 wide blocks — the
+# crawl-scale default; see operators/dedup._simhash_block_rows).
+# Oracle side: classic 4-chunk single-chunk pigeonhole. Both are EXACT
+# blockings, so the final pair set is identical — the oracle being a
+# different-but-equivalent candidate generator is a feature (it checks
+# the algorithm, not the blocking implementation).
+_SH32_CHUNKS = 6
+_SH32_ORACLE_CHUNKS = 4
 
 
 def q_simhash32_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Portable SimHash near-dup pairs: 32-bit md5 signatures + chunk
-    blocking + Hamming verify — identical algorithm to q_simhash_pairs,
-    engine-portable hash, so the pairs themselves are oracle-checked."""
+    """Portable SimHash near-dup pairs: 32-bit md5 signatures + exact
+    combination blocking + Hamming verify — identical algorithm to
+    q_simhash_pairs, engine-portable hash, so the pairs themselves are
+    oracle-checked."""
     from ..operators.dedup import simhash32_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -828,8 +898,8 @@ def sql_simhash32_pairs() -> str:
         THEN {1 << b} ELSE 0 END)"""
         for b in range(_SIMHASH_BITS)
     )
-    chunk_bits = 32 // _SH32_CHUNKS
-    chunk_vals = ", ".join(f"({c})" for c in range(_SH32_CHUNKS))
+    chunk_bits = 32 // _SH32_ORACLE_CHUNKS
+    chunk_vals = ", ".join(f"({c})" for c in range(_SH32_ORACLE_CHUNKS))
     return f"""WITH toks AS (
   SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
 ),
@@ -1721,6 +1791,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "q_ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "q_simhash32": q_simhash32,
     "q_simhash_pairs": q_simhash_pairs,
@@ -1762,6 +1833,7 @@ ORACLES = {
     "q_dedup_exact": sql_dedup_exact,
     "q_minhash_lsh_pairs": sql_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": sql_ngram_jaccard_pairs,
+    "q_ngram_jaccard_capped": sql_ngram_jaccard_capped,
     "q_ngram_jaccard_lsh": sql_ngram_jaccard_lsh,
     "q_simhash32": sql_simhash32,
     "q_simhash32_pairs": sql_simhash32_pairs,

@@ -1,0 +1,93 @@
+"""Guards + blocking-invariance for operators/dedup.py (round-2
+review items): pigeonhole preconditions must raise instead of silently
+dropping true near-dup pairs; combination blocking must be exact (pair
+set independent of n_chunks); the hot-shingle df cap must drop only
+boilerplate-carried overlap while keeping exact denominators."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+_NEAR_DUPS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "the quick brown fox jumps over the lazy dog again and again!",
+    "a completely different document about spark query planning",
+    "the quick brown fox leaps over the lazy dog again and again",
+    "unrelated text with nothing shared at all whatsoever here",
+]
+
+
+def test_simhash_pigeonhole_guard_raises(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        simhash32_pairs,
+        simhash_pairs,
+    )
+
+    d = _docs(spark, _NEAR_DUPS)
+    for fn in (simhash_pairs, simhash32_pairs):
+        with pytest.raises(ValueError, match="max_hamming < n_chunks"):
+            fn(d, max_hamming=4, n_chunks=4)
+        with pytest.raises(ValueError, match="n_chunks"):
+            fn(d, max_hamming=0, n_chunks=0)
+
+
+def test_simhash_blocking_invariant_under_n_chunks(spark):
+    """Exact-blocking claim: the final pair set is identical for the
+    classic single-chunk pigeonhole (n_chunks = max_hamming + 1) and
+    the combination blocking default."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        simhash32_pairs,
+    )
+
+    d = _docs(spark, _NEAR_DUPS * 3)  # dups across copies too
+    base = sorted(
+        map(tuple, simhash32_pairs(d, max_hamming=3, n_chunks=4).collect())
+    )
+    for n_chunks in (6, 8):
+        got = sorted(
+            map(tuple, simhash32_pairs(d, max_hamming=3, n_chunks=n_chunks).collect())
+        )
+        assert got == base
+    assert base  # the corpus really produces near-dup pairs
+
+
+def test_ngram_df_cap_drops_boilerplate_overlap(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # two docs whose entire overlap is one boilerplate shingle shared
+    # by every doc; with the cap their intersection drops to zero
+    boiler = "terms of service apply"
+    texts = [f"{boiler} unique{i} content{i} here{i}" for i in range(6)]
+    d = _docs(spark, texts)
+    uncapped = ngram_jaccard_pairs(d, k=3, threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(
+        d, k=3, threshold=0.01, max_shingle_df=3
+    ).collect()
+    assert len(uncapped) > 0
+    assert len(capped) == 0
+
+
+def test_ngram_df_cap_keeps_true_near_dups(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # true near-dups share many rare shingles — the cap must not
+    # change their pair (denominators stay exact full sizes)
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "totally different words in this one not shared anywhere else",
+    ]
+    d = _docs(spark, texts)
+    out = ngram_jaccard_pairs(d, k=3, threshold=0.8, max_shingle_df=10).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]

@@ -45,6 +45,7 @@ _QUERY_NAMES = [
     "q_simhash32_pairs",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard_pairs",
+    "q_ngram_jaccard_capped",
     "q_kmv_distinct",
     "q_feature_hash_embed",
     "q_curation",
