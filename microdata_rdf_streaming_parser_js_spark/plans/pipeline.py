@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.canonicalize import canonicalize_subjects, dedup_triples
 from ..operators.extract import extract_triples
-from ..operators.linking import link_entities
+from ..operators.linking import link_entities, link_entities_scored
 from ..operators.skolemize import skolemize
 from ..sources.writers import completed_buckets, materialize_wave, with_host_bucket
 
@@ -32,14 +32,23 @@ def build_triples(
     vocab_registry: dict | None = None,
     link: bool = True,
     dedup: bool = True,
+    linker: str = "frequency",
 ) -> "DataFrame":
-    """Logical plan pages -> canonical triples (no writes)."""
+    """Logical plan pages -> canonical triples (no writes).
+
+    ``linker`` selects the entity-link mapping builder: "frequency"
+    (pure-JVM argmax, the fast default) or "scored" (grouped pandas-
+    UDF scorer, linking.link_entities_scored — the hook where a
+    model-based scorer plugs in)."""
+    if linker not in ("frequency", "scored"):
+        raise ValueError(f"unknown linker {linker!r}")
     triples = skolemize(extract_triples(pages, vocab_registry))
     if link:
         # triples feed both the mapping build and the rewrite join;
         # persist so the Python extraction stage runs exactly once.
         triples = triples.persist()
-        mapping = link_entities(triples)
+        build = link_entities if linker == "frequency" else link_entities_scored
+        mapping = build(triples)
         triples = canonicalize_subjects(triples, mapping)
     if dedup:
         triples = dedup_triples(triples, per_graph=True)
@@ -56,6 +65,7 @@ def run_pipeline(
     vocab_registry: dict | None = None,
     input_fingerprint: str = "",
     resume: bool = True,
+    linker: str = "frequency",
 ) -> dict:
     """Execute the full pipeline with per-bucket checkpoints.
 
@@ -72,7 +82,9 @@ def run_pipeline(
     total = 0
     for wave in waves:
         wave_pages = pages_b.filter(F.col("host_bucket").isin(wave))
-        triples = build_triples(wave_pages.drop("host_bucket"), vocab_registry)
+        triples = build_triples(
+            wave_pages.drop("host_bucket"), vocab_registry, linker=linker
+        )
         triples = with_host_bucket(triples, n_buckets)
         materialize_wave(
             spark,

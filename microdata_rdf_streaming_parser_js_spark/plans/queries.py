@@ -1504,11 +1504,19 @@ def q_events_window_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # the file source wants a directory; expose the (read-only) file
     # through a temp dir symlink
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    src_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
+    # per-session dir (applicationId) so concurrent sessions never race
+    # on the link
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_events_{tag}_{spark.sparkContext.applicationId}",
+    )
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists: a dangling symlink (sf_dir deleted/recreated) must be
+    # replaced, not tripped over (exists() follows the link)
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
     src = spark.readStream.schema(schema).parquet(src_dir)
     agg = src.groupBy(
         (F.floor(F.unix_timestamp("ts") / 300) * 300)
@@ -1553,7 +1561,12 @@ def q_extract_triples_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     pages = synthesize_oracle_pages(spark).select(
         "url", "warc_ts", "html", "text", "lang", "base_iri"
     )
-    src_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream_pages_b")
+    # per-session dir: two concurrent sessions on one host must not
+    # overwrite each other's streaming source mid-run
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_pages_b_{spark.sparkContext.applicationId}",
+    )
     pages.coalesce(1).write.mode("overwrite").parquet(src_dir)
     stream = read_pages_stream(spark, src_dir, spark.read.parquet(src_dir).schema)
     triples = stream_triples(stream)
@@ -1585,7 +1598,10 @@ def q_first_seen_dedup_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame"
     pages = synthesize_oracle_pages(spark).select(
         "url", "warc_ts", "html", "text", "lang"
     )
-    src_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream_pages")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_pages_{spark.sparkContext.applicationId}",
+    )
     pages.coalesce(1).write.mode("overwrite").parquet(src_dir)
     stream = read_pages_stream(spark, src_dir, spark.read.parquet(src_dir).schema)
     deduped = streaming_first_seen_dedup(stream)

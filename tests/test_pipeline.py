@@ -262,3 +262,20 @@ def test_scored_linking_path(spark, pages):
     assert canonicalize_subjects(triples, mapping).count() == n
     # identical surfaces score 1.0 -> same clusters as frequency path
     assert mapping.count() > 0
+
+
+def test_build_triples_linker_option(spark, pages):
+    """Both linker paths run end-to-end through build_triples; the
+    scored path must produce a valid triple set (same pages, possibly
+    different canonical picks) and unknown linkers must raise."""
+    from microdata_rdf_streaming_parser_js_spark.plans.pipeline import build_triples
+
+    freq = build_triples(pages, linker="frequency")
+    scored = build_triples(pages, linker="scored")
+    n_freq, n_scored = freq.count(), scored.count()
+    assert n_freq > 0 and n_scored > 0
+    # canonicalization rewrites IRIs 1:1 — triple counts agree across
+    # linkers on this corpus (same dedup key space)
+    assert abs(n_freq - n_scored) <= 0.1 * n_freq
+    with pytest.raises(ValueError, match="unknown linker"):
+        build_triples(pages, linker="neural")
