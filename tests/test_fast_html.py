@@ -175,3 +175,96 @@ def test_fuzz_triple_parity(doc):
         return ex.triples
 
     assert run(FastHtmlTokenizer) == run(HtmlTagEventParser)
+
+
+class RawSink:
+    """No text coalescing — records each on_text call separately, like
+    the reference's jest.fn() listener."""
+
+    def __init__(self):
+        self.events = []
+
+    def on_tag_open(self, name, attributes):
+        self.events.append(("open", name, dict(attributes)))
+
+    def on_text(self, data):
+        self.events.append(("text", data))
+
+    def on_tag_close(self):
+        self.events.append(("close",))
+
+    def on_end(self):
+        self.events.append(("end",))
+
+
+_LISTENER_HTML = """<html>
+<head></head>
+<body>
+    <span itemscope>
+        <span itemprop="http://example.org/prop1">abc</span>
+        <span itemprop="http://example.org/prop2">def</span>
+        <span itemprop="http://example.org/prop3">ghi</span>
+    </span>
+</body>
+</html>"""
+
+# transcribed from /root/reference/test/MicrodataRdfParser-test.ts:
+# 1813-1866 ("and call the HTML listener"): 7 opens with these exact
+# attr dicts, 7 closes, 12 text calls with these exact payloads, 1 end
+_LISTENER_EVENTS = [
+    ("open", "html", {}),
+    ("text", "\n"),
+    ("open", "head", {}),
+    ("close",),
+    ("text", "\n"),
+    ("open", "body", {}),
+    ("text", "\n    "),
+    ("open", "span", {"itemscope": ""}),
+    ("text", "\n        "),
+    ("open", "span", {"itemprop": "http://example.org/prop1"}),
+    ("text", "abc"),
+    ("close",),
+    ("text", "\n        "),
+    ("open", "span", {"itemprop": "http://example.org/prop2"}),
+    ("text", "def"),
+    ("close",),
+    ("text", "\n        "),
+    ("open", "span", {"itemprop": "http://example.org/prop3"}),
+    ("text", "ghi"),
+    ("close",),
+    ("text", "\n    "),
+    ("close",),
+    ("text", "\n"),
+    ("close",),
+    ("text", "\n"),
+    ("close",),
+    ("end",),
+]
+
+
+@pytest.mark.parametrize("make", [HtmlTagEventParser, FastHtmlTokenizer],
+                         ids=["stdlib", "fast"])
+def test_listener_exact_event_sequence(make):
+    sink = RawSink()
+    p = make(sink)
+    p.feed(_LISTENER_HTML)
+    p.end()
+    assert sink.events == _LISTENER_EVENTS
+    assert sum(e[0] == "open" for e in sink.events) == 7
+    assert sum(e[0] == "close" for e in sink.events) == 7
+    assert sum(e[0] == "text" for e in sink.events) == 12
+
+
+def test_listener_document_triples():
+    from microdata_rdf_streaming_parser_js_spark.functions.microdata import (
+        parse_html,
+    )
+
+    ts = parse_html(_LISTENER_HTML, "http://example.org/")
+    got = sorted((t.pred, t.obj) for t in ts)
+    assert got == [
+        ("http://example.org/prop1", "abc"),
+        ("http://example.org/prop2", "def"),
+        ("http://example.org/prop3", "ghi"),
+    ]
+    assert {t.subj for t in ts} == {"_:b0"}
