@@ -2,17 +2,36 @@
 columns with typed metadata, decode/feature steps as Arrow-batched
 ``mapInPandas`` stages.
 
-The decode kernels themselves are STUBBED (the image/audio libraries
-are not in this container): :func:`decode_image` raises unless
-``fake=True``, in which case a deterministic fake decoder produces
-shape/feature values derived from the bytes — the Spark-side plumbing
-(schemas, batch iteration, partitioning) is real and tested, and a real
-decoder drops in by replacing one function.
+The image and audio kernels are REAL, dependency-free decoders over
+uncompressed container formats:
+
+- images are binary P6 PPM (``parse_ppm`` / ``encode_ppm``): header
+  parse -> (width, height, 3) + raw RGB pixels; features are a real
+  8x8 average-hash (integer luma, integer mean comparison — no float
+  in the bit decisions) and an 8-dim channel/quadrant statistics
+  vector; resize is true nearest-neighbor re-encoded as P6;
+- audio is RIFF/WAVE 16-bit PCM (``parse_wav``): chunk-walk to the
+  fmt/data chunks -> sample rate + exact duration, fingerprint is a
+  48-bit block-energy contour (consecutive block comparisons, integer
+  arithmetic — a chromaprint-shaped real acoustic fingerprint).
+
+The synthetic corpus (:func:`media_rows`) emits genuine PPM/WAV
+payloads, so the kernels decode real bytes and the driver oracles
+re-derive the same values by running the identical pure-Python
+kernels locally. Video remains an opaque payload: frame *sampling* is
+a pure-DataFrame explode plan (:func:`frame_sample_plan`); the frame
+decode itself would require a codec library that is not in this
+container and is the one remaining stub, by design.
+
+Compressed formats (JPEG/OGG/MP4) drop in by replacing the two parse
+functions with PIL/ffmpeg calls — the Spark-side shape (schemas,
+Arrow batch iteration, partitioning, explode plan) is identical.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -46,58 +65,249 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# image kernels: P6 PPM
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Raw RGB bytes (row-major, 3 bytes/pixel) -> binary P6 PPM."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb payload is {len(rgb)} bytes, want {width * height * 3}"
+        )
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def parse_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Binary P6 PPM -> (width, height, raw RGB bytes).
+
+    Real header parse: magic, then three whitespace-separated decimal
+    tokens (comments ``#...`` skipped, any whitespace run accepted),
+    then a single whitespace byte before the raster."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    width, height, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPMs supported, got {maxval}")
+    need = width * height * 3
+    raster = data[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster truncated: {len(raster)}/{need} bytes")
+    return width, height, raster
+
+
+def _luma_grid(width: int, height: int, rgb: bytes) -> list[list[int]]:
+    """8x8 nearest-neighbor grid of integer lumas (0..255_000 scale:
+    luma*1000 to stay in exact integer arithmetic)."""
+    grid = []
+    for gy in range(8):
+        row = []
+        sy = (gy * height) // 8
+        for gx in range(8):
+            sx = (gx * width) // 8
+            o = (sy * width + sx) * 3
+            r, g, b = rgb[o], rgb[o + 1], rgb[o + 2]
+            row.append(299 * r + 587 * g + 114 * b)  # x1000 luma
+        grid.append(row)
+    return grid
+
+
+def image_features_kernel(content: bytes) -> tuple[int, int, int, str, list[float]]:
+    """Real decode: P6 parse + 8x8 average-hash + channel/quadrant
+    statistics. All hash-bit decisions are exact integer comparisons
+    (luma*64 > total); the feature floats are single divisions of
+    integer sums, bit-stable across platforms."""
+    width, height, rgb = parse_ppm(content)
+    grid = _luma_grid(width, height, rgb)
+    total = sum(sum(row) for row in grid)
+    bits = 0
+    for row in grid:
+        for v in row:
+            bits = (bits << 1) | (1 if v * 64 > total else 0)
+    phash = f"{bits:016x}"
+
+    n = width * height
+    sums = [0, 0, 0]
+    for c in range(3):
+        sums[c] = sum(rgb[c::3])
+    luma_sum = 299 * sums[0] + 587 * sums[1] + 114 * sums[2]
+    # quadrant lumas from the exact 8x8 grid (x1000 scale, 16 cells)
+    quads = [
+        sum(grid[gy][gx] for gy in ys for gx in xs)
+        for ys, xs in (
+            (range(4), range(4)),
+            (range(4), range(4, 8)),
+            (range(4, 8), range(4)),
+            (range(4, 8), range(4, 8)),
+        )
+    ]
+    features = [
+        sums[0] / (n * 255),
+        sums[1] / (n * 255),
+        sums[2] / (n * 255),
+        luma_sum / (n * 255_000),
+        *[q / (16 * 255_000) for q in quads],
+    ]
+    return width, height, 3, phash, [round(f, 6) for f in features]
+
+
+def resize_kernel(content: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize, re-encoded as P6 PPM."""
+    src_w, src_h, rgb = parse_ppm(content)
+    out = bytearray(width * height * 3)
+    for dy in range(height):
+        sy = (dy * src_h) // height
+        row_off = sy * src_w
+        for dx in range(width):
+            sx = (dx * src_w) // width
+            so = (row_off + sx) * 3
+            do = (dy * width + dx) * 3
+            out[do : do + 3] = rgb[so : so + 3]
+    return encode_ppm(width, height, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# audio kernels: RIFF/WAVE 16-bit PCM
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Mono 16-bit PCM samples -> RIFF/WAVE bytes."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """RIFF/WAVE -> (sample_rate, n_channels, bits, samples). Real
+    chunk walk: any chunk order, unknown chunks skipped (word-aligned
+    as the spec requires)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) & ~1]))
+    return sample_rate, n_channels, bits, samples
+
+
+_FP_BLOCKS = 49  # 48 consecutive-comparison bits + sign of first block
+
+
+def audio_features_kernel(content: bytes) -> tuple[int, int, str]:
+    """Real WAV decode: (sample_rate, exact duration_ms, 48-bit
+    block-energy-contour fingerprint as 12 hex chars). Energy per
+    block is an integer sum of |sample|; fingerprint bits compare
+    consecutive blocks — the chromaprint shape, exact arithmetic."""
+    sample_rate, n_channels, _bits, samples = parse_wav(content)
+    n_frames = len(samples) // n_channels
+    duration_ms = (n_frames * 1000) // sample_rate
+    energies = []
+    for b in range(_FP_BLOCKS):
+        lo = (b * len(samples)) // _FP_BLOCKS
+        hi = ((b + 1) * len(samples)) // _FP_BLOCKS
+        energies.append(sum(abs(s) for s in samples[lo:hi]))
+    bits = 0
+    for b in range(_FP_BLOCKS - 1):
+        bits = (bits << 1) | (1 if energies[b] > energies[b + 1] else 0)
+    return sample_rate, duration_ms, f"{bits:012x}"
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (real PPM/WAV payloads)
+# ---------------------------------------------------------------------------
+
+_WAV_RATES = (8000, 16000, 22050, 32000, 44100)
+
+
 def media_rows(n: int = 100) -> list[tuple]:
-    """Deterministic fake media rows (bytes = seeded digest stream);
-    pure Python so the driver oracles can re-derive the same rows."""
+    """Deterministic media rows with REAL payloads: P6 PPM images and
+    16-bit PCM WAVs built from integer formulas (pure Python, so the
+    driver oracles re-derive byte-identical rows); video payloads stay
+    opaque digest streams (no codec in this container)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
         kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h = 8 + (i * 7) % 33, 8 + (i * 11) % 29
+            rgb = bytes(
+                ((x * 7 + y * 13 + i * 31 + c * 97) % 256)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            payload, ctype = encode_ppm(w, h, rgb), "image/x-portable-pixmap"
+        elif kind == "audio":
+            rate = _WAV_RATES[(i // 3) % len(_WAV_RATES)]
+            n_samples = 400 + (i * 37) % 900
+            samples = [
+                (((t * (i + 3) * 7919) % 65536) - 32768) for t in range(n_samples)
+            ]
+            payload, ctype = encode_wav(rate, samples), "audio/wav"
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
+            ctype = "video/mp4"
         rows.append(
-            (i, f"http://media.example.org/{kind}/{i}", kind, payload,
-             {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
+            (i, f"http://media.example.org/{kind}/{i}", kind, payload, ctype,
              len(payload))
         )
     return rows
 
 
 def synthesize_media(spark, n: int = 100) -> "DataFrame":
-    """Deterministic fake media table over :func:`media_rows`."""
+    """Deterministic media table over :func:`media_rows`."""
     # tiny synthetic table: a handful of partitions, not
     # default.parallelism-many one-row Python-worker spin-ups
     return spark.createDataFrame(media_rows(n), schema=MEDIA_SCHEMA).repartition(4)
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int, str, list[float]]:
-    """Deterministic stand-in for a real image decode: derives a fake
-    (w, h, c), a perceptual-hash-like hex string, and an 8-dim feature
-    vector from the bytes. Replace with PIL/libvips in production."""
-    digest = hashlib.sha256(content or b"").digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    phash = digest[:8].hex()
-    features = [round(b / 255.0, 6) for b in digest[8:16]]
-    return width, height, 3, phash, features
-
+# ---------------------------------------------------------------------------
+# Arrow-batched operators
+# ---------------------------------------------------------------------------
 
 def decode_image_features(
-    media: "DataFrame", fake: bool = True, batch_size_hint: int = 256
+    media: "DataFrame", batch_size_hint: int = 256
 ) -> "DataFrame":
     """image rows -> (media_id, width, height, channels, phash,
-    features) via mapInPandas. With ``fake=False`` this raises
-    NotImplementedError in the kernel (no decoder libs here)."""
+    features) via mapInPandas over the real PPM kernel."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "channels", "phash", "features")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/libvips; "
-                        "run with fake=True in this environment"
-                    )
-                w, h, c, ph, feats = _fake_decode(bytes(content) if content is not None else b"")
+                w, h, c, ph, feats = image_features_kernel(
+                    bytes(content) if content is not None else b""
+                )
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -124,36 +334,20 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _fake_resize(content: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for a real resize kernel: output bytes =
-    repeated sha256 of (content, w, h) cut to a size proportional to
-    the target area. Replace with PIL/libvips in production."""
-    seed = hashlib.sha256(
-        (content or b"") + f"|{width}x{height}".encode()
-    ).digest()
-    target = max(32, (width * height) // 256)
-    return (seed * (target // len(seed) + 1))[:target]
-
-
 def resize_images(
-    media: "DataFrame", width: int = 64, height: int = 64, fake: bool = True
+    media: "DataFrame", width: int = 64, height: int = 64
 ) -> "DataFrame":
-    """image rows -> resized binary column via mapInPandas (Arrow
-    batches of opaque bytes in AND out — the shape that matters for a
-    100 TB media pipeline: bytes never hit the driver, batches stream).
-    With ``fake=False`` the kernel raises (no image libs here)."""
+    """image rows -> nearest-neighbor-resized P6 bytes via mapInPandas
+    (Arrow batches of opaque bytes in AND out — the shape that matters
+    for a 100 TB media pipeline: bytes never hit the driver, batches
+    stream)."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "content", "n_bytes")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real image resize requires PIL/libvips; "
-                        "run with fake=True in this environment"
-                    )
-                resized = _fake_resize(
+                resized = resize_kernel(
                     bytes(content) if content is not None else b"", width, height
                 )
                 out["media_id"].append(mid)
@@ -180,36 +374,17 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_audio_features(content: bytes, bytes_per_ms: int = 16) -> tuple[int, int, str]:
-    """Deterministic stand-in for a real audio decode: (sample_rate,
-    duration_ms, fingerprint hex). Shared by the kernel and the driver
-    oracle's golden VALUES. Replace with ffmpeg/librosa in production."""
-    digest = hashlib.sha256(content or b"").digest()
-    return (
-        8000 + (digest[0] % 5) * 8000,
-        len(content or b"") // bytes_per_ms,
-        digest[:12].hex(),
-    )
-
-
-def decode_audio_features(
-    media: "DataFrame", bytes_per_ms: int = 16, fake: bool = True
-) -> "DataFrame":
-    """audio rows -> (sample_rate, duration estimate, chromaprint-like
-    fingerprint) via mapInPandas; kernel stubbed like the image path."""
+def decode_audio_features(media: "DataFrame") -> "DataFrame":
+    """audio rows -> (sample_rate, exact PCM duration, block-energy
+    fingerprint) via mapInPandas over the real WAV kernel."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "sample_rate", "duration_ms", "fingerprint")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real audio decoding requires ffmpeg/librosa; "
-                        "run with fake=True in this environment"
-                    )
                 raw = bytes(content) if content is not None else b""
-                rate, dur, fp = _fake_audio_features(raw, bytes_per_ms)
+                rate, dur, fp = audio_features_kernel(raw)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["duration_ms"].append(dur)
@@ -229,10 +404,11 @@ def frame_sample_plan(
     bytes_per_second: int = 100_000,
 ) -> "DataFrame":
     """Video frame-sampling *plan*: one row per planned frame (the
-    decode itself is the stubbed kernel). Demonstrates the explode
-    pattern for 1->N media expansion without a UDF.
-    ``bytes_per_second`` calibrates the duration estimate to the
-    corpus's bitrate (the synthetic media uses tiny payloads)."""
+    frame decode itself is the one remaining stub — no video codec in
+    this container). Demonstrates the explode pattern for 1->N media
+    expansion without a UDF. ``bytes_per_second`` calibrates the
+    duration estimate to the corpus's bitrate (the synthetic media
+    uses tiny payloads)."""
     est_duration = (F.col("n_bytes") / F.lit(bytes_per_second)).cast("int") + 1
     return (
         media.filter(F.col("kind") == "video")

@@ -1630,7 +1630,7 @@ FROM (VALUES
 
 
 # ---------------------------------------------------------------------------
-# multimodal (synthesized media; rows-only)
+# multimodal (synthesized REAL PPM/WAV media; golden-VALUES oracles)
 # ---------------------------------------------------------------------------
 
 _MM_N = 120
@@ -1638,13 +1638,15 @@ _MM_FRAME_BPS = 16
 
 
 def q_multimodal_image_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Image decode plumbing (deterministic fake kernel). The float32
+    """Image decode over REAL P6 PPM payloads (multimodal.
+    image_features_kernel: header parse, integer average-hash,
+    channel/quadrant statistics). The float32
     feature vector is projected to a joined floor(x*1e6) string so the
     driver can value-compare it across engines."""
     from ..operators.multimodal import decode_image_features, synthesize_media
 
     media = synthesize_media(spark, n=_MM_N)
-    feats = decode_image_features(media, fake=True)
+    feats = decode_image_features(media)
     feat_u = F.concat_ws(
         ",",
         F.transform(
@@ -1667,19 +1669,19 @@ def _media_rows() -> list[tuple]:
 
 
 def sql_multimodal_image_features() -> str:
-    """Golden VALUES: the identical fake-decode kernel run locally,
+    """Golden VALUES: the identical real decode kernel run locally,
     with the exact float32->double->floor arithmetic Spark applies."""
     import math
 
     import numpy as np
 
-    from ..operators.multimodal import _fake_decode
+    from ..operators.multimodal import image_features_kernel
 
     out = []
     for media_id, _url, kind, payload in _media_rows():
         if kind != "image":
             continue
-        w, h, c, ph, feats = _fake_decode(payload)
+        w, h, c, ph, feats = image_features_kernel(payload)
         feat_u = ",".join(
             str(int(math.floor(float(np.float32(v)) * 1e6))) for v in feats
         )
@@ -1701,7 +1703,7 @@ def q_multimodal_resize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from ..operators.multimodal import resize_images, synthesize_media
 
     media = synthesize_media(spark, n=_MM_N)
-    resized = resize_images(media, width=64, height=64, fake=True)
+    resized = resize_images(media, width=64, height=64)
     return resized.select(
         "media_id", "width", "height", "n_bytes",
         F.sha2("content", 256).alias("content_sha"),
@@ -1711,13 +1713,13 @@ def q_multimodal_resize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 def sql_multimodal_resize() -> str:
     import hashlib
 
-    from ..operators.multimodal import _fake_resize
+    from ..operators.multimodal import resize_kernel
 
     out = []
     for media_id, _url, kind, payload in _media_rows():
         if kind != "image":
             continue
-        resized = _fake_resize(payload, 64, 64)
+        resized = resize_kernel(payload, 64, 64)
         out.append(
             f"({media_id}, 64, 64, {len(resized)}, "
             f"{_sql_str(hashlib.sha256(resized).hexdigest())})"
@@ -1736,17 +1738,17 @@ def q_multimodal_audio_features(spark: "SparkSession", sf_dir: str) -> "DataFram
     from ..operators.multimodal import decode_audio_features, synthesize_media
 
     media = synthesize_media(spark, n=_MM_N)
-    return decode_audio_features(media, fake=True)
+    return decode_audio_features(media)
 
 
 def sql_multimodal_audio_features() -> str:
-    from ..operators.multimodal import _fake_audio_features
+    from ..operators.multimodal import audio_features_kernel
 
     out = []
     for media_id, _url, kind, payload in _media_rows():
         if kind != "audio":
             continue
-        rate, dur, fp = _fake_audio_features(payload)
+        rate, dur, fp = audio_features_kernel(payload)
         out.append(f"({media_id}, {rate}, {dur}, {_sql_str(fp)})")
     values = ",\n".join(out)
     return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
