@@ -838,5 +838,125 @@ _add(
     ],
 )
 
+# -- W3C_SPEC group ----------------------------------------------------------
+# Reconstructed from the W3C "Microdata to RDF" spec's own examples
+# (https://w3c.github.io/microdata-rdf/ — the official manifest the
+# reference's CI runs is NOT vendored and cannot be fetched here; see
+# FIXTURES.md). Expected triples are derived from the reference's
+# semantics (validated by the transcribed Jest corpus above) — these
+# are regression pins for realistic spec-shaped content, not official
+# conformance results.
+SCHEMA = "http://schema.org/"
+
+_add(
+    "w3c_person_typed_item",
+    "w3c_spec",
+    # spec §2 "typed items" / schema.org Person example shape: text
+    # literal + relative-img and absolute-anchor URL properties
+    '<div itemscope itemtype="http://schema.org/Person">\n'
+    "        <p>My name is <span itemprop=\"name\">Elizabeth</span>.</p>\n"
+    '        <img itemprop="photo" src="elizabeth.jpg" alt="">\n'
+    '        <a itemprop="url" href="http://example.org/liz">home page</a>\n'
+    "    </div>",
+    [
+        i("_:b0", RDF + "type", SCHEMA + "Person"),
+        l("_:b0", SCHEMA + "name", "Elizabeth"),
+        i("_:b0", SCHEMA + "photo", EX + "elizabeth.jpg"),
+        i("_:b0", SCHEMA + "url", EX + "liz"),
+    ],
+)
+_add(
+    "w3c_book_itemid_urn",
+    "w3c_spec",
+    # spec §3.1 "item identifiers": global identifier via urn itemid,
+    # meta-content property
+    '<div itemscope itemtype="http://schema.org/Book" itemid="urn:isbn:0-330-34032-8">\n'
+    '        <span itemprop="title">The Reality Dysfunction</span>\n'
+    '        <meta itemprop="author" content="Peter F. Hamilton">\n'
+    "    </div>",
+    [
+        i("urn:isbn:0-330-34032-8", RDF + "type", SCHEMA + "Book"),
+        l("urn:isbn:0-330-34032-8", SCHEMA + "title", "The Reality Dysfunction"),
+        l("urn:isbn:0-330-34032-8", SCHEMA + "author", "Peter F. Hamilton"),
+    ],
+)
+_add(
+    "w3c_event_nested_place",
+    "w3c_spec",
+    # spec §4 nested items + time property (xsd:dateTime detection)
+    '<div itemscope itemtype="http://schema.org/Event">\n'
+    '        <span itemprop="name">Concert</span>\n'
+    '        <time itemprop="startDate" datetime="2026-09-14T19:30:00Z">Sept 14</time>\n'
+    '        <div itemprop="location" itemscope itemtype="http://schema.org/Place">\n'
+    '            <span itemprop="name">The Hall</span>\n'
+    "        </div>\n"
+    "    </div>",
+    [
+        i("_:b0", RDF + "type", SCHEMA + "Event"),
+        l("_:b0", SCHEMA + "name", "Concert"),
+        l("_:b0", SCHEMA + "startDate", "2026-09-14T19:30:00Z",
+          dt=XSD + "dateTime"),
+        i("_:b1", RDF + "type", SCHEMA + "Place"),
+        b("_:b0", SCHEMA + "location", "_:b1"),
+        l("_:b1", SCHEMA + "name", "The Hall"),
+    ],
+)
+_add(
+    "w3c_itemref_shared_address",
+    "w3c_spec",
+    # spec §itemref example shape: one out-of-tree block shared by two
+    # items via forward itemref
+    '<div itemscope itemtype="http://schema.org/Person" itemref="w3caddr"></div>\n'
+    '    <div itemscope itemtype="http://schema.org/Organization" itemref="w3caddr"></div>\n'
+    '    <p id="w3caddr"><span itemprop="address">4 Space Dr.</span></p>',
+    [
+        i("_:b0", RDF + "type", SCHEMA + "Person"),
+        i("_:b1", RDF + "type", SCHEMA + "Organization"),
+        l("_:b0", SCHEMA + "address", "4 Space Dr."),
+        l("_:b1", SCHEMA + "address", "4 Space Dr."),
+    ],
+)
+_add(
+    "w3c_offer_data_meta",
+    "w3c_spec",
+    # spec data-element value (xsd:double) + meta content
+    '<div itemscope itemtype="http://schema.org/Offer">\n'
+    '        <data itemprop="price" value="39.95">$39.95</data>\n'
+    '        <meta itemprop="priceCurrency" content="USD">\n'
+    "    </div>",
+    [
+        i("_:b0", RDF + "type", SCHEMA + "Offer"),
+        l("_:b0", SCHEMA + "price", "39.95", dt=XSD + "double"),
+        l("_:b0", SCHEMA + "priceCurrency", "USD"),
+    ],
+)
+_add(
+    "w3c_multiple_property_names",
+    "w3c_spec",
+    # spec §property-uri-generation: one itemprop token list -> one
+    # triple per name
+    '<div itemscope itemtype="http://schema.org/BlogPosting">\n'
+    '        <h1 itemprop="name headline">My post</h1>\n'
+    "    </div>",
+    [
+        i("_:b0", RDF + "type", SCHEMA + "BlogPosting"),
+        l("_:b0", SCHEMA + "name", "My post"),
+        l("_:b0", SCHEMA + "headline", "My post"),
+    ],
+)
+_add(
+    "w3c_lang_outside_item_dropped",
+    "w3c_spec",
+    # reference parity pin: lang on an ancestor BEFORE any itemscope
+    # has no scope to mutate (MicrodataRdfParser.ts:206-213 runs only
+    # under a live item scope) -> plain literal, not @en
+    '<div lang="en"><div itemscope itemtype="http://schema.org/Person">\n'
+    '        <span itemprop="name">Liz</span></div></div>',
+    [
+        i("_:b0", RDF + "type", SCHEMA + "Person"),
+        l("_:b0", SCHEMA + "name", "Liz"),
+    ],
+)
+
 FIXTURES: tuple[Fixture, ...] = tuple(_F)
 FIXTURES_BY_NAME = {f.name: f for f in FIXTURES}
