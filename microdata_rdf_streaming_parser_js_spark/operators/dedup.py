@@ -186,6 +186,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
+    if candidates is None:
+        # the inverted index feeds 3-5 plan subtrees (sizes, df cap,
+        # both self-join sides); materialize the tokenize+shingle
+        # explode once instead of recomputing the string pipeline per
+        # subtree. Lazy localCheckpoint: computed at first action,
+        # blocks released when the frame is GC'd (no persist handle
+        # leaked to the caller). Storage is O(index) — same order as
+        # the self-join's own shuffle spill.
+        inv = inv.localCheckpoint(eager=False)
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
