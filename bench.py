@@ -133,6 +133,9 @@ def main() -> None:
         "q_top_revenue_orders",
         "q_graph_degrees",
         "q_graph_components_path",
+        "q_pagerank",
+        "q_bm25_topk",
+        "q_events_quantiles",
         "q_curation",
     ]
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}

@@ -10,11 +10,16 @@
   all JVM-side. ``localCheckpoint`` every few rounds truncates
   lineage; the per-iteration plan contains no Python.
 - :func:`degree_stats` — in/out/total degree per node, one shuffle.
+- :func:`pagerank` — fixed-iteration PageRank in micro-units
+  (integer-exact: every per-edge contribution is floored to a long
+  before the sum, so distributed fold order cannot drift the result;
+  the DuckDB oracle unrolls the same iterations with ``//``).
 
 These are the "iterative algorithm" representatives: SQL cannot
-express the fixpoint directly, but DuckDB's recursive CTE can — the
-driver oracle in plans/queries.py uses exactly that, so even the
-iterative operator is value-checked cross-engine.
+express the fixpoint directly, but DuckDB's recursive CTE (components)
+or unrolled CTE chain (pagerank) can — the driver oracles in
+plans/queries.py use exactly that, so even the iterative operators are
+value-checked cross-engine.
 """
 
 from __future__ import annotations
@@ -145,6 +150,70 @@ def connected_components(
         )
         .localCheckpoint()
     )
+
+
+def pagerank(
+    nodes: "DataFrame",
+    edges: "DataFrame",
+    id_col: str = "iri",
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_u: int = 850_000,
+) -> "DataFrame":
+    """(id, rank_u) after ``iterations`` rounds of damped PageRank,
+    in integer micro-units (scale = 1e6).
+
+    Determinism contract: rank(0) = scale div N; each round every edge
+    u->v contributes ``(rank_u(u) * damping_u) div (outdeg(u) * scale)``
+    — floored to a long BEFORE the per-node sum — and
+    rank(v) = (scale - damping_u) div N + sum(contribs). Integer sums
+    are fold-order-free, so the result is identical on any partitioning
+    and reproducible in DuckDB with ``//`` (the driver oracle unrolls
+    the same rounds). Dangling-node mass is dropped (not redistributed)
+    — documented simplification, mirrored by the oracle. Parallel edges
+    contribute once each.
+
+    Scale shape: outdeg and the per-round message join both shuffle on
+    src; the contribution sum shuffles on dst — the standard Pregel
+    messaging pattern, O(iterations) shuffles total, all JVM-side
+    integer exprs. N reaches the plan as a broadcast 1-row frame (no
+    driver collect); the static edge||outdeg frame and each round's
+    ranks are lazily localCheckpoint'ed so the plan stays shallow and
+    the scan work is paid once.
+    """
+    ids = nodes.select(F.col(id_col).alias("id"))
+    n_df = ids.agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ew = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .localCheckpoint(eager=False)
+    )
+    teleport_u = F.expr(f"{scale - damping_u} div n")
+    ranks = ids.crossJoin(F.broadcast(n_df)).select(
+        "id", F.expr(f"{scale} div n").alias("rank_u")
+    )
+    for _ in range(iterations):
+        msgs = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"(rank_u * {damping_u}) div (outdeg * {scale})").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ids.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "id",
+                (teleport_u + F.coalesce(F.col("s"), F.lit(0))).alias("rank_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias(id_col), "rank_u")
 
 
 def degree_stats(

@@ -1,0 +1,108 @@
+"""Lexical full-text ranking over a ``documents(doc_id, text)`` table:
+BM25 top-k with integer-exact (micro-unit) arithmetic.
+
+Training-data pipelines use BM25-style lexical scoring for targeted
+quality filtering and retrieval-based decontamination (find the corpus
+documents closest to a benchmark prompt). The implementation is the
+classic inverted-index shape expressed declaratively:
+
+  tokens -> explode -> filter to query terms -> tf per (doc, term)
+         -> df per term -> idf join -> per-term floored contribution
+         -> per-doc integer sum -> distributed top-k
+
+Determinism contract (cross-engine, fold-order-free): every per-term
+contribution is floored to a long BEFORE the per-doc sum, and all
+divisions are integer ``div`` (DuckDB ``//``). The idf is the
+rational surrogate ``((N - df + 1) * scale) div (df + 1)`` —
+monotone in the classic ``ln((N - df + 0.5)/(df + 0.5))`` (both are
+decreasing in df), but exactly representable on both engines, unlike
+``ln`` whose last-ulp behavior is libm-specific. ``idf_cap_u`` bounds
+the product ``idf_u * tfnorm_u`` away from int64 overflow at crawl
+scale (N ~ 1e9, singleton terms).
+
+Scale shape: one scan computes tokens; the explode is filtered to the
+query's terms scan-side (predicate on the exploded value — tiny
+surviving fraction), tf/df are map-side-combined groupBys on (doc,
+term) / term, corpus stats (N, total tokens) reach the plan as a
+broadcast 1-row frame, and the final top-k is Spark's
+TakeOrderedAndProject (per-partition heap + driver merge of k rows) —
+no global sort materialization. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .dedup import tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def bm25_topk(
+    docs: "DataFrame",
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 20,
+    scale: int = 1_000_000,
+    k1_u: int = 1_200_000,
+    b_u: int = 750_000,
+    idf_cap_u: int = 1_000_000_000_000,
+) -> "DataFrame":
+    """(doc_id, score_u) — top ``topk`` documents for ``query_terms``
+    by integer BM25 (micro-units), ties broken by ascending doc id.
+
+    score_u(d) = sum over matched terms t of
+      (min(idf_u(t), idf_cap_u) * tfnorm_u(t, d)) div scale
+    idf_u(t)    = ((N - df + 1) * scale) div (df + 1)
+    tfnorm_u    = (tf * (k1_u + scale) * scale) div denom_u
+    denom_u     = tf * scale + c1 + (c2 * dl) div avgdl
+    with c2 = (k1_u * b_u) div scale, c1 = k1_u - c2 (plan-time
+    constants), dl = whitespace token count, avgdl = total_tokens
+    div N (floored corpus average).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    c2 = (k1_u * b_u) // scale
+    c1 = k1_u - c2
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).localCheckpoint(eager=False)
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(*terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(least(((n_docs - df + 1) * {scale}) div (df + 1), "
+                f"       {idf_cap_u})"
+                f" * ((tf * {k1_u + scale} * {scale}) div "
+                f"     (tf * {scale} + {c1} + ({c2} * dl) div "
+                f"      (total_dl div n_docs)))"
+                f") div {scale}"
+            ).alias("contrib_u"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib_u").alias("score_u"))
+    )
+    return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)

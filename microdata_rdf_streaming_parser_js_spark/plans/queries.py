@@ -1945,3 +1945,200 @@ FROM w JOIN kept k ON k.digest = w.digest AND k.doc_id = w.doc_id"""
 
 QUERIES["q_curation"] = q_curation
 ORACLES["q_curation"] = sql_curation
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative, integer-exact micro-rank)
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 5
+_PR_SCALE = 1_000_000
+_PR_DAMPING_U = 850_000
+
+
+def q_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Fixed-iteration integer PageRank (operators/graph.pagerank) over
+    a deterministic synthetic web graph derived from documents:
+    every doc links to (id*31+7) mod n, every third doc additionally to
+    (id*17+3) mod n — varied in-degrees, outdeg 1-2, no engine-native
+    hashing so the oracle rebuilds the identical graph with plain
+    arithmetic. Each round floors every per-edge contribution to a
+    long before summing, so the distributed result is fold-order-free
+    and the DuckDB oracle (same rounds unrolled as CTEs with ``//``)
+    matches exactly."""
+    from ..operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("obj"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("obj"),
+    )
+    out = pagerank(
+        ids,
+        e1.union(e2),
+        id_col="doc_id",
+        iterations=_PR_ITER,
+        scale=_PR_SCALE,
+        damping_u=_PR_DAMPING_U,
+    )
+    return out.select("doc_id", F.col("rank_u").cast("long").alias("rank_u"))
+
+
+def sql_pagerank() -> str:
+    s, d = _PR_SCALE, _PR_DAMPING_U
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS subj, (doc_id * 31 + 7) % (SELECT c FROM n) AS obj FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT c FROM n) FROM ids
+  WHERE doc_id % 3 = 0
+),
+od AS (SELECT subj, COUNT(*) AS outdeg FROM e GROUP BY subj),
+r0 AS (SELECT doc_id, {s} // (SELECT c FROM n) AS rank_u FROM ids)"""
+    ]
+    for i in range(1, _PR_ITER + 1):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.obj AS doc_id,
+         CAST(SUM((r.rank_u * {d}) // (od.outdeg * {s})) AS BIGINT) AS contrib
+  FROM e
+  JOIN r{i - 1} r ON r.doc_id = e.subj
+  JOIN od ON od.subj = e.subj
+  GROUP BY e.obj
+),
+r{i} AS (
+  SELECT i.doc_id,
+         {s - d} // (SELECT c FROM n) + COALESCE(m{i}.contrib, 0) AS rank_u
+  FROM ids i LEFT JOIN m{i} ON m{i}.doc_id = i.doc_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT doc_id, CAST(rank_u AS BIGINT) AS rank_u FROM r{_PR_ITER}"
+    )
+    return "".join(parts)
+
+
+QUERIES["q_pagerank"] = q_pagerank
+ORACLES["q_pagerank"] = sql_pagerank
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical top-k (integer micro-unit scoring)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "vector")  # df ~25 / ~385 / ~382 at sf0.01
+_BM25_TOPK = 20
+_BM25_SCALE = 1_000_000
+_BM25_K1_U = 1_200_000
+_BM25_B_U = 750_000
+_BM25_IDF_CAP_U = 1_000_000_000_000
+
+
+def q_bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Integer BM25 top-k over documents (operators/search.bm25_topk):
+    rational idf surrogate + floored per-term contributions summed as
+    longs — fold-order-free, ties broken by doc_id on BOTH engines so
+    the LIMIT boundary is deterministic."""
+    from ..operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(
+        docs,
+        _BM25_TERMS,
+        topk=_BM25_TOPK,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    )
+
+
+def sql_bm25_topk() -> str:
+    s, k1, b, cap = _BM25_SCALE, _BM25_K1_U, _BM25_B_U, _BM25_IDF_CAP_U
+    c2 = (k1 * b) // s
+    c1 = k1 - c2
+    toks = _TOKS.format(c="text")
+    in_list = ", ".join(_sql_str(t) for t in sorted(set(_BM25_TERMS)))
+    return f"""WITH base AS (
+  SELECT doc_id, {toks} AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM base)
+  WHERE t IN ({in_list})
+  GROUP BY doc_id, dl, t
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT doc_id,
+         SUM(
+           (LEAST(((n_docs - df + 1) * {s}) // (df + 1), {cap})
+            * ((tf * {k1 + s} * {s})
+               // (tf * {s} + {c1} + ({c2} * dl) // (total_dl // n_docs)))
+           ) // {s}
+         ) AS score_u
+  FROM tf JOIN dfq USING (t) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(score_u AS BIGINT) AS score_u
+FROM scored
+ORDER BY score_u DESC, doc_id
+LIMIT {_BM25_TOPK}"""
+
+
+QUERIES["q_bm25_topk"] = q_bm25_topk
+ORACLES["q_bm25_topk"] = sql_bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantiles (micro-unit selection, one shuffle)
+# ---------------------------------------------------------------------------
+
+_QUANT_QS_U = (500_000, 900_000, 990_000)
+
+
+def q_events_quantiles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact p50/p90/p99 of event value per event_type
+    (operators/stats.group_quantiles_u): selection at rank
+    ceil(q*n) over micro-unit values — a selection, not a sum, so no
+    float-fold or tie-order drift on either engine."""
+    from ..operators.stats import group_quantiles_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_quantiles_u(ev, "event_type", "value", qs_u=_QUANT_QS_U)
+
+
+def sql_events_quantiles() -> str:
+    qvals = ", ".join(
+        f"(CAST({qu} AS BIGINT))" for qu in _QUANT_QS_U
+    )
+    return f"""WITH v AS (
+  SELECT event_type AS g, CAST(floor(value * 1000000) AS BIGINT) AS v_u
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT g, v_u,
+         row_number() OVER (PARTITION BY g ORDER BY v_u) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_g
+  FROM v
+),
+q(q_u) AS (VALUES {qvals})
+SELECT r.g AS event_type, q.q_u, r.v_u AS quantile_u
+FROM r JOIN q ON r.rn = (q.q_u * r.n_g + 999999) // 1000000"""
+
+
+QUERIES["q_events_quantiles"] = q_events_quantiles
+ORACLES["q_events_quantiles"] = sql_events_quantiles

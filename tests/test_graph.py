@@ -73,6 +73,35 @@ def test_components_two_long_paths_reversed_edges(spark):
     assert all(v == ("a00" if k[0] == "a" else "b00") for k, v in out.items())
 
 
+def _pr(spark, nodes, edges, **kw):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import pagerank
+
+    n = spark.createDataFrame([(x,) for x in nodes], "id string")
+    e = spark.createDataFrame(edges, "subj string, obj string")
+    return {
+        r["id"]: r["rank_u"]
+        for r in pagerank(n, e, id_col="id", **kw).collect()
+    }
+
+
+def test_pagerank_symmetric_cycle_is_fixpoint(spark):
+    # a<->b: each node keeps exactly scale div 2 = 500000 micro-rank
+    # every round (teleport 75000 + contribution 425000)
+    out = _pr(spark, ["a", "b"], [("a", "b"), ("b", "a")], iterations=4)
+    assert out == {"a": 500_000, "b": 500_000}
+
+
+def test_pagerank_dangling_and_outdeg_split(spark):
+    # a->b only: a's rank decays to the teleport floor 75000; b gets
+    # teleport + floor(75000*850000/1e6) = 138750 once a stabilizes.
+    # Dangling mass (b has no out-edges) is dropped by contract.
+    out = _pr(spark, ["a", "b"], [("a", "b")], iterations=3)
+    assert out == {"a": 75_000, "b": 138_750}
+    # outdeg 2 splits the first-round contribution exactly in half
+    out2 = _pr(spark, ["a", "b", "c"], [("a", "b"), ("a", "c")], iterations=1)
+    assert out2["b"] == out2["c"] == 50_000 + (333_333 * 850_000) // (2 * 10**6)
+
+
 def test_degree_stats(spark):
     from microdata_rdf_streaming_parser_js_spark.operators.graph import degree_stats
 

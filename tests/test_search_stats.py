@@ -1,0 +1,113 @@
+"""Unit tests for operators/search.py (integer BM25) and
+operators/stats.py (exact grouped quantiles): hand-checkable corpora
+plus a pure-Python mirror of the documented integer formula, and the
+input-validation guards."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SCALE = 1_000_000
+K1_U = 1_200_000
+B_U = 750_000
+CAP = 1_000_000_000_000
+
+
+def _bm25_py(docs, terms):
+    """Pure-Python mirror of the documented micro-unit BM25 formula."""
+    toks = {d: t.split() for d, t in docs.items()}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) // n
+    c2 = (K1_U * B_U) // SCALE
+    c1 = K1_U - c2
+    tf = {
+        (d, t): toks[d].count(t)
+        for d in docs
+        for t in set(toks[d])
+        if t in terms
+    }
+    df = {t: sum(1 for (d2, t2) in tf if t2 == t) for t in terms}
+    scores = {}
+    for (d, t), f in tf.items():
+        idf = min(((n - df[t] + 1) * SCALE) // (df[t] + 1), CAP)
+        denom = f * SCALE + c1 + (c2 * dl[d]) // avgdl
+        tfnorm = (f * (K1_U + SCALE) * SCALE) // denom
+        scores[d] = scores.get(d, 0) + (idf * tfnorm) // SCALE
+    return scores
+
+
+def test_bm25_matches_python_mirror(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.search import bm25_topk
+
+    docs = {1: "x x y", 2: "y z", 3: "z z z z", 4: "w w w"}
+    sdf = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["score_u"]
+        for r in bm25_topk(sdf, ("x", "z"), topk=10).collect()
+    }
+    assert out == _bm25_py(docs, ("x", "z"))
+    # doc 4 matches no query term and must be absent, not zero-scored
+    assert 4 not in out
+
+
+def test_bm25_topk_tie_break_by_doc_id(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.search import bm25_topk
+
+    # four identical docs tie exactly; topk=2 must keep the smallest ids
+    sdf = spark.createDataFrame(
+        [(i, "q q r") for i in (9, 3, 7, 5)], "doc_id long, text string"
+    )
+    rows = bm25_topk(sdf, ("q",), topk=2).collect()
+    assert [r["doc_id"] for r in rows] == [3, 5]
+    assert rows[0]["score_u"] == rows[1]["score_u"]
+
+
+def test_bm25_empty_terms_raises(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.search import bm25_topk
+
+    sdf = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(sdf, ())
+
+
+def test_group_quantiles_exact_ranks(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        group_quantiles_u,
+    )
+
+    rows = [("g", float(v)) for v in (1, 2, 3, 4)] + [("h", 10.5)]
+    sdf = spark.createDataFrame(rows, "k string, value double")
+    out = {
+        (r["k"], r["q_u"]): r["quantile_u"]
+        for r in group_quantiles_u(sdf, "k", "value").collect()
+    }
+    # ceil-rank selection: p50 of 4 rows -> rank 2; p90/p99 -> rank 4
+    assert out == {
+        ("g", 500_000): 2_000_000,
+        ("g", 900_000): 4_000_000,
+        ("g", 990_000): 4_000_000,
+        ("h", 500_000): 10_500_000,
+        ("h", 900_000): 10_500_000,
+        ("h", 990_000): 10_500_000,
+    }
+
+
+def test_group_quantiles_excludes_nulls_and_guards(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        group_quantiles_u,
+    )
+
+    sdf = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0)], "k string, value double"
+    )
+    out = {
+        r["q_u"]: r["quantile_u"]
+        for r in group_quantiles_u(sdf, "k", "value", qs_u=(500_000,)).collect()
+    }
+    # NULL excluded -> n=2, p50 rank ceil(0.5*2)=1 -> value 1.0
+    assert out == {500_000: 1_000_000}
+    with pytest.raises(ValueError, match="non-empty"):
+        group_quantiles_u(sdf, "k", "value", qs_u=())
