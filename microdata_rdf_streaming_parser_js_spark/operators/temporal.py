@@ -1,0 +1,104 @@
+"""Temporal joins Spark lacks natively: backward as-of join.
+
+An as-of join annotates each left row with the payload of the most
+recent right row at-or-before it (per key) — "what was the last
+purchase before this click", "which config version was live at this
+event". The naive formulation is a range join (left.ts >= right.ts)
+that Spark plans as a per-key cross product; this implementation is
+the union-window shape instead:
+
+  tag right rows side=0 and left rows side=1, union, then one window
+  per key ordered by (ts, side, tie) takes last(payload ignorenulls)
+  over the unbounded-preceding frame — right payloads are non-NULL,
+  left rows are NULL, so each left row sees exactly the latest right
+  payload at-or-before it. One shuffle on the key, one in-partition
+  sort, zero joins, fully codegen'd.
+
+Determinism contract: the ordering (ts, side, tie) is total (``tie``
+must be unique per row, e.g. an event id), so when several right rows
+share a timestamp the one with the greatest tie value wins — on every
+partitioning and every engine. A right row exactly at the left row's
+timestamp matches (side 0 sorts first): "at-or-before".
+
+Scale: identical shape to sessionization — hash shuffle on key,
+sort within partition. Skewed keys are bounded by AQE; there is no
+candidate blow-up because no range join ever materializes.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def asof_join_backward(
+    left: "DataFrame",
+    right: "DataFrame",
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    payload_cols: Sequence[str],
+    tolerance: int | None = None,
+) -> "DataFrame":
+    """All ``left`` columns plus, per row, ``payload_cols`` and
+    ``matched_ts`` from the most recent ``right`` row with
+    ``right.ts <= left.ts`` for the same key (NULLs when none).
+
+    ``ts_col`` must be numeric (cast timestamps to epoch seconds
+    first — keeps the ordering and the optional ``tolerance``
+    arithmetic engine-portable). ``tie_col`` must exist in BOTH frames
+    (e.g. a shared event-id column) and be unique per right row; ties
+    on ts resolve to the greatest tie value. With
+    ``tolerance`` (same unit as ts), matches older than
+    ``left.ts - tolerance`` are nulled out rather than dropped.
+    """
+    payload_cols = list(payload_cols)
+    clash = (set(payload_cols) | {"matched_ts"}) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload/output columns collide with left: {sorted(clash)}")
+    left_cols = [c for c in left.columns]
+
+    r = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(
+            F.col(ts_col).alias("matched_ts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_p"),
+    )
+    l = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+    )
+    u = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType)).unionByName(l)
+
+    w = Window.partitionBy("_k").orderBy("_ts", "_side", "_tie").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_m.matched_ts") >= F.col("_ts") - F.lit(tolerance),
+                F.col("_m"),
+            ),
+        )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left_cols],
+        F.col("_m.matched_ts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+    )

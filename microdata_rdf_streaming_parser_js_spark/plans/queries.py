@@ -2142,3 +2142,71 @@ FROM r JOIN q ON r.rn = (q.q_u * r.n_g + 999999) // 1000000"""
 
 QUERIES["q_events_quantiles"] = q_events_quantiles
 ORACLES["q_events_quantiles"] = sql_events_quantiles
+
+
+# ---------------------------------------------------------------------------
+# backward as-of join (union-window shape, no range join)
+# ---------------------------------------------------------------------------
+
+def q_events_asof(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Each click annotated with the most recent at-or-before purchase
+    of the same user (operators/temporal.asof_join_backward): the
+    union-window as-of shape — one shuffle on user_id, no range join.
+    Ties on the epoch second resolve right-rows-first then greatest
+    event_id, a total order both engines replay exactly."""
+    from ..operators.temporal import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    left = base.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_s"
+    )
+    right = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s", "event_id", "value_u"
+    )
+    return asof_join_backward(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts_s",
+        tie_col="event_id",
+        payload_cols=["value_u"],
+    )
+
+
+def sql_events_asof() -> str:
+    frame = (
+        "PARTITION BY user_id ORDER BY ts_s, side, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return f"""WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_u
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+u AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side,
+         CASE WHEN event_type = 'purchase' THEN ts_s END AS p_ts,
+         CASE WHEN event_type = 'purchase' THEN value_u END AS p_val
+  FROM base
+),
+w AS (
+  SELECT *,
+         last_value(p_ts IGNORE NULLS) OVER ({frame}) AS matched_ts,
+         last_value(p_val IGNORE NULLS) OVER ({frame}) AS matched_val
+  FROM u
+)
+SELECT event_id, user_id, ts_s, matched_ts, matched_val AS value_u
+FROM w WHERE side = 1"""
+
+
+QUERIES["q_events_asof"] = q_events_asof
+ORACLES["q_events_asof"] = sql_events_asof
