@@ -149,6 +149,8 @@ def main() -> None:
         "q_bm25_topk",
         "q_events_quantiles",
         "q_events_asof",
+        "q_decontaminate",
+        "q_split_assign",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "2"))

@@ -1,0 +1,78 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation set.
+
+The standard guard against test-set leakage in LLM training data
+(GPT-3 / The Pile style): any training document sharing >= N
+word-k-grams with an eval document is flagged. The distributed shape
+is two inverted indexes joined on the shingle:
+
+  docs  -> distinct k-shingles -> (doc_id, shingle)
+  evals -> distinct k-shingles -> (eval_doc_id, shingle)
+  equi-join on shingle -> groupBy (doc, eval) count -> min_overlap
+
+Scale notes (100 TB corpus, benchmark-sized eval set): the eval index
+is tiny (benchmarks are MBs, not TBs) and broadcast by default, so the
+corpus side never shuffles — the scan explodes shingles and probes the
+broadcast hash table in place. Contamination k-grams are long (8-13
+words) and therefore rare, but ``max_shingle_df`` can additionally
+drop boilerplate shingles FROM THE EVAL INDEX (df computed over the
+eval set) to bound the per-shingle fan-out; flagging is conservative
+either way because a contaminated pair shares many rare shingles too.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def ngram_contamination(
+    docs: "DataFrame",
+    eval_docs: "DataFrame",
+    k: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+    max_shingle_df: int | None = None,
+) -> "DataFrame":
+    """(doc_id, eval_doc_id, n_shared): training docs sharing at least
+    ``min_overlap`` distinct word-``k``-grams with an eval doc.
+
+    ``eval_docs`` needs columns (eval_id_col, text_col). With
+    ``broadcast_eval`` the eval inverted index is broadcast (the
+    corpus side stays shuffle-free); disable it if the eval set is
+    genuinely large and let AQE pick the join. ``max_shingle_df``
+    drops shingles appearing in more than that many EVAL docs.
+    """
+    inv_d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    inv_e = eval_docs.select(
+        F.col(eval_id_col).alias("eval_doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            inv_e.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        inv_e = inv_e.join(F.broadcast(hot), "shingle", "left_anti")
+    if broadcast_eval:
+        inv_e = F.broadcast(inv_e)
+    return (
+        inv_d.join(inv_e, "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

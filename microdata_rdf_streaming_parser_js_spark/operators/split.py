@@ -1,0 +1,66 @@
+"""Deterministic dataset splitting: hash-bucket train/val/test
+assignment.
+
+Training pipelines need splits that are (a) stable across reruns and
+cluster layouts, (b) disjoint, (c) reproducible from the row key alone
+— ``df.randomSplit`` is none of these across engines. The assignment
+here is pure content hashing: bucket = first 8 hex nibbles of
+md5(key|salt) mod 1e6, compared against cumulative micro-unit
+fractions. No shuffle at all — the split column is a scan-side
+codegen'd expression, and the same md5 arithmetic runs verbatim in the
+DuckDB oracle. Changing ``salt`` re-draws the assignment; keeping it
+pins every key to its split forever (the property that matters when a
+corpus is re-crawled and re-processed incrementally).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+_BUCKETS = 1_000_000
+
+
+def split_bucket(key: "Column", salt: str) -> "Column":
+    """Deterministic bucket in [0, 1e6): md5(key|salt) first 8 hex
+    nibbles as an integer, mod 1e6 (16^8 fits a long exactly)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{salt}")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_BUCKETS)
+    )
+
+
+def hash_split(
+    df: "DataFrame",
+    key_col: str,
+    splits: Sequence[tuple[str, int]] = (
+        ("train", 980_000),
+        ("val", 10_000),
+        ("test", 10_000),
+    ),
+    salt: str = "split",
+    out_col: str = "split",
+) -> "DataFrame":
+    """``df`` plus a ``split`` column assigning each row by hash bucket.
+
+    ``splits`` is an ordered (name, micro-fraction) sequence summing to
+    exactly 1e6 — ordered so bucket ranges (and therefore assignments)
+    are stable when fractions are renegotiated but order kept.
+    """
+    total = sum(f for _, f in splits)
+    if total != _BUCKETS:
+        raise ValueError(f"split fractions must sum to {_BUCKETS}, got {total}")
+    if len({name for name, _ in splits}) != len(splits):
+        raise ValueError("split names must be unique")
+    bucket = split_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0
+    for name, frac in splits:
+        cum += frac
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)

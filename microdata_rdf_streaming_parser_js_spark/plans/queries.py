@@ -2210,3 +2210,98 @@ FROM w WHERE side = 1"""
 
 QUERIES["q_events_asof"] = q_events_asof
 ORACLES["q_events_asof"] = sql_events_asof
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5
+_DECON_MIN_OVERLAP = 1
+_DECON_EVAL_MOD = 97  # eval set = docs with doc_id % 97 == 0
+
+
+def q_decontaminate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Test-set-leakage scan (operators/decontaminate): training docs
+    sharing >= 1 distinct word-5-gram with the deterministic eval
+    subset (doc_id % 97 == 0). Eval inverted index broadcast — the
+    corpus side stays shuffle-free up to the tiny per-pair count."""
+    from ..operators.decontaminate import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.pmod(F.col("doc_id"), F.lit(_DECON_EVAL_MOD)) == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "text"
+    )
+    return ngram_contamination(
+        docs, ev, k=_DECON_K, min_overlap=_DECON_MIN_OVERLAP
+    )
+
+
+def sql_decontaminate() -> str:
+    K = _DECON_K
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {K}
+                THEN list_transform(range(0, len(t) - {K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {K}], ' '))
+                ELSE [] END) AS sh
+  FROM toks
+),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM inv
+       WHERE doc_id % {_DECON_EVAL_MOD} = 0)
+SELECT i.doc_id, e.eval_doc_id, COUNT(*) AS n_shared
+FROM inv i JOIN ev e USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_DECON_MIN_OVERLAP}"""
+
+
+QUERIES["q_decontaminate"] = q_decontaminate
+ORACLES["q_decontaminate"] = sql_decontaminate
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACS = (("train", 980_000), ("val", 10_000), ("test", 10_000))
+_SPLIT_SALT = "split"
+
+
+def q_split_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic train/val/test assignment (operators/split):
+    bucket = md5(doc_id|salt) first 8 hex nibbles mod 1e6 vs cumulative
+    micro-fractions — a scan-side codegen'd expression, zero shuffles,
+    bit-identical in the DuckDB oracle."""
+    from ..operators.split import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs, "doc_id", splits=_SPLIT_FRACS, salt=_SPLIT_SALT
+    ).select("doc_id", "split")
+
+
+def sql_split_assign() -> str:
+    # first 8 md5 hex nibbles as an exact integer (16^8 < 2^53)
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    cases, cum = [], 0
+    for name, frac in _SPLIT_FRACS:
+        cum += frac
+        cases.append(f"WHEN bucket < {cum} THEN '{name}'")
+    return f"""WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|{_SPLIT_SALT}') AS h
+  FROM documents
+),
+b AS (SELECT doc_id, ({nibbles}) % 1000000 AS bucket FROM h)
+SELECT doc_id, CASE {' '.join(cases)} END AS split FROM b"""
+
+
+QUERIES["q_split_assign"] = q_split_assign
+ORACLES["q_split_assign"] = sql_split_assign

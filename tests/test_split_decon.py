@@ -1,0 +1,96 @@
+"""Unit tests for operators/split.py (deterministic hash split) and
+operators/decontaminate.py (eval-set n-gram overlap): a hashlib mirror
+of the bucket arithmetic, stability/disjointness, hand-counted overlap
+cases, and the guards."""
+
+import hashlib
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _bucket_py(key, salt="split"):
+    h = hashlib.md5(f"{key}|{salt}".encode()).hexdigest()
+    return int(h[:8], 16) % 1_000_000
+
+
+def test_hash_split_matches_hashlib_mirror(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    splits = (("train", 800_000), ("val", 100_000), ("test", 100_000))
+    out = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", splits=splits).collect()
+    }
+    for i in range(200):
+        b = _bucket_py(i)
+        want = "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+        assert out[i] == want, (i, b, out[i], want)
+
+
+def test_hash_split_salt_redraws_and_guards(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    splits = (("a", 500_000), ("b", 500_000))
+    one = {r["doc_id"]: r["split"]
+           for r in hash_split(df, "doc_id", splits, salt="s1").collect()}
+    two = {r["doc_id"]: r["split"]
+           for r in hash_split(df, "doc_id", splits, salt="s1").collect()}
+    other = {r["doc_id"]: r["split"]
+             for r in hash_split(df, "doc_id", splits, salt="s2").collect()}
+    assert one == two  # same salt -> pinned assignment
+    assert one != other  # different salt -> re-draw
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(df, "doc_id", (("a", 1),))
+    with pytest.raises(ValueError, match="unique"):
+        hash_split(df, "doc_id", (("a", 500_000), ("a", 500_000)))
+
+
+def _decon(spark, docs, evals, **kw):
+    from microdata_rdf_streaming_parser_js_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    e = spark.createDataFrame(evals, "eval_doc_id long, text string")
+    return {
+        (r["doc_id"], r["eval_doc_id"]): r["n_shared"]
+        for r in ngram_contamination(d, e, **kw).collect()
+    }
+
+
+def test_contamination_hand_counted(spark):
+    # k=2 shingles: doc 1 shares {"a b", "b c"} with eval 10;
+    # doc 2 shares only {"c d"}; doc 3 shares nothing
+    out = _decon(
+        spark,
+        [(1, "a b c x"), (2, "z c d"), (3, "q r s")],
+        [(10, "a b c d")],
+        k=2,
+    )
+    assert out == {(1, 10): 2, (2, 10): 1}
+    # min_overlap=2 drops the single-shingle match
+    out2 = _decon(
+        spark,
+        [(1, "a b c x"), (2, "z c d")],
+        [(10, "a b c d")],
+        k=2,
+        min_overlap=2,
+    )
+    assert out2 == {(1, 10): 2}
+
+
+def test_contamination_eval_df_cap(spark):
+    # "a b" appears in BOTH eval docs (df=2) and is dropped by the
+    # cap; the match via the rarer "b c" (df=1) survives
+    out = _decon(
+        spark,
+        [(1, "a b c")],
+        [(10, "a b c"), (11, "a b z")],
+        k=2,
+        max_shingle_df=1,
+    )
+    assert out == {(1, 10): 1}
