@@ -20,13 +20,15 @@ decreasing in df), but exactly representable on both engines, unlike
 the product ``idf_u * tfnorm_u`` away from int64 overflow at crawl
 scale (N ~ 1e9, singleton terms).
 
-Scale shape: one scan computes tokens; the explode is filtered to the
-query's terms scan-side (predicate on the exploded value — tiny
-surviving fraction), tf/df are map-side-combined groupBys on (doc,
-term) / term, corpus stats (N, total tokens) reach the plan as a
-broadcast 1-row frame, and the final top-k is Spark's
-TakeOrderedAndProject (per-partition heap + driver merge of k rows) —
-no global sort materialization. No Python UDFs anywhere.
+Scale shape: two corpus passes (one for term frequencies, one for the
+N / total-token corpus stats — at crawl scale the stats pass is a
+once-per-corpus aggregate you amortize across queries); the tf explode
+is filtered to the query's terms scan-side (predicate on the exploded
+value — tiny surviving fraction), tf/df are map-side-combined groupBys
+on (doc, term) / term, corpus stats reach the plan as a broadcast
+1-row frame, and the final top-k is Spark's TakeOrderedAndProject
+(per-partition heap + driver merge of k rows) — no global sort
+materialization. No Python UDFs anywhere.
 """
 
 from __future__ import annotations

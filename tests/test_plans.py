@@ -176,3 +176,55 @@ def test_salted_write_repartition_survives_aqe(spark, pages_parquet):
     plan = plan_str(salted)
     assert "Exchange" in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_split_assign_is_pure_scan_projection(spark, sf_dir):
+    """Hash-split assignment must compile to scan -> project with no
+    exchange and no Python eval — it runs at corpus scale as a free
+    column on an existing pass."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_split_assign
+
+    plan = plan_str(q_split_assign(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def _shuffle_nodes(plan: str) -> set:
+    """Distinct shuffle-Exchange node ids in a formatted plan (the
+    details section repeats each node header, and 'BroadcastExchange'
+    must not count as a shuffle)."""
+    import re
+
+    return set(re.findall(r"\((\d+)\) Exchange\b", plan))
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-window as-of join must plan exactly one Exchange (the
+    per-key hash partition) — any second exchange would mean Spark fell
+    back to a range-join shape."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_events_asof
+
+    plan = plan_str(q_events_asof(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_eval_index(spark, sf_dir):
+    """The eval inverted index must broadcast (the 100 TB corpus side
+    never shuffles for the join); the only shuffle is the per-pair
+    overlap count."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_decontaminate
+
+    plan = plan_str(q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert len(_shuffle_nodes(plan)) == 1, plan
+
+
+def test_bm25_topk_uses_take_ordered(spark, sf_dir):
+    """BM25 top-k must end in TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), never a global sort materialization."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_bm25_topk
+
+    plan = plan_str(q_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
