@@ -15,22 +15,26 @@ uncompressed container formats:
   48-bit block-energy contour (consecutive block comparisons, integer
   arithmetic — a chromaprint-shaped real acoustic fingerprint).
 
-The synthetic corpus (:func:`media_rows`) emits genuine PPM/WAV
-payloads, so the kernels decode real bytes and the driver oracles
-re-derive the same values by running the identical pure-Python
-kernels locally. Video remains an opaque payload: frame *sampling* is
-a pure-DataFrame explode plan (:func:`frame_sample_plan`); the frame
-decode itself would require a codec library that is not in this
-container and is the one remaining stub, by design.
+- video is YUV4MPEG2 / Y4M (``parse_y4m``): real stream-header parse
+  (tagged ``W``/``H``/``F`` params), FRAME-marker walk, per-frame
+  C444 planes; :func:`decode_video_frames` samples every Nth frame
+  and hashes its Y plane with the same integer 8x8 average-hash the
+  image path uses, plus exact rational frame timestamps.
 
-Compressed formats (JPEG/OGG/MP4) drop in by replacing the two parse
+The synthetic corpus (:func:`media_rows`) emits genuine PPM/WAV/Y4M
+payloads, so all three kernels decode real bytes and the driver
+oracles re-derive the same values by running the identical
+pure-Python kernels locally. :func:`frame_sample_plan` additionally
+demonstrates the no-decode planning path: 1->N frame-row expansion as
+a pure-DataFrame explode, no UDF at all.
+
+Compressed formats (JPEG/OGG/MP4) drop in by replacing the parse
 functions with PIL/ffmpeg calls — the Spark-side shape (schemas,
 Arrow batch iteration, partitioning, explode plan) is identical.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -243,17 +247,116 @@ def audio_features_kernel(content: bytes) -> tuple[int, int, str]:
 
 
 # ---------------------------------------------------------------------------
-# synthetic corpus (real PPM/WAV payloads)
+# video kernels: YUV4MPEG2 (Y4M), C444
+# ---------------------------------------------------------------------------
+
+def encode_y4m(
+    width: int, height: int, fps_num: int, fps_den: int, frames: list[bytes]
+) -> bytes:
+    """C444 frames (Y, U, V planes concatenated, w*h bytes each) ->
+    YUV4MPEG2 stream bytes."""
+    plane = width * height
+    for f in frames:
+        if len(f) != 3 * plane:
+            raise ValueError(f"frame is {len(f)} bytes, want {3 * plane} (C444)")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 C444\n"
+    return head.encode() + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def parse_y4m(data: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """YUV4MPEG2 -> (width, height, fps_num, fps_den, C444 frames).
+
+    Real stream parse: the signature line's tagged parameters in any
+    order (unknown tags skipped per spec), then a FRAME-marker walk —
+    frame headers may carry their own parameters, which are skipped up
+    to the newline."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = fps_num = fps_den = None
+    colorspace = "C444"
+    for tok in data[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = "C" + val.decode("ascii", "replace")
+    if width is None or height is None or fps_num is None:
+        raise ValueError("Y4M header missing W/H/F parameters")
+    if colorspace != "C444":
+        raise ValueError(f"only C444 Y4M supported, got {colorspace}")
+    frame_bytes = 3 * width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        body = data[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError(
+                f"Y4M frame truncated: {len(body)}/{frame_bytes} bytes"
+            )
+        frames.append(body)
+        pos = fnl + 1 + frame_bytes
+    return width, height, fps_num, fps_den, frames
+
+
+def _plane_phash(width: int, height: int, plane: bytes) -> str:
+    """8x8 average-hash of a single byte plane — same integer decision
+    rule as the image path (cell*64 > total)."""
+    cells = []
+    for gy in range(8):
+        sy = (gy * height) // 8
+        for gx in range(8):
+            sx = (gx * width) // 8
+            cells.append(plane[sy * width + sx])
+    total = sum(cells)
+    bits = 0
+    for v in cells:
+        bits = (bits << 1) | (1 if v * 64 > total else 0)
+    return f"{bits:016x}"
+
+
+def video_frames_kernel(
+    content: bytes, every_nth: int = 2
+) -> list[tuple[int, int, int, int, str]]:
+    """Real Y4M decode + frame sampling: one (frame_idx, ts_ms, width,
+    height, frame_phash) per every_nth frame. ts_ms is the exact
+    rational frame time floored to ms: idx * 1000 * fps_den // fps_num."""
+    width, height, fps_num, fps_den, frames = parse_y4m(content)
+    out = []
+    for idx in range(0, len(frames), every_nth):
+        y_plane = frames[idx][: width * height]
+        ts_ms = (idx * 1000 * fps_den) // fps_num
+        out.append((idx, ts_ms, width, height, _plane_phash(width, height, y_plane)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (real PPM/WAV/Y4M payloads)
 # ---------------------------------------------------------------------------
 
 _WAV_RATES = (8000, 16000, 22050, 32000, 44100)
 
 
+_Y4M_FPS = ((12, 1), (25, 1), (30000, 1001))
+
+
 def media_rows(n: int = 100) -> list[tuple]:
-    """Deterministic media rows with REAL payloads: P6 PPM images and
-    16-bit PCM WAVs built from integer formulas (pure Python, so the
-    driver oracles re-derive byte-identical rows); video payloads stay
-    opaque digest streams (no codec in this container)."""
+    """Deterministic media rows with REAL payloads for all three
+    modalities: P6 PPM images, 16-bit PCM WAVs, and C444 Y4M videos —
+    all built from integer formulas (pure Python, so the driver
+    oracles re-derive byte-identical rows)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -274,8 +377,20 @@ def media_rows(n: int = 100) -> list[tuple]:
             ]
             payload, ctype = encode_wav(rate, samples), "audio/wav"
         else:
-            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 7)
-            ctype = "video/mp4"
+            w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
+            fps_num, fps_den = _Y4M_FPS[(i // 3) % len(_Y4M_FPS)]
+            n_frames = 3 + i % 5
+            frames = [
+                bytes(
+                    ((x * 5 + y * 17 + f * 41 + i * 13 + p * 59) % 256)
+                    for p in range(3)
+                    for y in range(h)
+                    for x in range(w)
+                )
+                for f in range(n_frames)
+            ]
+            payload = encode_y4m(w, h, fps_num, fps_den, frames)
+            ctype = "video/x-yuv4mpeg"
         rows.append(
             (i, f"http://media.example.org/{kind}/{i}", kind, payload, ctype,
              len(payload))
@@ -398,17 +513,62 @@ def decode_audio_features(media: "DataFrame") -> "DataFrame":
     )
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_phash", T.StringType(), True),
+    ]
+)
+
+
+def decode_video_frames(media: "DataFrame", every_nth: int = 2) -> "DataFrame":
+    """video rows -> one row per sampled frame via mapInPandas over the
+    real Y4M kernel: exact rational timestamps + integer average-hash
+    of each sampled frame's Y plane. The 1->N expansion happens inside
+    the Arrow batch (a single video row yields several output rows), so
+    frame rows stream out without ever collecting a whole video's
+    frames anywhere but the worker."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "width", "height", "frame_phash"
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                for idx, ts_ms, w, h, ph in video_frames_kernel(raw, every_nth):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts_ms)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(fn, schema=VIDEO_FRAMES_SCHEMA)
+    )
+
+
 def frame_sample_plan(
     media: "DataFrame",
     every_n_seconds: int = 5,
     bytes_per_second: int = 100_000,
 ) -> "DataFrame":
-    """Video frame-sampling *plan*: one row per planned frame (the
-    frame decode itself is the one remaining stub — no video codec in
-    this container). Demonstrates the explode pattern for 1->N media
-    expansion without a UDF. ``bytes_per_second`` calibrates the
-    duration estimate to the corpus's bitrate (the synthetic media
-    uses tiny payloads)."""
+    """Video frame-sampling *plan*: one row per planned frame WITHOUT
+    decoding (the no-UDF planning path — schedule frame extraction
+    before paying for it; the real decode is
+    :func:`decode_video_frames`). Demonstrates the explode pattern for
+    1->N media expansion as pure DataFrame ops. ``bytes_per_second``
+    calibrates the duration estimate to the corpus's bitrate (the
+    synthetic media uses tiny payloads)."""
     est_duration = (F.col("n_bytes") / F.lit(bytes_per_second)).cast("int") + 1
     return (
         media.filter(F.col("kind") == "video")

@@ -2305,3 +2305,47 @@ SELECT doc_id, CASE {' '.join(cases)} END AS split FROM b"""
 
 QUERIES["q_split_assign"] = q_split_assign
 ORACLES["q_split_assign"] = sql_split_assign
+
+
+# ---------------------------------------------------------------------------
+# video frame decode (real Y4M kernel)
+# ---------------------------------------------------------------------------
+
+_VF_EVERY_NTH = 2
+
+
+def q_video_frames(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Real video decode (multimodal.video_frames_kernel): YUV4MPEG2
+    stream parse, every-2nd-frame sampling, exact rational timestamps,
+    integer average-hash of each sampled frame's Y plane. 1->N frame
+    expansion happens inside the Arrow batch."""
+    from ..operators.multimodal import decode_video_frames, synthesize_media
+
+    media = synthesize_media(spark, n=_MM_N)
+    return decode_video_frames(media, every_nth=_VF_EVERY_NTH)
+
+
+def sql_video_frames() -> str:
+    """Golden VALUES: the identical Y4M kernel run locally over the
+    same deterministic payload builder."""
+    from ..operators.multimodal import video_frames_kernel
+
+    out = []
+    for media_id, _url, kind, payload in _media_rows():
+        if kind != "video":
+            continue
+        for idx, ts_ms, w, h, ph in video_frames_kernel(payload, _VF_EVERY_NTH):
+            out.append(f"({media_id}, {idx}, {ts_ms}, {w}, {h}, {_sql_str(ph)})")
+    values = ",\n".join(out)
+    return f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(ts_ms AS BIGINT) AS ts_ms,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(frame_phash AS VARCHAR) AS frame_phash
+FROM (VALUES
+{values}
+) t(media_id, frame_idx, ts_ms, width, height, frame_phash)"""
+
+
+QUERIES["q_video_frames"] = q_video_frames
+ORACLES["q_video_frames"] = sql_video_frames

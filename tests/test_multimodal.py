@@ -145,3 +145,76 @@ def test_spark_operators_decode_real_media(spark):
     for r in auds:
         assert r["sample_rate"] in (8000, 16000, 22050, 32000, 44100)
         assert r["duration_ms"] > 0 and len(r["fingerprint"]) == 12
+
+
+def test_y4m_roundtrip_and_param_tolerance():
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m,
+    )
+
+    frames = [bytes((j * 3) % 256 for j in range(6 * 4 * 3)),
+              bytes((j * 5) % 256 for j in range(6 * 4 * 3))]
+    enc = encode_y4m(6, 4, 30000, 1001, frames)
+    assert parse_y4m(enc) == (6, 4, 30000, 1001, frames)
+    # unknown header tags and FRAME-level params are skipped per spec
+    custom = (b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444 XCOLORRANGE=FULL\n"
+              b"FRAME Xfoo\n" + bytes(12))
+    assert parse_y4m(custom)[:4] == (2, 2, 25, 1)
+    assert len(parse_y4m(custom)[4]) == 1
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"RIFF....",                                   # wrong magic
+        b"YUV4MPEG2 W2 H2 C444\n",                    # missing F
+        b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\n",          # unsupported colorspace
+        b"YUV4MPEG2 W2 H2 F25:1 C444\n" + bytes(12),  # missing FRAME marker
+        b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + bytes(5),  # truncated frame
+    ],
+)
+def test_y4m_malformed_raises(bad):
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import parse_y4m
+
+    with pytest.raises(ValueError):
+        parse_y4m(bad)
+
+
+def test_video_frames_kernel_sampling_and_timestamps():
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import (
+        encode_y4m,
+        video_frames_kernel,
+    )
+
+    w, h = 8, 8
+    frames = [bytes((j + f * 7) % 256 for j in range(w * h * 3)) for f in range(5)]
+    enc = encode_y4m(w, h, 30000, 1001, frames)
+    out = video_frames_kernel(enc, every_nth=2)
+    assert [(r[0], r[1]) for r in out] == [
+        (0, 0), (2, (2 * 1000 * 1001) // 30000), (4, (4 * 1000 * 1001) // 30000)
+    ]
+    assert all(len(r[4]) == 16 for r in out)  # 64-bit phash hex
+
+
+@pytest.mark.spark
+def test_spark_decode_video_frames(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import (
+        decode_video_frames,
+        media_rows,
+        synthesize_media,
+        video_frames_kernel,
+    )
+
+    media = synthesize_media(spark, n=24)
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["ts_ms"], r["width"], r["height"],
+         r["frame_phash"])
+        for r in decode_video_frames(media, every_nth=2).collect()
+    )
+    want = sorted(
+        (i, idx, ts, w, h, ph)
+        for i, _u, k, p, _c, _n in media_rows(24) if k == "video"
+        for idx, ts, w, h, ph in video_frames_kernel(p, 2)
+    )
+    assert got == want
