@@ -152,6 +152,7 @@ def main() -> None:
         "q_decontaminate",
         "q_split_assign",
         "q_video_frames",
+        "q_repetition",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "2"))

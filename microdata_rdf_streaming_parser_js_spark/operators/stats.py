@@ -1,4 +1,5 @@
-"""Distribution statistics operators: exact per-group quantiles.
+"""Distribution statistics operators: exact per-group quantiles and
+per-document n-gram repetition stats.
 
 Training-data pipelines gate on distribution cut-points (p50/p90/p99
 of document length, latency, quality score) rather than means.
@@ -71,4 +72,43 @@ def group_quantiles_u(
             F.col("t.q_u").alias("q_u"),
             F.col("v_u").alias("quantile_u"),
         )
+    )
+
+
+def ngram_repetition(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """Gopher/C4-style within-document repetition stats: per doc, the
+    fraction of word-``k``-gram occurrences claimed by the single most
+    frequent gram (``top_frac_u``) and the fraction that are repeats of
+    an earlier occurrence (``dup_frac_u``), both floored micro-units.
+    High values flag boilerplate/spam for quality filtering.
+
+    Shape: explode grams -> groupBy (doc, gram) count -> groupBy doc
+    (max / sum / count-distinct) — two map-side-combined shuffles, the
+    second on the doc key only. Integer arithmetic throughout; docs
+    with fewer than ``k`` tokens produce no grams and drop out (their
+    repetition is undefined).
+    """
+    from .dedup import shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").alias("n_grams"),
+        F.expr(f"(top_cnt * {scale}) div total").alias("top_frac_u"),
+        F.expr(f"((total - n_distinct) * {scale}) div total").alias("dup_frac_u"),
     )

@@ -2349,3 +2349,50 @@ FROM (VALUES
 
 QUERIES["q_video_frames"] = q_video_frames
 ORACLES["q_video_frames"] = sql_video_frames
+
+
+# ---------------------------------------------------------------------------
+# within-document n-gram repetition (Gopher/C4 quality rule)
+# ---------------------------------------------------------------------------
+
+_REP_K = 2
+
+
+def q_repetition(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc bigram repetition stats (operators/stats.
+    ngram_repetition): most-frequent-gram fraction + duplicate-gram
+    fraction in floored micro-units — the Gopher/C4 boilerplate
+    signals, integer-exact on both engines."""
+    from ..operators.stats import ngram_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_repetition(docs, k=_REP_K)
+
+
+def sql_repetition() -> str:
+    K = _REP_K
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {K}
+                     THEN list_transform(range(0, len(t) - {K - 1}),
+                                         i -> array_to_string(t[i + 1 : i + {K}], ' '))
+                     ELSE [] END) AS g
+  FROM toks
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total,
+         COUNT(*) AS n_distinct
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, CAST(total AS BIGINT) AS n_grams,
+       CAST((top_cnt * 1000000) // total AS BIGINT) AS top_frac_u,
+       CAST(((total - n_distinct) * 1000000) // total AS BIGINT) AS dup_frac_u
+FROM agg"""
+
+
+QUERIES["q_repetition"] = q_repetition
+ORACLES["q_repetition"] = sql_repetition

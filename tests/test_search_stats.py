@@ -111,3 +111,21 @@ def test_group_quantiles_excludes_nulls_and_guards(spark):
     assert out == {500_000: 1_000_000}
     with pytest.raises(ValueError, match="non-empty"):
         group_quantiles_u(sdf, "k", "value", qs_u=())
+
+
+def test_ngram_repetition_hand_counted(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        ngram_repetition,
+    )
+
+    sdf = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "w")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["top_frac_u"], r["dup_frac_u"])
+        for r in ngram_repetition(sdf, k=2).collect()
+    }
+    # doc 1: bigrams [a b, b a, a b, b c] -> total 4, top 2, distinct 3
+    # doc 2: all unique; doc 3: < k tokens -> absent
+    assert out == {1: (4, 500_000, 250_000), 2: (2, 500_000, 0)}
