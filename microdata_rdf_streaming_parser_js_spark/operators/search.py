@@ -64,8 +64,9 @@ def bm25_topk(
     tfnorm_u    = (tf * (k1_u + scale) * scale) div denom_u
     denom_u     = tf * scale + c1 + (c2 * dl) div avgdl
     with c2 = (k1_u * b_u) div scale, c1 = k1_u - c2 (plan-time
-    constants), dl = whitespace token count, avgdl = total_tokens
-    div N (floored corpus average).
+    constants), dl = whitespace token count, avgdl =
+    greatest(1, total_tokens div N) (floored corpus average; clamped
+    to 1 so a mostly-empty corpus cannot divide by zero).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -100,7 +101,7 @@ def bm25_topk(
                 f"       {idf_cap_u})"
                 f" * ((tf * {k1_u + scale} * {scale}) div "
                 f"     (tf * {scale} + {c1} + ({c2} * dl) div "
-                f"      (total_dl div n_docs)))"
+                f"      greatest(1, total_dl div n_docs)))"
                 f") div {scale}"
             ).alias("contrib_u"),
         )

@@ -2087,7 +2087,7 @@ scored AS (
          SUM(
            (LEAST(((n_docs - df + 1) * {s}) // (df + 1), {cap})
             * ((tf * {k1 + s} * {s})
-               // (tf * {s} + {c1} + ({c2} * dl) // (total_dl // n_docs)))
+               // (tf * {s} + {c1} + ({c2} * dl) // GREATEST(1, total_dl // n_docs)))
            ) // {s}
          ) AS score_u
   FROM tf JOIN dfq USING (t) CROSS JOIN stats

@@ -49,6 +49,12 @@ _QUERY_NAMES = [
     "q_kmv_distinct",
     "q_feature_hash_embed",
     "q_curation",
+    # round-2 additions over the documents table
+    "q_pagerank",
+    "q_bm25_topk",
+    "q_decontaminate",
+    "q_split_assign",
+    "q_repetition",
 ]
 
 

@@ -18,7 +18,7 @@ def _bm25_py(docs, terms):
     toks = {d: t.split() for d, t in docs.items()}
     dl = {d: len(t) for d, t in toks.items()}
     n = len(docs)
-    avgdl = sum(dl.values()) // n
+    avgdl = max(1, sum(dl.values()) // n)
     c2 = (K1_U * B_U) // SCALE
     c1 = K1_U - c2
     tf = {
