@@ -126,6 +126,7 @@ def main() -> None:
         "q_entity_link_mapping",
         "q_dedup_exact",
         "q_minhash_lsh_pairs",
+        "q_minhash_incremental",
         "q_ngram_jaccard_pairs",
         "q_ngram_jaccard_capped",
         "q_ngram_jaccard_lsh",

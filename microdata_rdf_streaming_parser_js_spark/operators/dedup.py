@@ -112,10 +112,32 @@ def minhash_lsh_pairs(
     agreeing on any full band become a candidate pair. Output:
     (doc_id_a, doc_id_b) with a < b, distinct.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    band_rows = _minhash_band_rows(sig, num_hashes, bands)
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
 
-    band_rows = sig.select(
+
+def _minhash_band_rows(
+    sig: "DataFrame", num_hashes: int, bands: int
+) -> "DataFrame":
+    """(doc_id, band_id, band_key) rows from a signature frame with
+    columns h0..h{n-1} — the shared banding step of the batch and
+    incremental LSH paths."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -138,20 +160,63 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    left = band_rows.alias("l")
-    right = band_rows.alias("r")
-    return (
-        left.join(
-            right,
+
+def minhash_lsh_pairs_incremental(
+    new_docs: "DataFrame",
+    old_sigs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> "DataFrame":
+    """Candidate near-dup pairs for a NEW crawl batch against an
+    EXISTING corpus — the continuous-crawl shape: the old corpus is
+    touched only through its persisted signature table (columns
+    doc_id, h0..h{n-1}, i.e. exactly what :func:`minhash_signatures`
+    materializes), never re-scanned or re-hashed.
+
+    Output: (new_doc_id, matched_doc_id) — cross pairs against the old
+    corpus plus within-batch pairs (new_doc_id < matched_doc_id for
+    those), distinct. Scale shape: band equi-join of the new batch's
+    band rows against (old ∪ new) band rows; with a day's batch much
+    smaller than the corpus, the new side is broadcast-eligible and
+    the shuffle carries band keys, not documents. Old ids must be
+    disjoint from new ids.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, k)
+    new_band = _minhash_band_rows(new_sigs, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
+    old_band = _minhash_band_rows(
+        old_sigs.withColumnRenamed(id_col, "doc_id"), num_hashes, bands
+    )
+    cross = (
+        new_band.alias("l")
+        .join(
+            old_band.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .select(
+            F.col("l.doc_id").alias("new_doc_id"),
+            F.col("r.doc_id").alias("matched_doc_id"),
+        )
+    )
+    within = (
+        new_band.alias("l")
+        .join(
+            new_band.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+            F.col("l.doc_id").alias("new_doc_id"),
+            F.col("r.doc_id").alias("matched_doc_id"),
         )
-        .distinct()
     )
+    return cross.union(within).distinct()
 
 
 def ngram_jaccard_pairs(

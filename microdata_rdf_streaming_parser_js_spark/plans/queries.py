@@ -2396,3 +2396,54 @@ FROM agg"""
 
 QUERIES["q_repetition"] = q_repetition
 ORACLES["q_repetition"] = sql_repetition
+
+
+# ---------------------------------------------------------------------------
+# incremental crawl dedup (new batch vs persisted signature table)
+# ---------------------------------------------------------------------------
+
+def q_minhash_incremental(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Continuous-crawl dedup (operators/dedup.
+    minhash_lsh_pairs_incremental): docs with doc_id % 5 == 0 play the
+    NEW batch, the rest the existing corpus — which is touched only
+    through its MinHash signature table (here recomputed; in
+    production, the persisted output of minhash_signatures). Output:
+    cross pairs vs the old corpus plus within-batch pairs."""
+    from ..operators.dedup import minhash_lsh_pairs_incremental, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    old_sigs = minhash_signatures(
+        docs.where(~is_new), num_hashes=_MH_HASHES, k=_MH_K
+    )
+    return minhash_lsh_pairs_incremental(
+        docs.where(is_new),
+        old_sigs,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        k=_MH_K,
+    )
+
+
+def sql_minhash_incremental() -> str:
+    return f"""WITH {_minhash_cand_cte()},
+newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+cross_p AS (
+  SELECT n.doc_id AS new_doc_id, o.doc_id AS matched_doc_id
+  FROM newb n JOIN oldb o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+),
+within_p AS (
+  SELECT l.doc_id AS new_doc_id, r.doc_id AS matched_doc_id
+  FROM newb l JOIN newb r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT new_doc_id, matched_doc_id FROM cross_p
+UNION
+SELECT new_doc_id, matched_doc_id FROM within_p"""
+
+
+QUERIES["q_minhash_incremental"] = q_minhash_incremental
+ORACLES["q_minhash_incremental"] = sql_minhash_incremental

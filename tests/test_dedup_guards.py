@@ -91,3 +91,33 @@ def test_ngram_df_cap_keeps_true_near_dups(spark):
     d = _docs(spark, texts)
     out = ngram_jaccard_pairs(d, k=3, threshold=0.8, max_shingle_df=10).collect()
     assert [(r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_minhash_incremental_cross_and_within_pairs(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),   # dup of old doc 1
+            (11, "some brand new content now"),  # unrelated
+            (12, "some brand new content now"),  # within-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    old_sigs = minhash_signatures(old, num_hashes=8, k=3)
+    pairs = {
+        (r["new_doc_id"], r["matched_doc_id"])
+        for r in minhash_lsh_pairs_incremental(
+            new, old_sigs, num_hashes=8, bands=4, k=3
+        ).collect()
+    }
+    assert (10, 1) in pairs       # cross: new dup of the old corpus
+    assert (11, 12) in pairs      # within-batch, ordered a < b
+    assert not any(a == 11 and b in (1, 2) for a, b in pairs)
