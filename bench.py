@@ -116,7 +116,7 @@ def main() -> None:
     # as per-query passes below)
     n_pages, n_triples, wall = run_pipeline_bench(
         spark, sf_dir, replicate,
-        passes=int(os.environ.get("SPARK_GRAFT_PASSES", "2")),
+        passes=int(os.environ.get("SPARK_GRAFT_PASSES", "3")),
     )
     triples_per_sec = n_triples / wall if wall > 0 else 0.0
 

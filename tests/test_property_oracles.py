@@ -155,3 +155,84 @@ def test_documents_queries_match_oracle_on_random_corpora(spark, tmp_path_factor
         s = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
         d = _rows(cur.fetchall(), [c[0] for c in cur.description])
         assert s == d, f"{name} diverged on corpus {texts!r}:\n{s[:4]}\nvs\n{d[:4]}"
+
+
+_EVENTS_QUERY_NAMES = [
+    "q_events_window",
+    "q_events_sessionize",
+    "q_events_quantiles",
+    "q_events_asof",
+]
+
+
+def _seeded_events(seed: int, n: int) -> list[tuple]:
+    """n events from a drawn seed: clustered timestamps (tie-heavy),
+    few users, click/purchase-heavy types, values incl. negatives and
+    exact integers. NaN/inf are out of contract (the micro-unit floor
+    is undefined there)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    types = ["click", "purchase", "view", "signup", "error"]
+    rows = []
+    base = 1_700_000_000
+    for i in range(n):
+        ts = base + int(rng.randint(0, 50)) * 60  # coarse -> many exact ties
+        user = int(rng.randint(0, 4))
+        etype = types[int(rng.randint(0, len(types)))]
+        value = float(np.float64(rng.choice(
+            [0.0, -1.5, 2.0, float(np.round(rng.uniform(-5, 5), 3))]
+        )))
+        rows.append((i, ts, user, etype, value))
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       n=st.integers(min_value=1, max_value=60))
+def test_events_queries_match_oracle_on_random_events(
+    spark, tmp_path_factory, seed, n
+):
+    """Tie-heavy random event logs through the windowed agg,
+    sessionization, exact quantiles, and the as-of join: the total
+    (ts, side, tie) order and ceil-rank selection must agree with
+    DuckDB on every draw."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import oracle_sql, queries
+
+    rows = _seeded_events(seed, n)
+    sf_dir = str(tmp_path_factory.mktemp("prop_ev"))
+    (
+        spark.createDataFrame(
+            rows, "event_id bigint, ep bigint, user_id bigint, "
+                  "event_type string, value double"
+        )
+        .select(
+            "event_id",
+            F.timestamp_seconds("ep").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet/*.parquet'"
+    )
+    qs, oracles = queries(), oracle_sql()
+    for name in _EVENTS_QUERY_NAMES:
+        sdf = qs[name](spark, sf_dir)
+        cur = con.execute(oracles[name])
+        s = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+        d = _rows(cur.fetchall(), [c[0] for c in cur.description])
+        assert s == d, f"{name} diverged on seed={seed} n={n}:\n{s[:4]}\nvs\n{d[:4]}"
