@@ -2447,3 +2447,56 @@ SELECT new_doc_id, matched_doc_id FROM within_p"""
 
 QUERIES["q_minhash_incremental"] = q_minhash_incremental
 ORACLES["q_minhash_incremental"] = sql_minhash_incremental
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (fixed-length training examples)
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 128
+_PACK_BUCKET = 64
+_PACK_SEP = 1
+
+
+def q_pack_sequences(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Pre-training sequence packing (operators/pack.pack_sequences):
+    per-doc layout coordinates in bucketed token streams cut into
+    128-position training examples — integer-exact ordered-window
+    arithmetic, one shuffle on the bucket key."""
+    from ..operators.pack import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, bucket_size=_PACK_BUCKET,
+        sep_tokens=_PACK_SEP,
+    )
+
+
+def sql_pack_sequences() -> str:
+    L, B, S = _PACK_SEQ_LEN, _PACK_BUCKET, _PACK_SEP
+    toks = _TOKS.format(c="text")
+    return f"""WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({toks}) END) + {S} AS ntok,
+         doc_id // {B} AS bucket
+  FROM documents
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({toks}) END) > 0 AND text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, bucket, ntok,
+         COALESCE(SUM(ntok) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT doc_id, bucket, CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(off // {L} AS BIGINT) AS first_chunk,
+       CAST((off + ntok - 1) // {L} AS BIGINT) AS last_chunk
+FROM c"""
+
+
+QUERIES["q_pack_sequences"] = q_pack_sequences
+ORACLES["q_pack_sequences"] = sql_pack_sequences

@@ -55,6 +55,7 @@ _QUERY_NAMES = [
     "q_decontaminate",
     "q_split_assign",
     "q_repetition",
+    "q_pack_sequences",
 ]
 
 

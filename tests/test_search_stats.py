@@ -129,3 +129,35 @@ def test_ngram_repetition_hand_counted(spark):
     # doc 1: bigrams [a b, b a, a b, b c] -> total 4, top 2, distinct 3
     # doc 2: all unique; doc 3: < k tokens -> absent
     assert out == {1: (4, 500_000, 250_000), 2: (2, 500_000, 0)}
+
+
+def test_pack_sequences_hand_counted(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.pack import pack_sequences
+
+    # bucket_size=10 puts ids 0-9 in bucket 0, 10+ in bucket 1;
+    # ntok = tokens + 1 separator; seq_len=4
+    sdf = spark.createDataFrame(
+        [
+            (0, "a b c"),        # ntok 4, offset 0, chunks 0-0
+            (1, "d e"),          # ntok 3, offset 4, chunks 1-1
+            (2, "f g h i j"),    # ntok 6, offset 7, chunks 1-3
+            (3, ""),             # dropped (no tokens)
+            (4, None),           # dropped (NULL)
+            (10, "x"),           # new bucket: ntok 2, offset 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bucket"], r["n_tokens"], r["offset"],
+                      r["first_chunk"], r["last_chunk"])
+        for r in pack_sequences(sdf, seq_len=4, bucket_size=10).collect()
+    }
+    assert out == {
+        0: (0, 4, 0, 0, 0),
+        1: (0, 3, 4, 1, 1),
+        2: (0, 6, 7, 1, 3),
+        10: (1, 2, 0, 0, 0),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        pack_sequences(sdf, seq_len=0)
