@@ -123,6 +123,7 @@ def main() -> None:
     # per-operator timings (full action = .count())
     bench_queries = [
         "q_extract_triples",
+        "q_extract_warc",
         "q_entity_link_mapping",
         "q_dedup_exact",
         "q_minhash_lsh_pairs",

@@ -2500,3 +2500,49 @@ FROM c"""
 
 QUERIES["q_pack_sequences"] = q_pack_sequences
 ORACLES["q_pack_sequences"] = sql_pack_sequences
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (S1 via the real crawl container format)
+# ---------------------------------------------------------------------------
+
+def q_extract_warc(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Full extraction with the corpus ingested from REAL WARC files
+    (sources/warc.py): the conformance fixtures are encoded as
+    WARC/1.0 response records sharded over four .warc files, read back
+    through Spark's binaryFile source + the Arrow record-walk
+    exploder, then extract -> skolemize -> dedup. The oracle is the
+    SAME transcribed golden set as q_extract_triples — the container
+    roundtrip must be byte-invisible."""
+    import os
+    import tempfile
+
+    from ..fixtures import FIXTURES
+    from ..sources.warc import encode_warc, read_warc_pages
+
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.isdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        recs = [
+            (
+                f"http://pages.example.org/{f.name}.html",
+                f.html.encode("utf-8"),
+                f.base_iri,
+            )
+            for f in FIXTURES
+        ]
+        for shard in range(4):
+            with open(os.path.join(tmp, f"part-{shard}.warc"), "wb") as fh:
+                fh.write(encode_warc(recs[shard::4]))
+    pages = read_warc_pages(spark, tmp)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    return triples.select(
+        "url", "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_datatype"
+    )
+
+
+QUERIES["q_extract_warc"] = q_extract_warc
+ORACLES["q_extract_warc"] = sql_extract_triples

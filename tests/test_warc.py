@@ -1,0 +1,86 @@
+"""Unit tests for sources/warc.py: record-walk correctness
+(non-response skipping, HTTP envelope stripping, extension headers),
+malformed-stream errors, and the Spark binaryFile->pages roundtrip."""
+
+import pytest
+
+from microdata_rdf_streaming_parser_js_spark.sources.warc import (
+    encode_warc,
+    parse_warc,
+)
+
+
+def test_roundtrip_with_and_without_base_iri():
+    recs = [("http://a/1", b"<p>hi</p>", "http://base/x"), ("http://a/2", b"<i>y</i>")]
+    out = parse_warc(encode_warc(recs))
+    assert [(u, h) for u, h, _ in out] == [
+        ("http://a/1", b"<p>hi</p>"),
+        ("http://a/2", b"<i>y</i>"),
+    ]
+    assert out[0][2]["warc-x-base-iri"] == "http://base/x"
+    assert "warc-x-base-iri" not in out[1][2]
+    # the empty-string base must survive (it is a valid parser base)
+    out2 = parse_warc(encode_warc([("http://a/3", b"z", "")]))
+    assert out2[0][2]["warc-x-base-iri"] == ""
+
+
+def test_non_response_records_skipped():
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n"
+        b"\r\n"
+        b"robots: x"
+        b"\r\n\r\n"
+    )
+    data = info + encode_warc([("http://a/1", b"<p>q</p>")])
+    out = parse_warc(data)
+    assert [(u, h) for u, h, _ in out] == [("http://a/1", b"<p>q</p>")]
+
+
+def test_payload_without_http_envelope_passes_through():
+    payload = b"<b></b"  # 6 bytes, no HTTP envelope, no CRLF CRLF
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://a/r\r\n"
+        b"Content-Length: 6\r\n"
+        b"\r\n"
+    ) + payload
+    out = parse_warc(raw)
+    assert out[0][:2] == ("http://a/r", payload)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"NOTWARC/1.0\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: response\r\n",  # unterminated headers
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",  # no Content-Length
+        (b"WARC/1.0\r\nWARC-Type: response\r\n"
+         b"Content-Length: 99\r\n\r\nshort"),  # truncated payload
+    ],
+)
+def test_malformed_warc_raises(bad):
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+
+
+@pytest.mark.spark
+def test_read_warc_pages_binaryfile_roundtrip(spark, tmp_path):
+    from microdata_rdf_streaming_parser_js_spark.sources.warc import read_warc_pages
+
+    recs = [
+        (f"http://h/{i}", f"<p itemscope>page {i}</p>".encode(), None)
+        for i in range(7)
+    ]
+    (tmp_path / "a.warc").write_bytes(encode_warc(recs[:4]))
+    (tmp_path / "b.warc").write_bytes(encode_warc(recs[4:]))
+    (tmp_path / "ignored.txt").write_bytes(b"not a warc")
+    rows = read_warc_pages(spark, str(tmp_path)).collect()
+    got = sorted((r["url"], r["html"], r["base_iri"]) for r in rows)
+    want = sorted(
+        (u, h.decode(), u) for u, h, _b in recs  # base falls back to url
+    )
+    assert got == want
