@@ -156,6 +156,7 @@ def main() -> None:
         "q_video_frames",
         "q_repetition",
         "q_pack_sequences",
+        "q_mixture_sample",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "2"))

@@ -64,3 +64,34 @@ def hash_split(
         cond = bucket < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: "DataFrame",
+    key_col: str,
+    group_col: str,
+    weights_u: dict[str, int],
+    default_u: int = 0,
+    salt: str = "mix",
+) -> "DataFrame":
+    """Deterministic data-mixture downsampling: keep a row iff its hash
+    bucket falls under its group's micro-fraction keep rate.
+
+    ``weights_u`` maps group values (e.g. the ``source`` column) to
+    keep rates in micro-units (1e6 = keep all); groups not listed get
+    ``default_u``. Like :func:`hash_split` this is a scan-side
+    codegen'd filter — zero shuffles, pushdown-friendly — and the SAME
+    row survives on every rerun and partitioning (the property a
+    resumable 100 TB mixing job needs). Use a different ``salt`` than
+    any split salt so sampling and splitting stay independent draws.
+    """
+    for g, w in weights_u.items():
+        if not 0 <= w <= _BUCKETS:
+            raise ValueError(f"weight for {g!r} must be in [0, {_BUCKETS}], got {w}")
+    if not 0 <= default_u <= _BUCKETS:
+        raise ValueError(f"default_u must be in [0, {_BUCKETS}], got {default_u}")
+    bucket = split_bucket(F.col(key_col), salt)
+    rate = F.lit(default_u)
+    for g, w in sorted(weights_u.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(w)).otherwise(rate)
+    return df.where(bucket < rate)

@@ -2546,3 +2546,51 @@ def q_extract_warc(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 QUERIES["q_extract_warc"] = q_extract_warc
 ORACLES["q_extract_warc"] = sql_extract_triples
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling (per-source keep rates)
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS_U = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000}
+_MIX_DEFAULT_U = 100_000
+_MIX_SALT = "mix"
+
+
+def q_mixture_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Data-mixture downsampling (operators/split.mixture_sample):
+    per-source keep rates applied as a deterministic md5-bucket filter
+    — scan-side expression, zero shuffles, same rows survive on every
+    rerun; the DuckDB oracle replays the identical bucket arithmetic."""
+    from ..operators.split import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS_U,
+        default_u=_MIX_DEFAULT_U, salt=_MIX_SALT,
+    )
+    return kept.select("doc_id", "source")
+
+
+def sql_mixture_sample() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    whens = " ".join(
+        f"WHEN source = '{g}' THEN {w}"
+        for g, w in sorted(_MIX_WEIGHTS_U.items())
+    )
+    return f"""WITH b AS (
+  SELECT doc_id, source,
+         ({nibbles}) % 1000000 AS bucket
+  FROM (SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR) || '|{_MIX_SALT}') AS h
+        FROM documents)
+)
+SELECT doc_id, source FROM b
+WHERE bucket < (CASE {whens} ELSE {_MIX_DEFAULT_U} END)"""
+
+
+QUERIES["q_mixture_sample"] = q_mixture_sample
+ORACLES["q_mixture_sample"] = sql_mixture_sample

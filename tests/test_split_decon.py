@@ -94,3 +94,37 @@ def test_contamination_eval_df_cap(spark):
         max_shingle_df=1,
     )
     assert out == {(1, 10): 1}
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.split import (
+        mixture_sample,
+        split_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    sdf = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = mixture_sample(
+        sdf, "doc_id", "src", {"a": 1_000_000, "b": 0}, default_u=0
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # keep-all group survives entirely, zero-rate group fully dropped
+    assert ids == [i for i in range(400) if i % 2 == 0]
+    # hashlib mirror of the bucket for a partial rate
+    import hashlib
+
+    def bucket(i, salt="mix"):
+        return int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    kept_half = {
+        r["doc_id"]
+        for r in mixture_sample(
+            sdf, "doc_id", "src", {"a": 500_000}, default_u=200_000
+        ).collect()
+    }
+    for i in range(400):
+        want = bucket(i) < (500_000 if i % 2 == 0 else 200_000)
+        assert (i in kept_half) == want, i
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(sdf, "doc_id", "src", {"a": 2_000_000})
