@@ -99,9 +99,7 @@ def test_contamination_eval_df_cap(spark):
 def test_mixture_sample_deterministic_and_weighted(spark):
     from microdata_rdf_streaming_parser_js_spark.operators.split import (
         mixture_sample,
-        split_bucket,
     )
-    from pyspark.sql import functions as F
 
     rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
     sdf = spark.createDataFrame(rows, "doc_id long, src string")
