@@ -218,3 +218,32 @@ def test_spark_decode_video_frames(spark):
         for idx, ts, w, h, ph in video_frames_kernel(p, 2)
     )
     assert got == want
+
+
+def test_y4m_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=10),
+        fps=st.sampled_from([(1, 1), (25, 1), (30000, 1001)]),
+        n_frames=st.integers(min_value=0, max_value=4),
+        seed=st.integers(min_value=0, max_value=255),
+    )
+    def check(w, h, fps, n_frames, seed):
+        frames = [
+            bytes((j * 7 + f * 3 + seed) % 256 for j in range(3 * w * h))
+            for f in range(n_frames)
+        ]
+        assert parse_y4m(encode_y4m(w, h, fps[0], fps[1], frames)) == (
+            w, h, fps[0], fps[1], frames
+        )
+
+    check()

@@ -84,3 +84,27 @@ def test_read_warc_pages_binaryfile_roundtrip(spark, tmp_path):
         (u, h.decode(), u) for u, h, _b in recs  # base falls back to url
     )
     assert got == want
+
+
+def test_warc_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    urls = st.text(
+        st.sampled_from(list("abcxyz0123./:-_")), min_size=1, max_size=30
+    ).map(lambda s: "http://h/" + s)
+    htmls = st.binary(min_size=0, max_size=200)
+    bases = st.one_of(st.none(), st.just(""), urls)
+
+    @settings(max_examples=50, deadline=None)
+    @given(recs=st.lists(st.tuples(urls, htmls, bases), min_size=0, max_size=6))
+    def check(recs):
+        out = parse_warc(encode_warc(recs))
+        assert [(u, h) for u, h, _hd in out] == [(u, h) for u, h, _b in recs]
+        for (_u, _h, headers), (_u2, _h2, base) in zip(out, recs):
+            if base is None:
+                assert "warc-x-base-iri" not in headers
+            else:
+                assert headers["warc-x-base-iri"] == base
+
+    check()
