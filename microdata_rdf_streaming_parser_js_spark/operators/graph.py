@@ -86,7 +86,12 @@ def connected_components(
     materialized (truncating lineage) and a fixpoint checksum runs on
     the cached blocks — exact count plus two independently seeded
     xxhash64 bit-xors — so driver round-trips and persist bookkeeping
-    are paid once per check, not once per round. Rounds to fixpoint
+    are paid once per check, not once per round. Keep ``check_every``
+    at 2: each un-checkpointed round nests union+2 joins+2 aggregates,
+    and three-plus nested rounds blow up Catalyst optimization time
+    superlinearly (measured 12 s at check_every=2 vs 78-115 s at 3 on
+    the diameter-99 5k-node stress graph) — the knob trades job count
+    against plan depth, and plan depth loses much sooner. Rounds to fixpoint
     are O(log n) regardless of diameter, so ``max_iter=50`` covers any
     graph that fits on disk; the RuntimeError guard stays because
     returning silently-unconverged labels would split real components.
