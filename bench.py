@@ -141,6 +141,7 @@ def main() -> None:
         "q_embedding_near_dup",
         "q_events_window",
         "q_events_sessionize",
+        "q_events_sessions_stream",
         "q_kmv_distinct",
         "q_feature_hash_embed",
         "q_pricing_summary",

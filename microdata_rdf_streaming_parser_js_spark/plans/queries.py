@@ -2594,3 +2594,92 @@ WHERE bucket < (CASE {whens} ELSE {_MIX_DEFAULT_U} END)"""
 
 QUERIES["q_mixture_sample"] = q_mixture_sample
 ORACLES["q_mixture_sample"] = sql_mixture_sample
+
+
+# ---------------------------------------------------------------------------
+# streaming NATIVE session windows (F.session_window)
+# ---------------------------------------------------------------------------
+
+def q_events_sessions_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gap-based sessionization as a REAL Structured Streaming job
+    using Spark's NATIVE session windows (``F.session_window``, 30-min
+    gap): file-source readStream -> merging session-window aggregation
+    -> memory sink, availableNow. Boundary semantics verified
+    empirically: a gap of exactly the window size still merges (same
+    ``> gap`` new-session rule as the batch lag/cumsum variant) and
+    window end = last event + gap — the DuckDB oracle replays exactly
+    that. Counts are integer so state-store merge order cannot drift."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sess_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    # the streaming file source wants a DIRECTORY and does not recurse:
+    # for a directory dataset (Spark-written parquet dir) stream from
+    # the symlink itself; for a single-file dataset stream from the
+    # temp dir containing the symlink
+    src = spark.readStream.schema(schema).parquet(
+        link if os.path.isdir(path) else src_dir
+    )
+    sess = (
+        src.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("long").alias("session_start"),
+            F.unix_timestamp("w.end").cast("long").alias("session_end_g"),
+            "n_events",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_sessions_stream_{_STREAM_SEQ[0]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sql_events_sessions_stream() -> str:
+    return f"""WITH flagged AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session,
+         ts, event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id, ep,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ep) AS BIGINT) AS session_start,
+       CAST(MAX(ep) + {_SESSION_GAP_S} AS BIGINT) AS session_end_g,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx"""
+
+
+QUERIES["q_events_sessions_stream"] = q_events_sessions_stream
+ORACLES["q_events_sessions_stream"] = sql_events_sessions_stream

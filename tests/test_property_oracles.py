@@ -163,6 +163,9 @@ _EVENTS_QUERY_NAMES = [
     "q_events_sessionize",
     "q_events_quantiles",
     "q_events_asof",
+    # native session windows under Structured Streaming; the generator
+    # emits exact-1800s gaps, stressing the merge-boundary claim
+    "q_events_sessions_stream",
 ]
 
 
