@@ -142,6 +142,7 @@ def main() -> None:
         "q_events_window",
         "q_events_sessionize",
         "q_events_sessions_stream",
+        "q_events_window_late",
         "q_kmv_distinct",
         "q_feature_hash_embed",
         "q_pricing_summary",

@@ -2683,3 +2683,88 @@ FROM sess GROUP BY user_id, session_idx"""
 
 QUERIES["q_events_sessions_stream"] = q_events_sessions_stream
 ORACLES["q_events_sessions_stream"] = sql_events_sessions_stream
+
+
+# ---------------------------------------------------------------------------
+# watermarked append-mode windows (late-data semantics)
+# ---------------------------------------------------------------------------
+
+_LATE_WINDOW_S = 300
+_LATE_DELAY_S = 600
+
+
+def q_events_window_late(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Watermarked tumbling windows in APPEND mode: only windows the
+    10-minute watermark has finalized emit (the late-data contract —
+    state for open windows is held back, closed windows are immutable).
+    Emission boundary pinned empirically: a window emits iff
+    window_end <= max_event_time - delay (equality emits); the oracle
+    replays exactly that cutoff, so the row SET is deterministic."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_late_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(
+        link if os.path.isdir(path) else src_dir
+    )
+    agg = (
+        # watermarks require TIMESTAMP; the parquet reads as
+        # TIMESTAMP_NTZ (session tz is pinned UTC, so the cast is an
+        # identity on the instant)
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{_LATE_DELAY_S} seconds")
+        .groupBy(
+            F.window("ts", f"{_LATE_WINDOW_S} seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("sum_value_u"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_u",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_window_late_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sql_events_window_late() -> str:
+    W, D = _LATE_WINDOW_S, _LATE_DELAY_S
+    return f"""WITH m AS (
+  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM events
+)
+SELECT CAST(floor(epoch(ts) / {W}) * {W} AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_u
+FROM events
+WHERE CAST(floor(epoch(ts) / {W}) * {W} AS BIGINT) + {W}
+      <= (SELECT mx FROM m) - {D}
+GROUP BY 1, 2"""
+
+
+QUERIES["q_events_window_late"] = q_events_window_late
+ORACLES["q_events_window_late"] = sql_events_window_late

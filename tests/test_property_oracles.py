@@ -166,6 +166,9 @@ _EVENTS_QUERY_NAMES = [
     # native session windows under Structured Streaming; the generator
     # emits exact-1800s gaps, stressing the merge-boundary claim
     "q_events_sessions_stream",
+    # watermarked append-mode windows: only watermark-finalized windows
+    # emit; the oracle replays the exact cutoff
+    "q_events_window_late",
 ]
 
 
