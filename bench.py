@@ -114,11 +114,10 @@ def main() -> None:
 
     # headline: KG pipeline throughput (best-of-N, same noise rationale
     # as per-query passes below)
+    headline_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     n_pages, n_triples, wall = run_pipeline_bench(
-        spark, sf_dir, replicate,
-        passes=int(os.environ.get("SPARK_GRAFT_PASSES", "3")),
+        spark, sf_dir, replicate, passes=headline_passes
     )
-    triples_per_sec = n_triples / wall if wall > 0 else 0.0
 
     # per-operator timings (full action = .count())
     bench_queries = [
@@ -172,6 +171,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             query_secs[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    # second headline sample AFTER the query loop: the host's periodic
+    # co-tenant windows span minutes, so back-to-back passes can ALL
+    # land inside one; two sample points ~10 min apart make the
+    # best-of robust to that failure mode
+    _, _, wall2 = run_pipeline_bench(spark, sf_dir, replicate, passes=headline_passes)
+    wall = min(wall, wall2)
+    query_secs["pipeline_extract_skolem_dedup"] = round(wall, 3)
+    triples_per_sec = n_triples / wall if wall > 0 else 0.0
 
     result = {
         "metric": "triples_per_sec",
