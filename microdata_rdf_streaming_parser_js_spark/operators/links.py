@@ -1,0 +1,54 @@
+"""Hyperlink (web-graph) extraction from raw HTML pages.
+
+The companion to Microdata extraction for web-graph analytics: pull
+``href`` targets out of the page bytes with a codegen'd
+``regexp_extract_all`` (no tokenizer pass, no Python), reduce to a
+host-level edge list, and feed the graph operators (PageRank,
+components, degrees). At crawl scale this is a pure scan-side explode
+— the only shuffles are whatever the downstream graph algorithm needs.
+
+Host parsing is a fixed regex rather than ``parse_url`` so the
+DuckDB oracles and the pure-Python corpus builders reproduce it
+byte-for-byte (engine URL parsers disagree on edge cases; a regex is
+one shared contract).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+HREF_PATTERN = r'href="([^"]*)"'
+HOST_PATTERN = r"^https?://([^/]+)"
+
+
+def host_of(col: "Column") -> "Column":
+    """Host part of an absolute http(s) URL ('' when not matched)."""
+    return F.regexp_extract(col, HOST_PATTERN, 1)
+
+
+def extract_links(
+    pages: "DataFrame", url_col: str = "url", html_col: str = "html"
+) -> "DataFrame":
+    """(src_url, dst_url) — one row per href occurrence (parallel
+    links preserved; graph ops decide their own multiplicity rules)."""
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
+        ).alias("dst_url"),
+    )
+
+
+def host_edges(links: "DataFrame") -> "DataFrame":
+    """Host-level (subj, obj) edges from page-level links; rows whose
+    either side has no parseable host are dropped."""
+    out = links.select(
+        host_of(F.col("src_url")).alias("subj"),
+        host_of(F.col("dst_url")).alias("obj"),
+    )
+    return out.where((F.col("subj") != "") & (F.col("obj") != ""))

@@ -1991,9 +1991,43 @@ def q_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return out.select("doc_id", F.col("rank_u").cast("long").alias("rank_u"))
 
 
-def sql_pagerank() -> str:
+def _sql_pagerank_chain(id_name: str) -> str:
+    """The shared unrolled PageRank CTE chain: expects CTEs
+    ``n(c)`` (node count), ``ids({id_name})``, ``e(subj, obj)``
+    already defined; appends od + r0..r{iters} and the final SELECT.
+    Mirrors operators/graph.pagerank's integer arithmetic exactly."""
     s, d = _PR_SCALE, _PR_DAMPING_U
     parts = [
+        f""",
+od AS (SELECT subj, COUNT(*) AS outdeg FROM e GROUP BY subj),
+r0 AS (SELECT {id_name},
+       CAST({s} // (SELECT c FROM n) AS BIGINT) AS rank_u FROM ids)"""
+    ]
+    for i in range(1, _PR_ITER + 1):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.obj AS {id_name},
+         CAST(SUM((r.rank_u * {d}) // (od.outdeg * {s})) AS BIGINT) AS contrib
+  FROM e
+  JOIN r{i - 1} r ON r.{id_name} = e.subj
+  JOIN od ON od.subj = e.subj
+  GROUP BY e.obj
+),
+r{i} AS (
+  SELECT i.{id_name},
+         {s - d} // (SELECT c FROM n) + COALESCE(m{i}.contrib, 0) AS rank_u
+  FROM ids i LEFT JOIN m{i} ON m{i}.{id_name} = i.{id_name}
+)"""
+        )
+    parts.append(
+        f"\nSELECT {id_name}, CAST(rank_u AS BIGINT) AS rank_u FROM r{_PR_ITER}"
+    )
+    return "".join(parts)
+
+
+def sql_pagerank() -> str:
+    return (
         f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
 ids AS (SELECT doc_id FROM documents),
 e AS (
@@ -2001,31 +2035,9 @@ e AS (
   UNION ALL
   SELECT doc_id, (doc_id * 17 + 3) % (SELECT c FROM n) FROM ids
   WHERE doc_id % 3 = 0
-),
-od AS (SELECT subj, COUNT(*) AS outdeg FROM e GROUP BY subj),
-r0 AS (SELECT doc_id, {s} // (SELECT c FROM n) AS rank_u FROM ids)"""
-    ]
-    for i in range(1, _PR_ITER + 1):
-        parts.append(
-            f""",
-m{i} AS (
-  SELECT e.obj AS doc_id,
-         CAST(SUM((r.rank_u * {d}) // (od.outdeg * {s})) AS BIGINT) AS contrib
-  FROM e
-  JOIN r{i - 1} r ON r.doc_id = e.subj
-  JOIN od ON od.subj = e.subj
-  GROUP BY e.obj
-),
-r{i} AS (
-  SELECT i.doc_id,
-         {s - d} // (SELECT c FROM n) + COALESCE(m{i}.contrib, 0) AS rank_u
-  FROM ids i LEFT JOIN m{i} ON m{i}.doc_id = i.doc_id
 )"""
-        )
-    parts.append(
-        f"\nSELECT doc_id, CAST(rank_u AS BIGINT) AS rank_u FROM r{_PR_ITER}"
+        + _sql_pagerank_chain("doc_id")
     )
-    return "".join(parts)
 
 
 QUERIES["q_pagerank"] = q_pagerank
@@ -2768,3 +2780,97 @@ GROUP BY 1, 2"""
 
 QUERIES["q_events_window_late"] = q_events_window_late
 ORACLES["q_events_window_late"] = sql_events_window_late
+
+
+# ---------------------------------------------------------------------------
+# web-graph construction: HTML -> links -> host graph -> PageRank
+# ---------------------------------------------------------------------------
+
+_LG_N = 200
+_LG_HOSTS = 20
+
+
+def _linked_page_rows(n: int = _LG_N, n_hosts: int = _LG_HOSTS) -> list[tuple[str, str]]:
+    """Deterministic (url, html) pages whose anchor tags encode the
+    same functional graph family as q_pagerank: page i links to page
+    (i*31+7) mod n, and every third page also to (i*17+3) mod n. One
+    shared pure-Python builder backs both the Spark corpus and the
+    oracle's edge derivation."""
+    rows = []
+    for i in range(n):
+        targets = [(i * 31 + 7) % n]
+        if i % 3 == 0:
+            targets.append((i * 17 + 3) % n)
+        url = f"http://host{i % n_hosts}.example.org/p/{i}"
+        anchors = "".join(
+            f'<a href="http://host{t % n_hosts}.example.org/p/{t}">l{t}</a>'
+            for t in targets
+        )
+        html = (
+            '<html><body><article itemscope '
+            'itemtype="http://schema.org/Article">'
+            f'<h1 itemprop="headline">page {i}</h1>{anchors}'
+            "</article></body></html>"
+        )
+        rows.append((url, html))
+    return rows
+
+
+def q_host_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end web-graph construction: raw HTML pages -> href
+    extraction (codegen'd regexp, operators/links.py) -> host-level
+    edge list -> integer PageRank (operators/graph.py). Parallel
+    host edges each contribute (the multiplicity a crawler's link
+    graph actually has). The oracle derives the identical edge set
+    from the shared page builder and replays the same unrolled
+    integer rounds."""
+    from ..operators.graph import pagerank
+    from ..operators.links import extract_links, host_edges
+
+    pages = spark.createDataFrame(
+        _linked_page_rows(), "url string, html string"
+    ).repartition(4)
+    edges = host_edges(extract_links(pages))
+    hosts = spark.createDataFrame(
+        [(f"host{k}.example.org",) for k in range(_LG_HOSTS)], "host string"
+    )
+    out = pagerank(
+        hosts,
+        edges,
+        id_col="host",
+        src_col="subj",
+        dst_col="obj",
+        iterations=_PR_ITER,
+        scale=_PR_SCALE,
+        damping_u=_PR_DAMPING_U,
+    )
+    return out.select("host", F.col("rank_u").cast("long").alias("rank_u"))
+
+
+def sql_host_pagerank() -> str:
+    import re as _re
+
+    edges = []
+    for url, html in _linked_page_rows():
+        src = _re.match(r"^https?://([^/]+)", url).group(1)
+        for dst_url in _re.findall(r'href="([^"]*)"', html):
+            dst = _re.match(r"^https?://([^/]+)", dst_url).group(1)
+            edges.append((src, dst))
+    e_values = ",\n".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in edges)
+    id_values = ",\n".join(
+        f"({_sql_str(f'host{k}.example.org')})" for k in range(_LG_HOSTS)
+    )
+    return (
+        f"""WITH n AS (SELECT {_LG_HOSTS} AS c),
+ids AS (SELECT host FROM (VALUES
+{id_values}
+) t(host)),
+e AS (SELECT subj, obj FROM (VALUES
+{e_values}
+) t(subj, obj))"""
+        + _sql_pagerank_chain("host")
+    )
+
+
+QUERIES["q_host_pagerank"] = q_host_pagerank
+ORACLES["q_host_pagerank"] = sql_host_pagerank

@@ -111,3 +111,34 @@ def test_degree_stats(spark):
     out = {r["iri"]: (r["out_deg"], r["in_deg"], r["total_deg"])
            for r in degree_stats(e).collect()}
     assert out == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_extract_links_and_host_edges(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        extract_links,
+        host_edges,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/p", '<a href="http://b.com/x">1</a>'
+                               '<a href="http://b.com/y">2</a>'
+                               '<a href="/relative">3</a>'),
+            ("http://c.com/q", "<p>no links</p>"),
+        ],
+        "url string, html string",
+    )
+    links = sorted(
+        (r["src_url"], r["dst_url"]) for r in extract_links(pages).collect()
+    )
+    assert links == [
+        ("http://a.com/p", "/relative"),
+        ("http://a.com/p", "http://b.com/x"),
+        ("http://a.com/p", "http://b.com/y"),
+    ]
+    # relative target has no parseable host and is dropped; the two
+    # absolute links yield a PARALLEL a.com->b.com edge pair
+    edges = sorted(
+        (r["subj"], r["obj"]) for r in host_edges(extract_links(pages)).collect()
+    )
+    assert edges == [("a.com", "b.com"), ("a.com", "b.com")]
