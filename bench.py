@@ -150,6 +150,7 @@ def main() -> None:
         "q_graph_components_path",
         "q_pagerank",
         "q_host_pagerank",
+        "q_robots_filter",
         "q_bm25_topk",
         "q_events_quantiles",
         "q_events_asof",

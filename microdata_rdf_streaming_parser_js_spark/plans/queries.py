@@ -2874,3 +2874,93 @@ e AS (SELECT subj, obj FROM (VALUES
 
 QUERIES["q_host_pagerank"] = q_host_pagerank
 ORACLES["q_host_pagerank"] = sql_host_pagerank
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl filtering (RFC 9309)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_AGENT = "sparkbot"
+_ROBOTS_N_URLS = 200
+_ROBOTS_N_HOSTS = 10
+
+
+def _robots_rows() -> list[tuple[str, str]]:
+    """(host, robots_txt) — three behaviors cycled across hosts:
+    k%3==1 a sparkbot-specific group (wildcards + $-anchor + allow
+    override), k%3==2 only a ``*`` group; k%3==0 hosts have NO robots
+    row at all (missing-file => everything allowed)."""
+    rows = []
+    for k in range(_ROBOTS_N_HOSTS):
+        host = f"host{k}.example.org"
+        if k % 3 == 1:
+            txt = (
+                "# crawl policy\n"
+                "User-agent: sparkbot\n"
+                "Disallow: /private\n"
+                "Allow: /private/ok$\n"
+                "Disallow: /*.zip$\n"
+                "\n"
+                "User-agent: *\n"
+                "Disallow: /\n"
+            )
+        elif k % 3 == 2:
+            txt = "User-agent: *\nDisallow: /tmp*\nAllow: /tmp/keep\n"
+        else:
+            continue
+        rows.append((host, txt))
+    return rows
+
+
+def _robots_url_rows() -> list[tuple[str,]]:
+    paths = ("/page/%d", "/private/%d", "/private/ok", "/tmp/%d",
+             "/tmp/keep/%d", "/data/%d.zip")
+    return [
+        (
+            f"http://host{i % _ROBOTS_N_HOSTS}.example.org"
+            + (paths[i % len(paths)] % i if "%d" in paths[i % len(paths)]
+               else paths[i % len(paths)]),
+        )
+        for i in range(_ROBOTS_N_URLS)
+    ]
+
+
+def q_robots_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """RFC 9309 robots filtering (operators/crawl.robots_filter): each
+    URL marked allowed/blocked for the configured agent under its
+    host's robots.txt — longest-match with wildcards and $-anchors,
+    allow-wins ties, specific-agent group overriding ``*``, missing
+    robots row => allowed. Oracle: the same pure-Python kernel run
+    locally over the shared deterministic corpus."""
+    from ..operators.crawl import robots_filter
+
+    pages = spark.createDataFrame(_robots_url_rows(), "url string").repartition(4)
+    robots = spark.createDataFrame(
+        _robots_rows(), "host string, robots_txt string"
+    )
+    return robots_filter(pages, robots, agent=_ROBOTS_AGENT)
+
+
+def sql_robots_filter() -> str:
+    import re as _re
+
+    from ..functions.robots import parse_robots, url_allowed
+
+    rules_by_host = {h: parse_robots(t, _ROBOTS_AGENT) for h, t in _robots_rows()}
+    out = []
+    for (url,) in _robots_url_rows():
+        m = _re.match(r"^https?://([^/]+)(/.*)?$", url)
+        host, path = m.group(1), m.group(2) or "/"
+        rules = rules_by_host.get(host)
+        allowed = True if rules is None else url_allowed(rules, path)
+        out.append(f"({_sql_str(url)}, {str(allowed).upper()})")
+    values = ",\n".join(out)
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(allowed AS BOOLEAN) AS allowed
+FROM (VALUES
+{values}
+) t(url, allowed)"""
+
+
+QUERIES["q_robots_filter"] = q_robots_filter
+ORACLES["q_robots_filter"] = sql_robots_filter

@@ -1,0 +1,88 @@
+"""Unit tests for functions/robots.py (RFC 9309 semantics) and the
+operators/crawl.robots_filter Spark stage."""
+
+import pytest
+
+from microdata_rdf_streaming_parser_js_spark.functions.robots import (
+    parse_robots,
+    url_allowed,
+)
+
+_TXT = (
+    "# policy\n"
+    "User-agent: sparkbot\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok$\n"
+    "Disallow: /*.zip$\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+
+
+@pytest.mark.parametrize(
+    "path,want",
+    [
+        ("/", True),
+        ("/page/1", True),
+        ("/private/x", False),
+        ("/private/ok", True),     # longer Allow with $ wins
+        ("/private/okx", False),   # $ anchor must not match a prefix
+        ("/a/b/c.zip", False),     # * wildcard spans directories
+        ("/a/b/c.zipx", True),
+    ],
+)
+def test_specific_group_longest_match(path, want):
+    assert url_allowed(parse_robots(_TXT, "sparkbot"), path) is want
+
+
+def test_star_group_only_when_no_specific_match():
+    rules = parse_robots(_TXT, "otherbot")
+    assert url_allowed(rules, "/anything") is False  # * group: Disallow /
+
+
+def test_group_selection_prefers_longest_agent_token():
+    txt = (
+        "User-agent: spark\nDisallow: /a\n\n"
+        "User-agent: sparkbot\nDisallow: /b\n"
+    )
+    rules = parse_robots(txt, "sparkbot")
+    assert url_allowed(rules, "/a/x") is True   # the short group lost
+    assert url_allowed(rules, "/b/x") is False
+
+
+def test_empty_disallow_and_garbage_lines():
+    txt = "User-agent: *\nDisallow:\nnot a directive\nFoo: bar\n"
+    rules = parse_robots(txt, "sparkbot")
+    assert url_allowed(rules, "/anything") is True
+
+
+def test_allow_wins_equal_length():
+    txt = "User-agent: *\nDisallow: /abc\nAllow: /abc\n"
+    assert url_allowed(parse_robots(txt, "x"), "/abcdef") is True
+
+
+@pytest.mark.spark
+def test_robots_filter_spark_stage(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.crawl import (
+        robots_filter,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/private/x",),
+            ("http://a.com/page",),
+            ("http://norobots.com/anything",),
+        ],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    out = {r["url"]: r["allowed"] for r in robots_filter(pages, robots).collect()}
+    assert out == {
+        "http://a.com/private/x": False,
+        "http://a.com/page": True,
+        "http://norobots.com/anything": True,  # missing robots row
+    }
