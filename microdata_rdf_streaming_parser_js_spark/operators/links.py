@@ -44,6 +44,50 @@ def extract_links(
     )
 
 
+_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def normalize_url(col: "Column") -> "Column":
+    """Canonical URL form for URL-level dedup — pure codegen'd
+    expressions (no UDF), byte-mirrored by the DuckDB oracle:
+
+    - scheme and host lowercased (path/query case preserved);
+    - default ports stripped (http:80, https:443);
+    - fragment dropped;
+    - tracking params removed (utm_*, fbclid, gclid), remaining query
+      params sorted byte-wise, '?' dropped when none survive;
+    - empty path becomes '/'.
+
+    Deliberately NOT done (semantics-changing): trailing-slash or
+    duplicate-slash collapsing, percent-decoding, IDN folding.
+    """
+    url = F.trim(col)
+    scheme = F.lower(F.regexp_extract(url, r"^([^:/?#]+)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.regexp_replace(auth, r":80$", ""),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.regexp_replace(auth, r":443$", ""),
+    ).otherwise(auth)
+    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    raw_q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(raw_q, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", url  # not an absolute URL: pass through untouched
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, query))
+
+
 def host_edges(links: "DataFrame") -> "DataFrame":
     """Host-level (subj, obj) edges from page-level links; rows whose
     either side has no parseable host are dropped."""

@@ -2964,3 +2964,85 @@ FROM (VALUES
 
 QUERIES["q_robots_filter"] = q_robots_filter
 ORACLES["q_robots_filter"] = sql_robots_filter
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (pre-dedup normalization)
+# ---------------------------------------------------------------------------
+
+def _messy_url_rows() -> list[tuple[str,]]:
+    """Deterministic messy URLs exercising every normalization rule:
+    mixed-case schemes/hosts, default and non-default ports, empty
+    paths, tracking + unsorted query params, fragments, relative
+    passthroughs. BOTH engines normalize these independently (no
+    golden outputs) — a true cross-engine check of the expression
+    semantics."""
+    schemes = ("http", "HTTPS", "HtTp")
+    ports = ("", ":80", ":443", ":8080")
+    paths = ("", "/a/b", "/A/b%20c", "/x/")
+    queries = ("", "?utm_source=x&b=2&a=1", "?b=2&fbclid=zz&a=1&gclid=q",
+               "?z=9", "?utm_campaign=only")
+    frags = ("", "#sec")
+    rows = []
+    i = 0
+    for s in schemes:
+        for p in ports:
+            for pa in paths:
+                for q in queries:
+                    f = frags[i % 2]
+                    rows.append((f"{s}://HoSt{i % 7}.Example.ORG{p}{pa}{q}{f}",))
+                    i += 1
+    rows.append(("/relative/path?b=1",))
+    rows.append(("  http://pad.example.org/x  ",))
+    return rows
+
+
+def q_url_normalize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """URL canonicalization (operators/links.normalize_url): the
+    pre-dedup normalization pass as pure codegen'd expressions — no
+    UDF, no shuffle; at scale it is a free column on the scan."""
+    from ..operators.links import normalize_url
+
+    urls = spark.createDataFrame(_messy_url_rows(), "url string")
+    return urls.select("url", normalize_url(F.col("url")).alias("norm_url"))
+
+
+def sql_url_normalize() -> str:
+    values = ",\n".join(f"({_sql_str(u)})" for (u,) in _messy_url_rows())
+    track = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+    return f"""WITH raw(url) AS (VALUES
+{values}
+),
+parts AS (
+  SELECT url,
+         trim(url) AS u,
+         lower(regexp_extract(trim(url), '^([^:/?#]+)://', 1)) AS scheme,
+         lower(regexp_extract(trim(url), '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+         regexp_extract(trim(url), '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(trim(url), '\\?([^#]*)', 1) AS raw_q
+  FROM raw
+),
+norm AS (
+  SELECT url, u, scheme,
+         CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+              THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https' AND auth LIKE '%:443'
+              THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS host,
+         CASE WHEN path = '' THEN '/' ELSE path END AS path,
+         list_sort(list_filter(regexp_split_to_array(raw_q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '{track}'))) AS kept
+  FROM parts
+)
+SELECT url,
+       CASE WHEN scheme = '' THEN u
+            ELSE scheme || '://' || host || path ||
+                 (CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&')
+                       ELSE '' END)
+       END AS norm_url
+FROM norm"""
+
+
+QUERIES["q_url_normalize"] = q_url_normalize
+ORACLES["q_url_normalize"] = sql_url_normalize

@@ -142,3 +142,28 @@ def test_extract_links_and_host_edges(spark):
         (r["subj"], r["obj"]) for r in host_edges(extract_links(pages)).collect()
     )
     assert edges == [("a.com", "b.com"), ("a.com", "b.com")]
+
+
+def test_normalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        normalize_url,
+    )
+
+    cases = {
+        "HTTP://WWW.Example.ORG:80/A/b?utm_source=x&b=2&a=1#frag":
+            "http://www.example.org/A/b?a=1&b=2",
+        "https://h.com:443": "https://h.com/",
+        "https://h.com:8080/x": "https://h.com:8080/x",
+        "http://h.com/p?utm_campaign=only": "http://h.com/p",
+        "/relative?b=1": "/relative?b=1",
+        "  http://pad.com/x  ": "http://pad.com/x",
+    }
+    sdf = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {
+        r["url"]: r["n"]
+        for r in sdf.select("url", normalize_url(F.col("url")).alias("n")).collect()
+    }
+    for raw, want in cases.items():
+        assert out[raw] == want, (raw, out[raw], want)
