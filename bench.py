@@ -152,6 +152,7 @@ def main() -> None:
         "q_host_pagerank",
         "q_robots_filter",
         "q_url_normalize",
+        "q_sitemap_urls",
         "q_bm25_topk",
         "q_events_quantiles",
         "q_events_asof",

@@ -96,3 +96,27 @@ def host_edges(links: "DataFrame") -> "DataFrame":
         host_of(F.col("dst_url")).alias("obj"),
     )
     return out.where((F.col("subj") != "") & (F.col("obj") != ""))
+
+
+_LOC_PATTERN = r"<loc>\s*([^<]+?)\s*</loc>"
+
+
+def extract_sitemap_urls(
+    sitemaps: "DataFrame",
+    sitemap_col: str = "sitemap_url",
+    xml_col: str = "xml",
+) -> "DataFrame":
+    """(sitemap_url, url) from sitemap XML bodies — the crawl-frontier
+    seeding step. ``<loc>`` extraction is a codegen'd
+    ``regexp_extract_all`` (whitespace-tolerant, entity-free locs per
+    the sitemaps.org spec); the same rows come back for a urlset and
+    for a sitemapindex (whose locs are child sitemap URLs — the caller
+    recurses by joining them back against the fetched corpus). Scan-
+    side explode, zero shuffles.
+    """
+    return sitemaps.select(
+        F.col(sitemap_col).alias("sitemap_url"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_LOC_PATTERN), 1)
+        ).alias("url"),
+    )

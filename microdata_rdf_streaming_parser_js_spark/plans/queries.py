@@ -3046,3 +3046,73 @@ FROM norm"""
 
 QUERIES["q_url_normalize"] = q_url_normalize
 ORACLES["q_url_normalize"] = sql_url_normalize
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion (crawl-frontier seeding)
+# ---------------------------------------------------------------------------
+
+_SM_N_HOSTS = 8
+
+
+def _sitemap_rows() -> list[tuple[str, str]]:
+    """(sitemap_url, xml): hosts alternate between a urlset (3-5 page
+    locs, whitespace-varied) and a sitemapindex pointing at child
+    sitemaps — one shared deterministic builder for query and oracle."""
+    rows = []
+    for k in range(_SM_N_HOSTS):
+        host = f"host{k}.example.org"
+        sm_url = f"http://{host}/sitemap.xml"
+        if k % 2 == 0:
+            locs = "".join(
+                f"<url><loc>  http://{host}/p/{k}/{j} </loc>"
+                f"<lastmod>2026-01-0{j + 1}</lastmod></url>"
+                for j in range(3 + k % 3)
+            )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{locs}</urlset>"
+            )
+        else:
+            locs = "".join(
+                f"<sitemap><loc>http://{host}/sitemap-{j}.xml</loc></sitemap>"
+                for j in range(2)
+            )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{locs}</sitemapindex>"
+            )
+        rows.append((sm_url, xml))
+    return rows
+
+
+def q_sitemap_urls(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Crawl-frontier seeding (operators/links.extract_sitemap_urls):
+    <loc> extraction from urlset AND sitemapindex bodies as a pure
+    codegen'd regexp explode. The oracle runs DuckDB's
+    regexp_extract_all over the same shared corpus — both engines
+    extract independently."""
+    from ..operators.links import extract_sitemap_urls
+
+    sitemaps = spark.createDataFrame(
+        _sitemap_rows(), "sitemap_url string, xml string"
+    )
+    return extract_sitemap_urls(sitemaps)
+
+
+def sql_sitemap_urls() -> str:
+    values = ",\n".join(
+        f"({_sql_str(u)}, {_sql_str(x)})" for u, x in _sitemap_rows()
+    )
+    return f"""WITH sm(sitemap_url, xml) AS (VALUES
+{values}
+)
+SELECT sitemap_url,
+       trim(unnest(regexp_extract_all(xml, '<loc>\\s*([^<]+?)\\s*</loc>', 1))) AS url
+FROM sm"""
+
+
+QUERIES["q_sitemap_urls"] = q_sitemap_urls
+ORACLES["q_sitemap_urls"] = sql_sitemap_urls

@@ -167,3 +167,30 @@ def test_normalize_url_rules(spark):
     }
     for raw, want in cases.items():
         assert out[raw] == want, (raw, out[raw], want)
+
+
+def test_extract_sitemap_urls(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        extract_sitemap_urls,
+    )
+
+    sm = spark.createDataFrame(
+        [
+            ("http://h/s.xml",
+             "<urlset><url><loc>  http://h/a </loc></url>"
+             "<url><loc>http://h/b</loc></url></urlset>"),
+            ("http://h/i.xml",
+             "<sitemapindex><sitemap><loc>http://h/s2.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("http://h/empty.xml", "<urlset></urlset>"),
+        ],
+        "sitemap_url string, xml string",
+    )
+    out = sorted(
+        (r["sitemap_url"], r["url"]) for r in extract_sitemap_urls(sm).collect()
+    )
+    assert out == [
+        ("http://h/i.xml", "http://h/s2.xml"),
+        ("http://h/s.xml", "http://h/a"),
+        ("http://h/s.xml", "http://h/b"),
+    ]
