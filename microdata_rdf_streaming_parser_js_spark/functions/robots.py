@@ -64,18 +64,30 @@ def parse_robots(text: str, agent: str) -> list[tuple[bool, str, "re.Pattern[str
         groups.append((cur_agents, cur_rules))
 
     agent_l = agent.lower()
-    best_len = -1
+    best_len = max(
+        (
+            len(a)
+            for agents, _ in groups
+            for a in agents
+            if a != "*" and agent_l.startswith(a)
+        ),
+        default=-1,
+    )
+    # RFC 9309 merges the rules of EVERY group naming the winning
+    # (longest-matching) token — a second "User-agent: sparkbot" group
+    # later in the file extends the first, exactly like '*' groups do.
     best_rules: list[tuple[bool, str]] = []
     star_rules: list[tuple[bool, str]] = []
     star_seen = False
     for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                star_rules = star_rules + rules if star_seen else list(rules)
-                star_seen = True
-            elif agent_l.startswith(a) and len(a) > best_len:
-                best_len = len(a)
-                best_rules = list(rules)
+        if best_len >= 0 and any(
+            a != "*" and agent_l.startswith(a) and len(a) == best_len
+            for a in set(agents)
+        ):
+            best_rules.extend(rules)
+        if "*" in agents:
+            star_rules.extend(rules)
+            star_seen = True
     chosen = best_rules if best_len >= 0 else (star_rules if star_seen else [])
     return [(allow, pat, _pattern_regex(pat)) for allow, pat in chosen]
 

@@ -44,7 +44,7 @@ def extract_links(
     )
 
 
-_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"
 
 
 def normalize_url(col: "Column") -> "Column":
@@ -62,8 +62,11 @@ def normalize_url(col: "Column") -> "Column":
     duplicate-slash collapsing, percent-decoding, IDN folding.
     """
     url = F.trim(col)
-    scheme = F.lower(F.regexp_extract(url, r"^([^:/?#]+)://", 1))
-    auth = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    # fragment stripped FIRST so a '?' living inside the fragment
+    # (http://h/p#sec?a=b) can never resurrect as a query string
+    no_frag = F.regexp_extract(url, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([^:/?#]+)://", 1))
+    auth = F.lower(F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1))
     host = F.when(
         (scheme == "http") & auth.endswith(":80"),
         F.regexp_replace(auth, r":80$", ""),
@@ -71,9 +74,9 @@ def normalize_url(col: "Column") -> "Column":
         (scheme == "https") & auth.endswith(":443"),
         F.regexp_replace(auth, r":443$", ""),
     ).otherwise(auth)
-    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    raw_q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    raw_q = F.regexp_extract(no_frag, r"\?(.*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(raw_q, "&"),

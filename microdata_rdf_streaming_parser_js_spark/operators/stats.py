@@ -38,16 +38,18 @@ def group_quantiles_u(
     quantile fraction in ``qs_u``, the exact discrete quantile of
     ``floor(value * scale)`` — the value at 1-based rank
     ``(q_u * n + scale - 1) div scale`` (integer ceil of q*n) in the
-    group's sorted order. NULL values are excluded (they sort first in
-    Spark but last in most SQL engines — excluding them is the only
-    portable contract).
+    group's sorted order. NULL and NaN values are excluded (NULLs sort
+    first in Spark but last in most SQL engines; a NaN would cast to 0
+    in Spark's long cast but error in DuckDB's — excluding both is the
+    only portable contract).
     """
     if not qs_u:
         raise ValueError("qs_u must be non-empty")
-    vals = df.select(
+    v = F.col(value_col).cast("double")
+    vals = df.where(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("g"),
-        F.floor(F.col(value_col) * scale).cast("long").alias("v_u"),
-    ).where(F.col("v_u").isNotNull())
+        F.floor(v * scale).cast("long").alias("v_u"),
+    )
     w = Window.partitionBy("g").orderBy("v_u")
     ranked = vals.select(
         "g",

@@ -2139,7 +2139,8 @@ def sql_events_quantiles() -> str:
     )
     return f"""WITH v AS (
   SELECT event_type AS g, CAST(floor(value * 1000000) AS BIGINT) AS v_u
-  FROM events WHERE value IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ),
 r AS (
   SELECT g, v_u,
@@ -2994,6 +2995,11 @@ def _messy_url_rows() -> list[tuple[str,]]:
                     i += 1
     rows.append(("/relative/path?b=1",))
     rows.append(("  http://pad.example.org/x  ",))
+    # '?' only inside the fragment: must NOT resurrect as a query
+    rows.append(("http://frag.example.org/p#sec?a=b&utm_source=x",))
+    # bare valueless tracking params strip like their '=' forms
+    rows.append(("http://bare.example.org/p?fbclid&a=1&utm_source",))
+    rows.append(("http://bare.example.org/p?utm_campaign",))
     return rows
 
 
@@ -3009,18 +3015,22 @@ def q_url_normalize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 def sql_url_normalize() -> str:
     values = ",\n".join(f"({_sql_str(u)})" for (u,) in _messy_url_rows())
-    track = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+    track = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"
     return f"""WITH raw(url) AS (VALUES
 {values}
 ),
-parts AS (
-  SELECT url,
-         trim(url) AS u,
-         lower(regexp_extract(trim(url), '^([^:/?#]+)://', 1)) AS scheme,
-         lower(regexp_extract(trim(url), '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
-         regexp_extract(trim(url), '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
-         regexp_extract(trim(url), '\\?([^#]*)', 1) AS raw_q
+stripped AS (
+  SELECT url, trim(url) AS u,
+         regexp_extract(trim(url), '^([^#]*)', 1) AS nf
   FROM raw
+),
+parts AS (
+  SELECT url, u,
+         lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+         lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+         regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(nf, '\\?(.*)', 1) AS raw_q
+  FROM stripped
 ),
 norm AS (
   SELECT url, u, scheme,

@@ -159,6 +159,11 @@ def test_normalize_url_rules(spark):
         "http://h.com/p?utm_campaign=only": "http://h.com/p",
         "/relative?b=1": "/relative?b=1",
         "  http://pad.com/x  ": "http://pad.com/x",
+        # '?' only inside the fragment must not resurrect as a query
+        "http://h.com/p#sec?a=b": "http://h.com/p",
+        # bare valueless tracking params strip like their '=' forms
+        "http://h.com/p?fbclid&a=1": "http://h.com/p?a=1",
+        "http://h.com/p?utm_source": "http://h.com/p",
     }
     sdf = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {

@@ -51,6 +51,36 @@ def test_group_selection_prefers_longest_agent_token():
     assert url_allowed(rules, "/b/x") is False
 
 
+def test_repeated_specific_groups_merge():
+    # RFC 9309: every group naming the winning token contributes rules
+    # — a second 'User-agent: sparkbot' group is NOT silently ignored.
+    txt = (
+        "User-agent: sparkbot\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: sparkbot\nDisallow: /b\n"
+    )
+    rules = parse_robots(txt, "sparkbot")
+    assert url_allowed(rules, "/a/x") is False
+    assert url_allowed(rules, "/b/x") is False  # second group merged in
+    assert url_allowed(rules, "/c/x") is True   # '*' group still ignored
+
+
+def test_equal_length_specific_tokens_merge():
+    txt = (
+        "User-agent: sparkbot\nDisallow: /a\n\n"
+        "User-agent: SPARKBOT\nDisallow: /b\n"
+    )
+    rules = parse_robots(txt, "sparkbot-news")
+    assert url_allowed(rules, "/a/x") is False
+    assert url_allowed(rules, "/b/x") is False
+
+
+def test_duplicate_token_in_one_group_counts_once():
+    txt = "User-agent: sparkbot\nUser-agent: sparkbot\nDisallow: /a\n"
+    rules = parse_robots(txt, "sparkbot")
+    assert [(allow, pat) for allow, pat, _ in rules] == [(False, "/a")]
+
+
 def test_empty_disallow_and_garbage_lines():
     txt = "User-agent: *\nDisallow:\nnot a directive\nFoo: bar\n"
     rules = parse_robots(txt, "sparkbot")

@@ -101,13 +101,15 @@ def test_group_quantiles_excludes_nulls_and_guards(spark):
     )
 
     sdf = spark.createDataFrame(
-        [("g", 1.0), ("g", None), ("g", 3.0)], "k string, value double"
+        [("g", 1.0), ("g", None), ("g", float("nan")), ("g", 3.0)],
+        "k string, value double",
     )
     out = {
         r["q_u"]: r["quantile_u"]
         for r in group_quantiles_u(sdf, "k", "value", qs_u=(500_000,)).collect()
     }
-    # NULL excluded -> n=2, p50 rank ceil(0.5*2)=1 -> value 1.0
+    # NULL and NaN excluded -> n=2, p50 rank ceil(0.5*2)=1 -> value 1.0
+    # (a NaN would otherwise cast to 0 in Spark but error in DuckDB)
     assert out == {500_000: 1_000_000}
     with pytest.raises(ValueError, match="non-empty"):
         group_quantiles_u(sdf, "k", "value", qs_u=())
