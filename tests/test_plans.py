@@ -228,3 +228,37 @@ def test_bm25_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_str(q_bm25_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_robots_filter_join_is_size_gated(spark):
+    """A small robots table broadcasts (page side never shuffles); a
+    large one must NOT — unconditional broadcast of ~10^8 hosts x
+    KB-scale bodies is an executor OOM — it sort-merge joins instead."""
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.crawl import (
+        robots_filter,
+    )
+
+    pages = spark.createDataFrame(
+        [("http://h0.example.org/a",), ("http://h1.example.org/b",)],
+        "url string",
+    )
+    robots = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private\n").alias("robots_txt"),
+    )
+    plan = plan_str(robots_filter(pages, robots))
+    assert "BroadcastHashJoin" in plan
+    plan = plan_str(robots_filter(pages, robots, broadcast_threshold=5))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # robots_rows hint short-circuits the probe the same way
+    plan = plan_str(
+        robots_filter(pages, robots, broadcast_threshold=5, robots_rows=10)
+    )
+    assert "SortMergeJoin" in plan
+    plan = plan_str(
+        robots_filter(pages, robots, broadcast_threshold=50, robots_rows=10)
+    )
+    assert "BroadcastHashJoin" in plan
