@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: "DataFrame | None" = None,
     max_shingle_df: int | None = None,
+    max_docs_uncapped: int | None = 50_000,
 ) -> "DataFrame":
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -234,6 +235,14 @@ def ngram_jaccard_pairs(
     only the LSH survivors — the scalable shape. Without, it computes
     all-pairs via a shingle inverted index (explode + self-join on
     shingle, then |intersection| per pair).
+
+    The fully-uncapped all-pairs shape (no ``candidates``, no
+    ``max_shingle_df``) is a test-scale correctness baseline ONLY, and
+    is guarded: above ``max_docs_uncapped`` documents it raises instead
+    of launching a self-join that a single boilerplate shingle can blow
+    up to ~|corpus|^2 rows. The probe is capped
+    (``limit(threshold+1).count()``), so deciding is O(threshold), and
+    ``max_docs_uncapped=None`` disables the guard explicitly.
 
     ``max_shingle_df`` caps the document frequency of shingles entering
     the self-join: a single boilerplate shingle shared by 1M docs would
@@ -247,6 +256,20 @@ def ngram_jaccard_pairs(
     is tiny by construction (only shingles above the cap), so the
     anti-join broadcasts.
     """
+    if (
+        candidates is None
+        and max_shingle_df is None
+        and max_docs_uncapped is not None
+    ):
+        n = docs.limit(max_docs_uncapped + 1).count()
+        if n > max_docs_uncapped:
+            raise ValueError(
+                f"ngram_jaccard_pairs: uncapped all-pairs over more than "
+                f"{max_docs_uncapped} docs — a hot shingle makes the "
+                "shingle self-join quadratic at scale. Pass candidates "
+                "(LSH survivors), set max_shingle_df, or explicitly "
+                "disable the guard with max_docs_uncapped=None."
+            )
     inv = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),

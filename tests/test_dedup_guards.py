@@ -121,3 +121,20 @@ def test_minhash_incremental_cross_and_within_pairs(spark):
     assert (10, 1) in pairs       # cross: new dup of the old corpus
     assert (11, 12) in pairs      # within-batch, ordered a < b
     assert not any(a == 11 and b in (1, 2) for a, b in pairs)
+
+
+def test_ngram_uncapped_guard_raises_above_doc_threshold(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, _NEAR_DUPS)
+    with pytest.raises(ValueError, match="uncapped all-pairs"):
+        ngram_jaccard_pairs(d, max_docs_uncapped=3)
+    # a df cap, a candidate set, or an explicit opt-out all lift it
+    assert ngram_jaccard_pairs(d, max_shingle_df=100).count() >= 0
+    assert ngram_jaccard_pairs(d, max_docs_uncapped=None).count() >= 0
+    cands = spark.createDataFrame(
+        [(0, 1)], "doc_id_a bigint, doc_id_b bigint"
+    )
+    assert ngram_jaccard_pairs(d, candidates=cands, max_docs_uncapped=3).count() >= 0
