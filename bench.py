@@ -150,6 +150,7 @@ def main() -> None:
         "q_graph_components_path",
         "q_pagerank",
         "q_host_pagerank",
+        "q_link_resolve",
         "q_robots_filter",
         "q_url_normalize",
         "q_sitemap_urls",

@@ -1,11 +1,15 @@
 """Hyperlink (web-graph) extraction from raw HTML pages.
 
 The companion to Microdata extraction for web-graph analytics: pull
-``href`` targets out of the page bytes with a codegen'd
-``regexp_extract_all`` (no tokenizer pass, no Python), reduce to a
-host-level edge list, and feed the graph operators (PageRank,
-components, degrees). At crawl scale this is a pure scan-side explode
-— the only shuffles are whatever the downstream graph algorithm needs.
+``href`` targets out of the page bytes with codegen'd
+``regexp_extract_all`` (no tokenizer pass, no Python) covering all
+three HTML attribute quoting styles, resolve them against the source
+page URL per RFC 3986 (:func:`resolve_links` — most links on real
+pages are relative), reduce to a host-level edge list, and feed the
+graph operators (PageRank, components, degrees). At crawl scale the
+extraction is a pure scan-side explode and the resolution an
+Arrow-batched kernel on the exploded rows — the only shuffles are
+whatever the downstream graph algorithm needs.
 
 Host parsing is a fixed regex rather than ``parse_url`` so the
 DuckDB oracles and the pure-Python corpus builders reproduce it
@@ -22,7 +26,18 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame
 
-HREF_PATTERN = r'href="([^"]*)"'
+# One pattern per HTML attribute quoting style; the unquoted class is
+# HTML5's (no whitespace, quotes, '=', '<', '>', backtick). A quoted
+# value never matches the unquoted pattern (its first char is the
+# quote). These strings are the shared extraction contract: the
+# pure-Python oracle replay in plans/queries.py runs the same three
+# patterns through ``re`` — change both sides together.
+HREF_PATTERNS = (
+    r'(?i)href\s*=\s*"([^"]*)"',
+    r"(?i)href\s*=\s*'([^']*)'",
+    r"""(?i)href\s*=\s*([^\s"'=<>`]+)""",
+)
+HREF_PATTERN = HREF_PATTERNS[0]  # double-quoted only (legacy alias)
 HOST_PATTERN = r"^https?://([^/]+)"
 
 
@@ -34,13 +49,58 @@ def host_of(col: "Column") -> "Column":
 def extract_links(
     pages: "DataFrame", url_col: str = "url", html_col: str = "html"
 ) -> "DataFrame":
-    """(src_url, dst_url) — one row per href occurrence (parallel
-    links preserved; graph ops decide their own multiplicity rules)."""
+    """(src_url, dst_url) — one row per href occurrence across
+    double-quoted, single-quoted, AND unquoted attribute values
+    (parallel links preserved; graph ops decide their own multiplicity
+    rules). dst_url is the RAW href — relative references and all —
+    chain :func:`resolve_links` to make them absolute."""
+    hrefs = F.concat(
+        *[
+            F.regexp_extract_all(F.col(html_col), F.lit(p), 1)
+            for p in HREF_PATTERNS
+        ]
+    )
     return pages.select(
         F.col(url_col).alias("src_url"),
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
-        ).alias("dst_url"),
+        F.explode(hrefs).alias("dst_url"),
+    )
+
+
+def resolve_links(
+    links: "DataFrame", src_col: str = "src_url", dst_col: str = "dst_url"
+) -> "DataFrame":
+    """Resolve raw href targets against their source page URL per
+    RFC 3986 §5.2 (functions/iri.py — the same resolver the Microdata
+    core uses, reference parity /root/reference/lib/Util.ts:96-105):
+    relative paths, rooted paths, protocol-relative references, dot
+    segments, fragment-only and query-only hrefs all become absolute;
+    rows whose href cannot resolve (unparseable base) are dropped.
+
+    Resolution is genuinely imperative (the dot-segment removal loop) —
+    the documented threshold for leaving codegen — so it runs as an
+    Arrow-batched kernel, scan-side on the exploded link rows, no
+    shuffle. Absolute hrefs pass through the same kernel (they also get
+    dot-segment normalization, keeping one canonical contract for both
+    forms).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _resolve(dst, src):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from ..functions.iri import resolve_iri
+
+        out = []
+        for ref, base in zip(dst, src):
+            try:
+                out.append(resolve_iri(ref, base))
+            except Exception:  # noqa: BLE001 — unresolvable href: drop row
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return links.withColumn(dst_col, _resolve(F.col(dst_col), F.col(src_col))).where(
+        F.col(dst_col).isNotNull()
     )
 
 

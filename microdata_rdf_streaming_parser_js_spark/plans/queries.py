@@ -2793,45 +2793,95 @@ _LG_HOSTS = 20
 
 def _linked_page_rows(n: int = _LG_N, n_hosts: int = _LG_HOSTS) -> list[tuple[str, str]]:
     """Deterministic (url, html) pages whose anchor tags encode the
-    same functional graph family as q_pagerank: page i links to page
-    (i*31+7) mod n, and every third page also to (i*17+3) mod n. One
+    same functional graph family as q_pagerank — page i links to page
+    (i*31+7) mod n, every third page also to (i*17+3) mod n, and every
+    second page to its same-host neighbor (i+n_hosts) mod n — written
+    the way real crawled HTML writes them: double-quoted, single-
+    quoted, AND unquoted attributes; absolute, protocol-relative,
+    rooted-relative, dot-segment-relative, and fragment-only targets;
+    plus non-http hrefs that must drop at the host-edge step. One
     shared pure-Python builder backs both the Spark corpus and the
     oracle's edge derivation."""
     rows = []
     for i in range(n):
+        url = f"http://host{i % n_hosts}.example.org/p/{i}"
+        anchors = []
         targets = [(i * 31 + 7) % n]
         if i % 3 == 0:
             targets.append((i * 17 + 3) % n)
-        url = f"http://host{i % n_hosts}.example.org/p/{i}"
-        anchors = "".join(
-            f'<a href="http://host{t % n_hosts}.example.org/p/{t}">l{t}</a>'
-            for t in targets
-        )
+        for t in targets:
+            t_host = f"host{t % n_hosts}.example.org"
+            s = (i + t) % 3
+            if s == 0:
+                anchors.append(f'<a href="http://{t_host}/p/{t}">l{t}</a>')
+            elif s == 1:
+                anchors.append(f"<a href='http://{t_host}/p/{t}'>l{t}</a>")
+            else:  # protocol-relative: scheme comes from the base URL
+                anchors.append(f'<a href="//{t_host}/p/{t}">l{t}</a>')
+        if i % 2 == 0:
+            # same-host neighbor via RELATIVE references (what most
+            # real-world links look like); n % n_hosts == 0 keeps the
+            # target on this host
+            tr = (i + n_hosts) % n
+            if i % 4 == 0:
+                anchors.append(f"<a href='/p/{tr}'>r{tr}</a>")
+            else:
+                anchors.append(f"<a href=../p/{tr}>r{tr}</a>")
+        if i % 5 == 0:
+            anchors.append("<a href=#top>top</a>")  # self host edge
+        if i % 7 == 0:
+            anchors.append('<a href="javascript:void(0)">js</a>')  # dropped
         html = (
             '<html><body><article itemscope '
             'itemtype="http://schema.org/Article">'
-            f'<h1 itemprop="headline">page {i}</h1>{anchors}'
+            f'<h1 itemprop="headline">page {i}</h1>{"".join(anchors)}'
             "</article></body></html>"
         )
         rows.append((url, html))
     return rows
 
 
+def _replay_links_py(url: str, html: str) -> list[str]:
+    """Pure-Python replay of extract_links + resolve_links for the
+    oracle side: the SAME three HREF_PATTERNS regex strings run through
+    ``re`` (an independent regex engine from Spark's Java one), then
+    the shared RFC 3986 kernel (functions/iri.py — the shared-local-
+    kernel oracle pattern, like robots). Unresolvable hrefs drop, like
+    resolve_links' NULL filter."""
+    import re as _re
+
+    from ..functions.iri import resolve_iri
+    from ..operators.links import HREF_PATTERNS
+
+    raw: list[str] = []
+    for pat in HREF_PATTERNS:
+        raw.extend(_re.findall(pat, html))
+    out = []
+    for href in raw:
+        try:
+            out.append(resolve_iri(href, url))
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
 def q_host_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """End-to-end web-graph construction: raw HTML pages -> href
-    extraction (codegen'd regexp, operators/links.py) -> host-level
-    edge list -> integer PageRank (operators/graph.py). Parallel
-    host edges each contribute (the multiplicity a crawler's link
-    graph actually has). The oracle derives the identical edge set
-    from the shared page builder and replays the same unrolled
-    integer rounds."""
+    extraction across all three quoting styles (codegen'd regexps,
+    operators/links.py) -> RFC 3986 resolution of relative/protocol-
+    relative/fragment hrefs against the page URL (resolve_links) ->
+    host-level edge list (non-http schemes drop) -> integer PageRank
+    (operators/graph.py). Parallel host edges each contribute (the
+    multiplicity a crawler's link graph actually has). The oracle
+    derives the identical edge set from the shared page builder and
+    replays the same unrolled integer rounds."""
     from ..operators.graph import pagerank
-    from ..operators.links import extract_links, host_edges
+    from ..operators.links import extract_links, host_edges, resolve_links
 
     pages = spark.createDataFrame(
         _linked_page_rows(), "url string, html string"
     ).repartition(4)
-    edges = host_edges(extract_links(pages))
+    edges = host_edges(resolve_links(extract_links(pages)))
     hosts = spark.createDataFrame(
         [(f"host{k}.example.org",) for k in range(_LG_HOSTS)], "host string"
     )
@@ -2854,9 +2904,10 @@ def sql_host_pagerank() -> str:
     edges = []
     for url, html in _linked_page_rows():
         src = _re.match(r"^https?://([^/]+)", url).group(1)
-        for dst_url in _re.findall(r'href="([^"]*)"', html):
-            dst = _re.match(r"^https?://([^/]+)", dst_url).group(1)
-            edges.append((src, dst))
+        for dst_url in _replay_links_py(url, html):
+            m = _re.match(r"^https?://([^/]+)", dst_url)
+            if m:  # non-http schemes (javascript:) drop, like host_edges
+                edges.append((src, m.group(1)))
     e_values = ",\n".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in edges)
     id_values = ",\n".join(
         f"({_sql_str(f'host{k}.example.org')})" for k in range(_LG_HOSTS)
@@ -2875,6 +2926,75 @@ e AS (SELECT subj, obj FROM (VALUES
 
 QUERIES["q_host_pagerank"] = q_host_pagerank
 ORACLES["q_host_pagerank"] = sql_host_pagerank
+
+
+# ---------------------------------------------------------------------------
+# link resolution (raw hrefs -> absolute URLs, RFC 3986)
+# ---------------------------------------------------------------------------
+
+def _link_page_rows() -> list[tuple[str, str]]:
+    """Deterministic (url, html) pages exercising every href form a
+    real crawl emits: absolute (both quote styles, mixed-case HREF,
+    spaces around '='), relative path, rooted path, dot segments,
+    protocol-relative, fragment-only, query-only, empty, unquoted, and
+    non-hierarchical schemes (javascript:, mailto:) that resolve to
+    themselves. Base URLs vary host, port, directory depth, and query
+    presence."""
+    hosts = ("alpha.example.org", "beta.example.org:8080")
+    rows = []
+    for i in range(24):
+        host = hosts[i % 2]
+        url = f"http://{host}/dir{i % 3}/page{i}.html" + (
+            "?v=1" if i % 4 == 0 else ""
+        )
+        hrefs = [
+            f'<a href="http://abs{i % 5}.example.org/x/{i}">a</a>',
+            f"<a href='sub/rel{i}.html'>b</a>",
+            f"<a href=/rooted/{i}>c</a>",
+            f"<a href=../up/{i}.html>d</a>",
+            f'<a href="//proto.example.org/pp/{i}">e</a>',
+            "<a href=#sec>f</a>",
+            "<a href='?q=2'>g</a>",
+            '<a href="">h</a>',
+            '<a HREF = "http://case.example.org/y/./z/../w">i</a>',
+        ]
+        if i % 6 == 0:
+            hrefs.append('<a href="javascript:void(0)">j</a>')
+            hrefs.append("<a href='mailto:x@example.org'>k</a>")
+        rows.append((url, "<html><body>" + "".join(hrefs) + "</body></html>"))
+    return rows
+
+
+def q_link_resolve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Raw-HTML link resolution (operators/links.extract_links +
+    resolve_links): href occurrences across all three quoting styles,
+    each RFC 3986-resolved against its page URL — the step that makes
+    the web graph see the relative links real pages are made of. The
+    oracle replays the same three extraction regexes through Python
+    ``re`` and the shared RFC 3986 kernel (functions/iri.py)."""
+    from ..operators.links import extract_links, resolve_links
+
+    pages = spark.createDataFrame(
+        _link_page_rows(), "url string, html string"
+    ).repartition(4)
+    return resolve_links(extract_links(pages)).select("src_url", "dst_url")
+
+
+def sql_link_resolve() -> str:
+    values = ",\n".join(
+        f"({_sql_str(url)}, {_sql_str(dst)})"
+        for url, html in _link_page_rows()
+        for dst in _replay_links_py(url, html)
+    )
+    return f"""SELECT CAST(src_url AS VARCHAR) AS src_url,
+       CAST(dst_url AS VARCHAR) AS dst_url
+FROM (VALUES
+{values}
+) t(src_url, dst_url)"""
+
+
+QUERIES["q_link_resolve"] = q_link_resolve
+ORACLES["q_link_resolve"] = sql_link_resolve
 
 
 # ---------------------------------------------------------------------------

@@ -136,12 +136,87 @@ def test_extract_links_and_host_edges(spark):
         ("http://a.com/p", "http://b.com/x"),
         ("http://a.com/p", "http://b.com/y"),
     ]
-    # relative target has no parseable host and is dropped; the two
-    # absolute links yield a PARALLEL a.com->b.com edge pair
+    # an UNRESOLVED relative target has no parseable host and is
+    # dropped; the two absolute links yield a PARALLEL a.com->b.com
+    # edge pair
     edges = sorted(
         (r["subj"], r["obj"]) for r in host_edges(extract_links(pages)).collect()
     )
     assert edges == [("a.com", "b.com"), ("a.com", "b.com")]
+
+
+def test_extract_links_all_quoting_styles(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        extract_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a.com/p",
+                '<a href="http://dq.com/x">1</a>'
+                "<a href='http://sq.com/y'>2</a>"
+                "<a href=http://uq.com/z>3</a>"
+                "<a HREF = '/mixed'>4</a>"
+                "<a href=#frag>5</a>",
+            ),
+        ],
+        "url string, html string",
+    )
+    got = sorted(r["dst_url"] for r in extract_links(pages).collect())
+    assert got == [
+        "#frag", "/mixed", "http://dq.com/x", "http://sq.com/y",
+        "http://uq.com/z",
+    ]
+
+
+def test_resolve_links_rfc3986(spark):
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        extract_links,
+        host_edges,
+        resolve_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a.com/dir/p.html?v=1",
+                "<a href='sub/x'>1</a>"
+                "<a href=/rooted>2</a>"
+                "<a href=../up>3</a>"
+                '<a href="//b.com/pp">4</a>'
+                "<a href=#sec>5</a>"
+                "<a href='?q=2'>6</a>"
+                '<a href="">7</a>'
+                '<a href="javascript:void(0)">8</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    got = sorted(
+        r["dst_url"] for r in resolve_links(extract_links(pages)).collect()
+    )
+    assert got == sorted(
+        [
+            "http://a.com/dir/sub/x",
+            "http://a.com/rooted",
+            "http://a.com/up",
+            "http://b.com/pp",
+            "http://a.com/dir/p.html?v=1#sec",
+            "http://a.com/dir/p.html?q=2",
+            "http://a.com/dir/p.html?v=1",  # empty href: the page itself
+            "javascript:void(0)",
+        ]
+    )
+    # after resolution, relative links DO produce host edges (including
+    # the same-host self edges); the javascript: href drops
+    edges = sorted(
+        (r["subj"], r["obj"])
+        for r in host_edges(resolve_links(extract_links(pages))).collect()
+    )
+    assert edges == [("a.com", "a.com")] * 6 + [("a.com", "b.com")]
 
 
 def test_normalize_url_rules(spark):
