@@ -15,8 +15,9 @@ Scale notes (100 TB):
   join. Hot bands (boilerplate docs) are bounded by AQE skew-join.
 - SimHash: signature scan-side; candidate pairs via banding on
   16-bit signature chunks (Hamming-distance blocking).
-- md5 is used for the MinHash permutations (stable across engines ->
-  DuckDB-checkable oracles); xxhash64 backs the production SimHash.
+- md5 backs both the MinHash permutations and the SimHash token
+  hashes: identical digests across engines make every pair set
+  DuckDB-checkable, and the hash cost is dwarfed by the aggregations.
 """
 
 from __future__ import annotations
@@ -350,21 +351,35 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
 ) -> "DataFrame":
-    """63-bit SimHash (positive signed long) from xxhash64 token hashes.
+    """63-bit SimHash (positive signed long) from md5 token hashes.
 
-    bit b = sign of sum over tokens of (+1 if hash bit b set else -1).
+    bit b = sign of sum over tokens of (+1 if hash bit b set else -1),
+    where the 63 hash bits are the two 32-bit integer halves of the
+    md5 hex digest (bits 0-31 from chars 1-8, bits 32-62 from chars
+    9-16). md5 rather than xxhash64 deliberately: identical digests in
+    DuckDB make the full 63-bit pair set oracle-checkable, and the
+    per-token cost difference is dwarfed by the 63 signed sums.
+
     Shape: explode(tokens) -> groupBy(doc).agg(63 signed sums) -> fold
     bits into one long. Map-side combine keeps the shuffle at one row
     per doc per partition.
     """
+    h = F.md5("t")
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
         F.sum(
             F.when(
-                F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+                F.col("h1" if b < 32 else "h2")
+                .bitwiseAND(F.lit(1 << (b % 32)).cast("long"))
+                != 0,
+                1,
             ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(63)
@@ -489,7 +504,8 @@ def simhash_pairs(
     return (
         _simhash_candidate_pairs(rows)
         .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")

@@ -860,11 +860,67 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash32 FROM toks"""
 
 
 def q_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Production 64-bit xxhash64 SimHash near-dup pairs (Spark-native
-    hash -> no SQL oracle; rows-only check). The oracle-exact variant
-    of the same algorithm is q_simhash32_pairs."""
+    """Production 63-bit SimHash near-dup pairs: md5-derived token
+    hashes (two 32-bit digest halves) + exact 6-chunk combination
+    blocking + Hamming verify. The oracle recomputes the full 63-bit
+    signature in DuckDB (identical md5 digests) and blocks with the
+    classic 4-chunk pigeonhole — a different-but-equivalent exact
+    candidate generator, so the final pair set must match
+    hash-for-hash."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(docs, max_hamming=3)
+
+
+def sql_simhash_pairs() -> str:
+    from ..operators.dedup import _simhash_chunk_spans
+
+    toks = _TOKS.format(c="text")
+    sum_terms = ",\n         ".join(
+        f"SUM(CASE WHEN ({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(63)
+    )
+    sig_term = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
+    )
+    chunk_rows = ", ".join(
+        f"({cid}, {off}, {(1 << w) - 1})"
+        for cid, (off, w) in enumerate(_simhash_chunk_spans(63, 4))
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS x FROM toks WHERE t IS NOT NULL
+),
+th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(x), 9, 8) AS BIGINT) AS h2
+  FROM tok
+),
+sums AS (
+  SELECT doc_id,
+         {sum_terms}
+  FROM th GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST({sig_term} AS BIGINT) AS sig FROM sums
+),
+chunks AS (
+  SELECT doc_id, sig, c.chunk_id,
+         (sig >> c.off) & c.mask AS chunk_key
+  FROM sigs CROSS JOIN (VALUES {chunk_rows}) c(chunk_id, off, mask)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM chunks l JOIN chunks r
+    ON l.chunk_id = r.chunk_id AND l.chunk_key = r.chunk_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
 
 
 _SH32_MAX_HAMMING = 3
@@ -1854,6 +1910,7 @@ ORACLES = {
     "q_ngram_jaccard_capped": sql_ngram_jaccard_capped,
     "q_ngram_jaccard_lsh": sql_ngram_jaccard_lsh,
     "q_simhash32": sql_simhash32,
+    "q_simhash_pairs": sql_simhash_pairs,
     "q_simhash32_pairs": sql_simhash32_pairs,
     "q_token_stats": sql_token_stats,
     "q_lang_id": sql_lang_id,

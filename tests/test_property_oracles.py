@@ -42,6 +42,7 @@ _QUERY_NAMES = [
     "q_lang_id",
     "q_quality",
     "q_simhash32",
+    "q_simhash_pairs",
     "q_simhash32_pairs",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard_pairs",
