@@ -78,28 +78,30 @@ def run_pipeline_bench(spark, sf_dir: str, replicate: int = 4, partitions: int =
     n_pages = pages.count()  # materialize corpus outside the timed region
     plan = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
     plan.count()  # untimed warm pass: spins up every Python worker once
-    wall = float("inf")
+    raw = []
     n_triples = 0
     for _ in range(max(1, passes)):
         t0 = time.time()
         n_triples = plan.count()
-        wall = min(wall, time.time() - t0)
+        raw.append(round(time.time() - t0, 3))
     pages.unpersist()
-    return n_pages, n_triples, wall
+    return n_pages, n_triples, min(raw), raw
 
 
-def timed(fn, passes: int = 1) -> float:
-    """Best-of-``passes`` wall seconds. Per-query best-of-N for the
+def timed(fn, passes: int = 1) -> tuple[float, list[float]]:
+    """(best, all raw passes) wall seconds. Per-query best-of-N for the
     same reason as the pipeline's ``passes``: concurrent host activity
     (this box also runs an unrelated periodic workload) can inflate a
     single shot 3-5x; the minimum recovers the machine-capability
-    number the baseline comparison is about."""
-    best = float("inf")
+    number the baseline comparison is about, and recording every raw
+    pass makes a noise spike VISIBLE in the artifact instead of
+    becoming the round's official number."""
+    raw = []
     for _ in range(max(1, passes)):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        raw.append(round(time.time() - t0, 3))
+    return min(raw), raw
 
 
 def main() -> None:
@@ -115,7 +117,7 @@ def main() -> None:
     # headline: KG pipeline throughput (best-of-N, same noise rationale
     # as per-query passes below)
     headline_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
-    n_pages, n_triples, wall = run_pipeline_bench(
+    n_pages, n_triples, wall, headline_raw = run_pipeline_bench(
         spark, sf_dir, replicate, passes=headline_passes
     )
 
@@ -165,12 +167,13 @@ def main() -> None:
         "q_mixture_sample",
         "q_curation",
     ]
-    query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "2"))
+    query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}
+    query_raw: dict[str, list[float]] = {}
     for name in bench_queries:
         fn = QUERIES[name]
         try:
-            query_secs[name] = timed(
+            query_secs[name], query_raw[name] = timed(
                 lambda: fn(spark, sf_dir).count(), passes=query_passes
             )
         except Exception as exc:  # noqa: BLE001
@@ -181,9 +184,13 @@ def main() -> None:
     # co-tenant windows span minutes, so back-to-back passes can ALL
     # land inside one; two sample points ~10 min apart make the
     # best-of robust to that failure mode
-    _, _, wall2 = run_pipeline_bench(spark, sf_dir, replicate, passes=headline_passes)
+    _, _, wall2, headline_raw2 = run_pipeline_bench(
+        spark, sf_dir, replicate, passes=headline_passes
+    )
+    headline_raw = headline_raw + headline_raw2
     wall = min(wall, wall2)
     query_secs["pipeline_extract_skolem_dedup"] = round(wall, 3)
+    query_raw["pipeline_extract_skolem_dedup"] = headline_raw
     triples_per_sec = n_triples / wall if wall > 0 else 0.0
 
     result = {
@@ -191,6 +198,7 @@ def main() -> None:
         "value": round(triples_per_sec, 1),
         "unit": "sec",
         "queries": query_secs,
+        "queries_raw": query_raw,
         "sf": _sf_from_dir(sf_dir),
         "n_pages": n_pages,
         "n_triples": n_triples,
@@ -295,10 +303,10 @@ def scale_point(level: int, sf_dir: str, replicate: int) -> dict:
 
     passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
     s = get_spark(app_name=f"bench-scale-{level}", cores=level)
-    _, n_t, w = run_pipeline_bench(s, sf_dir, replicate, passes=passes)
+    _, n_t, w, raw = run_pipeline_bench(s, sf_dir, replicate, passes=passes)
     s.stop()
     return {"wall_sec": round(w, 2), "triples_per_sec": round(n_t / w, 1),
-            "passes": passes}
+            "passes": passes, "raw_walls": raw}
 
 
 def run_scaling(sf_dir: str) -> dict:
