@@ -154,6 +154,7 @@ def main() -> None:
         "q_host_pagerank",
         "q_link_resolve",
         "q_robots_filter",
+        "q_robots_sitemaps",
         "q_url_normalize",
         "q_sitemap_urls",
         "q_bm25_topk",

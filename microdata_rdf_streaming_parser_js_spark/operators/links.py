@@ -161,6 +161,30 @@ def host_edges(links: "DataFrame") -> "DataFrame":
     return out.where((F.col("subj") != "") & (F.col("obj") != ""))
 
 
+_SITEMAP_DIRECTIVE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def robots_sitemap_urls(
+    robots: "DataFrame", host_col: str = "host", txt_col: str = "robots_txt"
+) -> "DataFrame":
+    """(host, sitemap_url) from ``Sitemap:`` directives in robots.txt
+    bodies (RFC 9309 §2.3) — the line that connects crawl governance to
+    frontier seeding: these URLs join the fetched-sitemap corpus and
+    :func:`extract_sitemap_urls` walks the ``<loc>`` tree from there.
+    Directives are group-independent (they apply file-wide, any case,
+    any position), which is why this is a whole-body regexp and not
+    part of the per-agent rule parser. Scan-side codegen'd explode,
+    zero shuffles."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(txt_col), F.lit(_SITEMAP_DIRECTIVE), 1
+            )
+        ).alias("sitemap_url"),
+    )
+
+
 _LOC_PATTERN = r"<loc>\s*([^<]+?)\s*</loc>"
 
 

@@ -3303,3 +3303,60 @@ FROM sm"""
 
 QUERIES["q_sitemap_urls"] = q_sitemap_urls
 ORACLES["q_sitemap_urls"] = sql_sitemap_urls
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap: directives (crawl-frontier loop closure)
+# ---------------------------------------------------------------------------
+
+def _robots_sitemap_rows() -> list[tuple[str, str]]:
+    """(host, robots_txt) bodies exercising the Sitemap: directive
+    forms a crawler meets: canonical casing, lowercase/uppercase keys,
+    leading whitespace, multiple directives per file, CRLF endings,
+    directives interleaved with groups, and files with none."""
+    rows = []
+    for k in range(10):
+        host = f"host{k}.example.org"
+        body = f"User-agent: *\nDisallow: /tmp{k}\n"
+        if k % 3 == 0:
+            body += f"Sitemap: http://{host}/sitemap.xml\n"
+        elif k % 3 == 1:
+            body += (
+                f"  sitemap:   http://{host}/sm/a.xml\n"
+                f"User-agent: sparkbot\nDisallow: /x\n"
+                f"SITEMAP: https://cdn.{host}/sm/b.xml\r\n"
+            )
+        rows.append((host, body))
+    return rows
+
+
+def q_robots_sitemaps(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sitemap references out of robots.txt bodies
+    (operators/links.robots_sitemap_urls, RFC 9309 §2.3): the step that
+    closes the crawl-frontier loop — robots governance hands the
+    frontier its sitemap seeds, which extract_sitemap_urls then walks.
+    Pure codegen'd regexp explode; the oracle runs the same pattern
+    through DuckDB's RE2 independently (true cross-engine check)."""
+    from ..operators.links import robots_sitemap_urls
+
+    robots = spark.createDataFrame(
+        _robots_sitemap_rows(), "host string, robots_txt string"
+    ).repartition(2)
+    return robots_sitemap_urls(robots)
+
+
+def sql_robots_sitemaps() -> str:
+    values = ",\n".join(
+        f"({_sql_str(h)}, {_sql_str(t)})" for h, t in _robots_sitemap_rows()
+    )
+    return f"""WITH r(host, robots_txt) AS (VALUES
+{values}
+)
+SELECT host,
+       unnest(regexp_extract_all(robots_txt,
+              '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)) AS sitemap_url
+FROM r"""
+
+
+QUERIES["q_robots_sitemaps"] = q_robots_sitemaps
+ORACLES["q_robots_sitemaps"] = sql_robots_sitemaps

@@ -116,3 +116,46 @@ def test_robots_filter_spark_stage(spark):
         "http://a.com/page": True,
         "http://norobots.com/anything": True,  # missing robots row
     }
+
+
+@pytest.mark.spark
+def test_robots_sitemap_directive_feeds_frontier(spark):
+    """Full crawl-frontier loop: Sitemap: directives out of robots.txt
+    join the fetched sitemap corpus and <loc> extraction walks on."""
+    from microdata_rdf_streaming_parser_js_spark.operators.links import (
+        extract_sitemap_urls,
+        robots_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\n"
+                      "Sitemap: http://a.com/sm.xml\n"
+                      "  SITEMAP:\thttp://a.com/sm2.xml\r\n"),
+            ("b.com", "User-agent: *\nDisallow: /\n"),  # no directive
+        ],
+        "host string, robots_txt string",
+    )
+    seeds = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemap_urls(robots).collect()
+    )
+    assert seeds == [
+        ("a.com", "http://a.com/sm.xml"),
+        ("a.com", "http://a.com/sm2.xml"),
+    ]
+    fetched = spark.createDataFrame(
+        [
+            ("http://a.com/sm.xml",
+             "<urlset><url><loc>http://a.com/p1</loc></url></urlset>"),
+            ("http://unreferenced.com/sm.xml",
+             "<urlset><url><loc>http://unreferenced.com/p9</loc></url></urlset>"),
+        ],
+        "sitemap_url string, xml string",
+    )
+    frontier = extract_sitemap_urls(
+        fetched.join(robots_sitemap_urls(robots), "sitemap_url")
+    )
+    assert [(r["sitemap_url"], r["url"]) for r in frontier.collect()] == [
+        ("http://a.com/sm.xml", "http://a.com/p1")
+    ]
