@@ -212,6 +212,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench error simhash_candidates: {exc}", file=sys.stderr)
 
+    try:
+        result["ivf_list_balance"] = ivf_list_balance(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench error ivf_list_balance: {exc}", file=sys.stderr)
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         result["scaling"] = run_scaling(sf_dir)
@@ -243,6 +248,31 @@ def simhash_candidate_counts(spark, sf_dir: str) -> dict:
         rows = _simhash_block_rows(sig, 63, n_chunks, 3)
         out[label] = _simhash_candidate_pairs(rows).count()
     sig.unpersist()
+    return out
+
+
+def ivf_list_balance(spark, sf_dir: str) -> dict:
+    """Centroid-quality evidence: inverted-list occupancy (min/max/
+    imbalance ratio) under the raw first-N seed vs the 3-iteration
+    integer Lloyd refinement — the k-means pass exists to flatten this
+    skew, which at scale is probe-latency skew."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        ivf_list_sizes,
+        kmeans_centroids_u,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for label, iters in (("first_n_seed", 0), ("kmeans_lloyd3", 3)):
+        cu = kmeans_centroids_u(emb, iterations=iters)
+        cents = [[x / 1_000_000 for x in c] for c in cu]
+        sizes = sorted(r["n"] for r in ivf_list_sizes(emb, cents).collect())
+        out[label] = {
+            "lists": len(sizes),
+            "min": sizes[0],
+            "max": sizes[-1],
+            "imbalance": round(sizes[-1] / max(1, sizes[0]), 2),
+        }
     return out
 
 

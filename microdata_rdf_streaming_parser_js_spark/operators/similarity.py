@@ -192,6 +192,115 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids_u(
+    embeddings: "DataFrame",
+    n_centroids: int = 16,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Fixed-iteration INTEGER-EXACT Lloyd k-means over micro-unit
+    vectors — deterministic and cross-engine replayable (the same
+    unrolled-rounds oracle trick as PageRank):
+
+    - vectors floored to micro-units ``floor(v * scale)`` (long);
+    - init: centroid ``c`` = the vector with id ``c`` (first N by id);
+    - assignment: argmin of integer squared Euclidean distance against
+      plan-time centroid literals — SCAN-SIDE codegen, no shuffle, no
+      UDF; ties break to the smaller centroid id;
+    - update: per-dimension ``sum // count`` (floor division, exact);
+      an empty cluster keeps its previous centroid.
+
+    Per iteration exactly one job runs and only ``n_centroids`` rows of
+    (64 sums + count) reach the driver — the same ledger-scale collect
+    budget as the rest of the repo. Returns the micro-unit centroid
+    list indexed by centroid id.
+    """
+    vu = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    )
+    init = {
+        int(r["vec_id"]): [int(x) for x in r["v"]]
+        for r in vu.filter(F.col("vec_id") < n_centroids).collect()
+    }
+    if len(init) < n_centroids:
+        raise ValueError(
+            f"kmeans_centroids_u: only {len(init)} of {n_centroids} init "
+            f"rows found with {id_col} < {n_centroids}; ids must be "
+            "0-based contiguous (or pass a smaller n_centroids)"
+        )
+    cents = [init[c] for c in range(n_centroids)]
+    dim = len(cents[0])
+
+    for _ in range(iterations):
+        scores = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in enumerate(cents)
+            ]
+        )
+        asg = vu.withColumn("cid", F.array_min(scores).getField("cid"))
+        aggs = [F.sum(F.col("v")[d]).alias(f"s{d}") for d in range(dim)]
+        rows = asg.groupBy("cid").agg(*aggs, F.count("*").alias("n")).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            n = int(r["n"])
+            new[int(r["cid"])] = [int(r[f"s{d}"]) // n for d in range(dim)]
+        cents = new
+    return cents
+
+
+def _cent_scores(vec: "Column", cents: list[list[float]]) -> "Column":
+    """array<struct<cos,negcid>> of the vector vs every centroid —
+    argmax over it (struct compares (cos, -cid)) is the shared
+    scan-side inverted-list assignment."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cvec])).alias("cos"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cvec in enumerate(cents)
+        ]
+    )
+
+
+def ivf_list_sizes(
+    embeddings: "DataFrame",
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """(cid, n) inverted-list occupancy for the given centroid vectors
+    — the balance diagnostic for the IVF path (skewed lists mean
+    skewed probe latency at scale)."""
+    e = embeddings.select(F.col(vec_col).cast("array<double>").alias("e_vec"))
+    return (
+        e.withColumn(
+            "cid",
+            -F.array_max(_cent_scores(F.col("e_vec"), cents)).getField("negcid"),
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def ivf_topk(
     embeddings: "DataFrame",
     queries: "DataFrame",
@@ -201,53 +310,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iterations: int = 3,
+    scale: int = 1_000_000,
 ) -> "DataFrame":
     """IVF-style approximate top-k (the brief's "IVF variant as the
     scale path"): partition vectors into inverted lists by nearest
     centroid, probe only the ``n_probe`` closest lists per query, exact
     cosine within the probed lists.
 
-    Centroids are deterministic (the first ``n_centroids`` vectors by
-    id — a seeded-sample stand-in for k-means), collected once on the
-    driver (a 16-row dim table) and embedded as plan-time literal
-    arrays. List assignment is therefore SCAN-SIDE — an array_max over
-    per-centroid cosine structs, no shuffle, no UDF — which is the
-    property that matters at 100 TB: the big side is read once,
-    assigned in codegen, and only candidate rows reach the final
-    per-query rank. Tie-breaks: max cosine, then min centroid id
-    (struct compares (cos, -cid))."""
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.select(id_col, vec_col)
-        .filter(F.col(id_col) < n_centroids)
-        .collect()
-    ]
-    cents.sort()
-    if len(cents) < n_centroids:
-        raise ValueError(
-            f"ivf_topk: only {len(cents)} of {n_centroids} centroid rows "
-            f"found with {id_col} < {n_centroids}; ids must be 0-based "
-            "contiguous (or pass a smaller n_centroids)"
-        )
-
-    def cent_scores(vec: "Column") -> "Column":
-        """array<struct<cos,negcid>> of the vector vs every centroid."""
-        return F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(x) for x in cvec])).alias("cos"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
+    Centroids come from :func:`kmeans_centroids_u` (fixed-iteration
+    integer-exact Lloyd — balanced inverted lists, unlike the first-N
+    seed alone; pass ``kmeans_iterations=0`` for the raw first-N seed)
+    and are embedded as plan-time literal arrays. List assignment is
+    therefore SCAN-SIDE — an array_max over per-centroid cosine
+    structs, no shuffle, no UDF — which is the property that matters at
+    100 TB: the big side is read once, assigned in codegen, and only
+    candidate rows reach the final per-query rank. Tie-breaks: max
+    cosine, then min centroid id (struct compares (cos, -cid))."""
+    cents_u = kmeans_centroids_u(
+        embeddings,
+        n_centroids=n_centroids,
+        iterations=kmeans_iterations,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # micro-units -> doubles: exact-integer / exact-scale IEEE division
+    # gives bit-identical doubles in every engine
+    cents = [[x / scale for x in cu] for cu in cents_u]
 
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e_vec"),
     )
     assigned = e.withColumn(
-        "cid", -F.array_max(cent_scores(F.col("e_vec"))).getField("negcid")
+        "cid",
+        -F.array_max(_cent_scores(F.col("e_vec"), cents)).getField("negcid"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -258,7 +356,9 @@ def ivf_topk(
         "q_vec",
         F.explode(
             F.slice(
-                F.reverse(F.array_sort(cent_scores(F.col("q_vec")))), 1, n_probe
+                F.reverse(F.array_sort(_cent_scores(F.col("q_vec"), cents))),
+                1,
+                n_probe,
             )
         ).alias("p"),
     ).select("query_id", "q_vec", (-F.col("p.negcid")).alias("cid"))

@@ -1144,11 +1144,14 @@ def q_lsh_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 _IVF_CENTROIDS = 16
 _IVF_PROBE = 4
+_IVF_KMEANS_ITER = 3
 
 
 def q_ivf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """IVF ANN path: deterministic centroids (first 16 vectors),
-    scan-side inverted-list assignment, probe 4 lists per query."""
+    """IVF ANN path: integer-exact Lloyd k-means centroids (3 fixed
+    iterations, first-16 seed), scan-side inverted-list assignment,
+    probe 4 lists per query. The oracle replays the identical Lloyd
+    rounds as an unrolled CTE chain (the PageRank oracle trick)."""
     from ..operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1158,6 +1161,7 @@ def q_ivf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return ivf_topk(
         emb, queries, k=_TOPK_K,
         n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        kmeans_iterations=_IVF_KMEANS_ITER,
     ).select(
         "query_id",
         "vec_id",
@@ -1176,11 +1180,54 @@ def sql_ivf_topk() -> str:
         "i -> q.e[i] * e.e[i]), (x, y) -> x + y)"
     )
     nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    # unrolled integer-exact Lloyd rounds mirroring
+    # operators/similarity.kmeans_centroids_u: micro-unit vectors,
+    # argmin squared-Euclidean assignment (ties -> min cid), floor-div
+    # centroid update ((s - mod)/n is exactly divisible, so '//' is
+    # exact), empty clusters keep their previous centroid
+    lloyd = []
+    for r in range(_IVF_KMEANS_ITER):
+        lloyd.append(f"""dist{r} AS (
+  SELECT v.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+  FROM vu v CROSS JOIN c{r} c
+),
+asg{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist{r}) WHERE rn = 1
+),
+upd{r} AS (
+  SELECT a.cid, d.i, SUM(v.v[d.i]) AS s, COUNT(*) AS n
+  FROM asg{r} a JOIN vu v USING (vec_id) CROSS JOIN range(1, 65) d(i)
+  GROUP BY a.cid, d.i
+),
+cn{r} AS (
+  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS cv
+  FROM upd{r} GROUP BY cid
+),
+c{r + 1} AS (
+  SELECT p.cid, COALESCE(cn.cv, p.cv) AS cv
+  FROM c{r} p LEFT JOIN cn{r} cn USING (cid)
+)""")
+    lloyd_ctes = ",\n".join(lloyd)
     return f"""WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, e AS ce FROM vecs WHERE vec_id < {_IVF_CENTROIDS}),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vu WHERE vec_id < {_IVF_CENTROIDS}),
+{lloyd_ctes},
+cents AS (
+  SELECT cid, list_transform(cv, x -> x / 1000000.0) AS ce
+  FROM c{_IVF_KMEANS_ITER}
+),
 vc AS (
   SELECT v.vec_id, c.cid,
          {cdot} / ({nrm.format(v="v.e")} * {nrm.format(v="c.ce")}) AS cos
