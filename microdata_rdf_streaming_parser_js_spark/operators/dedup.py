@@ -573,6 +573,67 @@ def simhash32_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the standard local document fingerprinting scheme,
+    the brief's "document fingerprinting (rolling hash)" family):
+    hash every character ``k``-gram of the normalized text, slide a
+    ``window`` over consecutive gram hashes, keep the minimum of each
+    window, emit the distinct minima as the document's fingerprint
+    set. Guarantees every shared substring of length >= k + window - 1
+    between two documents yields a shared fingerprint.
+
+    The gram hash is the first-32-bit integer of md5 (portable ->
+    DuckDB replays digests exactly), standing in for the classic
+    rolling Karp-Rabin hash: same selection semantics, engine-portable.
+    Entirely scan-side array expressions (transform / slice /
+    array_min / array_distinct / explode) — zero shuffles, no UDF;
+    docs shorter than ``k`` characters produce no fingerprints.
+
+    The gram array is materialized in its own projection so the
+    window-min pass references a bound attribute: splicing the grams
+    expression into the window lambda would re-evaluate all n gram
+    hashes at every window position (O(n^2) md5 calls per document;
+    CollapseProject keeps the two projections separate because the
+    alias is non-cheap and referenced n times).
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    txt = norm_text(F.col(text_col))
+    n_grams = F.length(txt) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("_grams")
+    )
+    g = F.col("_grams")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(g) - (window - 1)),
+        lambda i: F.array_min(F.slice(g, i, window)),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(g) >= window, F.array_distinct(mins)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("fingerprint"),
+    )
+
+
 def curate_documents(
     docs: "DataFrame",
     id_col: str = "doc_id",

@@ -3407,3 +3407,54 @@ FROM r"""
 
 QUERIES["q_robots_sitemaps"] = q_robots_sitemaps
 ORACLES["q_robots_sitemaps"] = sql_robots_sitemaps
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (rolling-hash fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WF_K = 8
+_WF_WINDOW = 4
+
+
+def q_winnow_fingerprints(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints,
+    SIGMOD'03): per document, the distinct window-minima of md5-derived
+    character 8-gram hashes — the local fingerprinting scheme behind
+    plagiarism/overlap detection. Pure scan-side array expressions;
+    the DuckDB oracle recomputes every gram hash and window minimum
+    independently."""
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=_WF_K, window=_WF_WINDOW)
+
+
+def sql_winnow_fingerprints() -> str:
+    norm = _NORM.format(c="text")
+    k, w = _WF_K, _WF_WINDOW
+    return f"""WITH n AS (
+  SELECT doc_id, {norm} AS txt FROM documents
+),
+g AS (
+  SELECT doc_id, txt, length(txt) - {k - 1} AS ng FROM n
+),
+grams AS (
+  SELECT doc_id, ng,
+         list_transform(range(1, ng + 1), i ->
+           CAST('0x' || substr(md5(substr(txt, CAST(i AS INT), {k})), 1, 8)
+                AS BIGINT)) AS h
+  FROM g WHERE ng >= {w}
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, ng - {w - 1} + 1), i ->
+           list_min(list_slice(h, CAST(i AS INT),
+                               CAST(i + {w - 1} AS INT))))) AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM mins"""
+
+
+QUERIES["q_winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["q_winnow_fingerprints"] = sql_winnow_fingerprints

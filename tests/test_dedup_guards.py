@@ -138,3 +138,56 @@ def test_ngram_uncapped_guard_raises_above_doc_threshold(spark):
         [(0, 1)], "doc_id_a bigint, doc_id_b bigint"
     )
     assert ngram_jaccard_pairs(d, candidates=cands, max_docs_uncapped=3).count() >= 0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """SIGMOD'03 winnowing guarantee: two documents sharing a substring
+    of length >= k + window - 1 must share at least one fingerprint."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    shared = "absolutely identical stretch of text"  # len 36 >= k+w-1
+    d = _docs(
+        spark,
+        [
+            f"prefix one {shared} suffix alpha",
+            f"other start {shared} different ending here",
+            "no overlap with anything else in this corpus at all",
+        ],
+    )
+    fp = winnow_fingerprints(d, k=k, window=w)
+    rows = fp.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[0] & sets[1], "shared substring must yield a shared fingerprint"
+    assert not (sets[0] & sets[1] & sets[2])
+
+
+def test_winnow_short_and_exact_docs(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = _docs(spark, ["tiny", "", "exactly11ch"])  # < k+w-1 = 11 chars
+    fp = winnow_fingerprints(d, k=8, window=4)
+    got = {r.doc_id: r.fingerprint for r in fp.collect()}
+    # docs 0,1 are shorter than k+w-1 -> doc 0 has < window grams, doc 1 none
+    assert 0 not in got and 1 not in got
+    # doc 2 has exactly window grams -> exactly one window -> one fingerprint
+    assert fp.filter("doc_id = 2").count() == 1
+
+
+def test_winnow_identical_docs_identical_fingerprints(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    t = "The  Quick Brown   fox jumps over the lazy dog many times over"
+    d = _docs(spark, [t, t.lower()])  # normalization folds case/space
+    fp = winnow_fingerprints(d)
+    a = {r.fingerprint for r in fp.filter("doc_id = 0").collect()}
+    b = {r.fingerprint for r in fp.filter("doc_id = 1").collect()}
+    assert a == b and a
