@@ -3458,3 +3458,77 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM mins"""
 
 QUERIES["q_winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["q_winnow_fingerprints"] = sql_winnow_fingerprints
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume (6-table star join)
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_FROM_EPOCH = 820_454_400  # 1996-01-01 UTC
+_Q5_TO_EPOCH = 852_076_800  # 1997-01-01 UTC
+
+
+def q_local_supplier_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q5-shaped 6-table join: revenue by supplier nation for
+    orders placed in-region within a year, counting only lineitems
+    whose supplier sits in the customer's own nation.
+
+    Plan shape for 100 TB: region->nation->supplier collapse into one
+    broadcast dim (a few MB even at SF100k), hash-joined into the
+    lineitem scan with zero shuffle; the only exchanges are the two
+    fact-fact joins (lineitem><orders on orderkey, ><customer on
+    custkey) plus the final 5-group aggregate with map-side partials.
+    The date filter is pushed into the orders parquet scan before its
+    shuffle. Revenue in integer cents (floor(x*100)) so distributed
+    fold order cannot drift from the oracle."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == _Q5_REGION
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.unix_timestamp("o_orderdate") >= _Q5_FROM_EPOCH)
+        & (F.unix_timestamp("o_orderdate") < _Q5_TO_EPOCH)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "n_nationkey", "n_name")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            cust,
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (F.col("n_nationkey") == cust["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+
+
+def sql_local_supplier_volume() -> str:
+    return f"""SELECT n_name,
+  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = {_sql_str(_Q5_REGION)}
+  AND epoch(o_orderdate) >= {_Q5_FROM_EPOCH}
+  AND epoch(o_orderdate) < {_Q5_TO_EPOCH}
+GROUP BY 1"""
+
+
+QUERIES["q_local_supplier_volume"] = q_local_supplier_volume
+ORACLES["q_local_supplier_volume"] = sql_local_supplier_volume

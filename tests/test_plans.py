@@ -262,3 +262,19 @@ def test_robots_filter_join_is_size_gated(spark):
         robots_filter(pages, robots, broadcast_threshold=50, robots_rows=10)
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_q5_shape_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_local_supplier_volume,
+    )
+
+    plan = plan_str(q_local_supplier_volume(spark, sf_dir))
+    # region->nation->supplier dim chain reaches lineitem as a broadcast:
+    # the lineitem side of that join must never shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the orders date-range predicate exists pre-shuffle (unix_timestamp
+    # is not pushable into parquet, but must sit directly on the scan)
+    assert "unix_timestamp" in plan
+    # no per-row Python anywhere in a pure relational query
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
