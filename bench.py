@@ -127,6 +127,8 @@ def main() -> None:
         "q_extract_warc",
         "q_entity_link_mapping",
         "q_dedup_exact",
+        "q_dedup_clusters",
+        "q_winnow_fingerprints",
         "q_minhash_lsh_pairs",
         "q_minhash_incremental",
         "q_ngram_jaccard_pairs",
@@ -148,6 +150,7 @@ def main() -> None:
         "q_feature_hash_embed",
         "q_pricing_summary",
         "q_top_revenue_orders",
+        "q_local_supplier_volume",
         "q_graph_degrees",
         "q_graph_components_path",
         "q_pagerank",

@@ -573,6 +573,57 @@ def simhash32_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> "DataFrame":
+    """End-to-end near-dup RESOLUTION — the step every dedup pipeline
+    runs after pair finding: MinHash-LSH candidate pairs ->
+    undirected connected components over the pair graph -> canonical
+    (min-id) representative per cluster. Output: one row per input
+    document, ``(doc_id, cluster_id, keep)`` — singletons are their
+    own cluster, ``keep`` marks the one document per cluster that
+    survives dedup (filter on it to materialize the deduplicated
+    corpus).
+
+    Scale shape: the component fixpoint runs ONLY over documents that
+    appear in at least one candidate pair — at crawl scale the vast
+    (singleton) majority of the corpus never enters the iterative
+    loop; it joins back in one final left join against the (small)
+    label frame, which AQE converts to a broadcast join when it fits.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, k)
+    nodes = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select("doc_id_b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("subj"), F.col("doc_id_b").alias("obj")
+    )
+    comp = connected_components(nodes, edges, id_col="doc_id").select(
+        "doc_id", F.col("comp").alias("_comp")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_comp"), F.col("doc_id")).alias("cluster_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("_comp"), F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: "DataFrame",
     id_col: str = "doc_id",

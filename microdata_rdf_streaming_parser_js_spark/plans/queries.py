@@ -3532,3 +3532,47 @@ GROUP BY 1"""
 
 QUERIES["q_local_supplier_volume"] = q_local_supplier_volume
 ORACLES["q_local_supplier_volume"] = sql_local_supplier_volume
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (LSH pairs -> components -> canonical doc)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end near-dup resolution (operators/dedup.near_dup_clusters):
+    MinHash-LSH candidate pairs -> connected components over the pair
+    graph -> one (doc_id, cluster_id, keep) row per document with the
+    min-id representative kept. The oracle replays the identical LSH
+    banding (shared _minhash_cand_cte) and resolves components with a
+    DuckDB recursive CTE, so even the iterative fixpoint is
+    value-checked end-to-end."""
+    from ..operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    )
+
+
+def sql_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE {_minhash_cand_cte()},
+und AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+  UNION
+  SELECT doc_id_b, doc_id_a FROM cand
+),
+pn AS (SELECT DISTINCT a AS doc_id FROM und),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM pn
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+
+QUERIES["q_dedup_clusters"] = q_dedup_clusters
+ORACLES["q_dedup_clusters"] = sql_dedup_clusters

@@ -191,3 +191,39 @@ def test_winnow_identical_docs_identical_fingerprints(spark):
     a = {r.fingerprint for r in fp.filter("doc_id = 0").collect()}
     b = {r.fingerprint for r in fp.filter("doc_id = 1").collect()}
     assert a == b and a
+
+
+def test_near_dup_clusters_resolution(spark):
+    """LSH pairs -> components -> canonical: near-dup groups collapse
+    to one kept doc (the min id); singletons keep themselves."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observers take careful notes about every movement"
+    )
+    d = _docs(
+        spark,
+        [
+            base,
+            base + " indeed",
+            base + " truly",
+            "a completely different document about spark query planning",
+            "unrelated text with nothing shared at all whatsoever here",
+        ],
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in near_dup_clusters(d).collect()}
+    assert len(out) == 5  # one row per input doc, singletons included
+    # docs 0,1,2 are near-dups -> same cluster, min id kept
+    assert out[0] == (0, True)
+    assert out[1][0] == 0 and out[1][1] is False
+    assert out[2][0] == 0 and out[2][1] is False
+    # singletons are their own kept cluster
+    assert out[3] == (3, True) and out[4] == (4, True)
+    # exactly one keep per cluster
+    clusters = {}
+    for _, (cid, keep) in out.items():
+        clusters[cid] = clusters.get(cid, 0) + (1 if keep else 0)
+    assert all(v == 1 for v in clusters.values())
