@@ -156,6 +156,7 @@ def main() -> None:
         "q_pagerank",
         "q_host_pagerank",
         "q_link_resolve",
+        "q_anchor_texts",
         "q_robots_filter",
         "q_robots_sitemaps",
         "q_url_normalize",

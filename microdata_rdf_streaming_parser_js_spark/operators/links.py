@@ -104,6 +104,116 @@ def resolve_links(
     )
 
 
+class _AnchorTap:
+    """Tokenizer sink collecting (href, anchor_text) per ``<a href>``.
+
+    Contract (documented, shared with the oracle replay):
+    - only ``<a>`` tags carrying an ``href`` attribute open an anchor;
+    - anchor text is every text event until the anchor's own close tag
+      (nested elements' text included), whitespace-collapsed + trimmed;
+    - a new ``<a href>`` while one is open finalizes the current anchor
+      first (HTML5 forbids nested anchors; browsers imply the close);
+    - a still-open anchor at end-of-document is finalized.
+
+    Depth bookkeeping uses the adapter's balanced open/close events
+    (the adapters synthesize closes for void/implied-close tags), so
+    this tap never re-implements HTML tree repair.
+    """
+
+    __slots__ = ("anchors", "_depth", "_href", "_buf", "_anchor_depth")
+
+    def __init__(self) -> None:
+        self.anchors: list[tuple[str, str]] = []
+        self._depth = 0
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._anchor_depth = -1
+
+    def _finalize(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        self.anchors.append((self._href, text))  # type: ignore[arg-type]
+        self._href, self._buf, self._anchor_depth = None, [], -1
+
+    def on_tag_open(self, name: str, attributes: dict) -> None:
+        if name == "a" and "href" in attributes:
+            if self._href is not None:
+                self._finalize()
+            self._href = attributes["href"]
+            self._anchor_depth = self._depth
+        self._depth += 1
+
+    def on_text(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def on_tag_close(self) -> None:
+        self._depth -= 1
+        if self._href is not None and self._depth <= self._anchor_depth:
+            self._finalize()
+
+    def on_end(self) -> None:
+        if self._href is not None:
+            self._finalize()
+
+
+def compute_anchors(html) -> list[tuple[str, str]]:
+    """Pure per-page anchor kernel (no Spark): one fast-tokenizer pass
+    with the :class:`_AnchorTap` listener — shared verbatim by the
+    DuckDB oracle replay in plans/queries.py, so both engines run the
+    identical extraction."""
+    from ..functions.fast_html import FastHtmlTokenizer
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    tap = _AnchorTap()
+    tok = FastHtmlTokenizer(tap)
+    tok.feed(html)
+    tok.end()
+    return tap.anchors
+
+
+def extract_anchors(
+    pages: "DataFrame", url_col: str = "url", html_col: str = "html"
+) -> "DataFrame":
+    """(src_url, dst_url, anchor_text) — one row per ``<a href>`` in
+    document order; dst_url is the RAW href (chain :func:`resolve_links`
+    for absolute URLs). Unlike :func:`extract_links` (regex, href
+    attributes of ANY tag) this is a real tokenizer pass, so it sees
+    entity-decoded attribute values and the anchor's rendered text —
+    the (link, link-text) training-data surface. Arrow-batched
+    mapInPandas on the pruned (url, html) scan; zero shuffles."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("src_url", T.StringType(), False),
+            T.StructField("dst_url", T.StringType(), True),
+            T.StructField("anchor_text", T.StringType(), True),
+        ]
+    )
+
+    def anchor_fn(batches):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        for pdf in batches:
+            src, dst, txt = [], [], []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                try:
+                    pairs = compute_anchors(html)
+                except Exception:  # noqa: BLE001 — malformed page: no anchors
+                    continue
+                for href, text in pairs:
+                    src.append(url)
+                    dst.append(href)
+                    txt.append(text)
+            yield pd.DataFrame(
+                {"src_url": src, "dst_url": dst, "anchor_text": txt},
+                columns=["src_url", "dst_url", "anchor_text"],
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(anchor_fn, schema=schema)
+
+
 _TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"
 
 

@@ -3576,3 +3576,68 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
 QUERIES["q_dedup_clusters"] = q_dedup_clusters
 ORACLES["q_dedup_clusters"] = sql_dedup_clusters
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction (tokenizer pass: the (link, link-text) surface)
+# ---------------------------------------------------------------------------
+
+def _anchor_page_rows() -> list[tuple[str, str]]:
+    """Deterministic (url, html) pages exercising the anchor-text
+    contract: nested inline markup inside anchors, character entities
+    in text AND href values, whitespace collapsing, anchors without
+    href (skipped), nested <a> (implied close), anchors spanning void
+    elements, unclosed anchors at EOF, uppercase tags/attrs, and
+    implied-close table markup around anchors."""
+    rows = []
+    for i in range(20):
+        url = f"http://anchors{i % 4}.example.org/p/{i}.html"
+        body = (
+            f'<p>intro <a href="/plain/{i}">plain text</a> middle</p>'
+            f'<a href="http://abs.example.org/{i}"><b>bold</b> and <i>italic</i> run</a>'
+            f"<a href='rel{i}.html'>  spaced\n\t out  </a>"
+            f'<A HREF="/upper/{i}">UPPER case</A>'
+            f'<a href="/entities/{i}?a=1&amp;b=2">x &lt; y &amp; z</a>'
+            f"<a name='no-href-{i}'>not a link</a>"
+            f'<a href="/outer/{i}">outer <a href="/inner/{i}">inner</a> tail</a>'
+            f'<a href="/void/{i}">before<br>after<img src="x.png">end</a>'
+            f'<table><tr><td><a href="/cell/{i}">cell link</a><tr><td>next row</table>'
+        )
+        if i % 5 == 0:
+            body += f'<a href="/eof/{i}">unclosed at eof'
+        rows.append((url, f"<html><body>{body}</body></html>"))
+    return rows
+
+
+def q_anchor_texts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Anchor-text extraction (operators/links.extract_anchors): a real
+    tokenizer pass emitting (src_url, dst_url, anchor_text) per
+    <a href> — entity-decoded hrefs, rendered text across nested
+    markup, HTML5 implied closes. The oracle replays the identical
+    shared kernel (compute_anchors) over the same page rows."""
+    from ..operators.links import extract_anchors
+
+    pages = spark.createDataFrame(
+        _anchor_page_rows(), "url string, html string"
+    ).repartition(4)
+    return extract_anchors(pages)
+
+
+def sql_anchor_texts() -> str:
+    from ..operators.links import compute_anchors
+
+    values = ",\n".join(
+        f"({_sql_str(url)}, {_sql_str(href)}, {_sql_str(text)})"
+        for url, html in _anchor_page_rows()
+        for href, text in compute_anchors(html)
+    )
+    return f"""SELECT CAST(src_url AS VARCHAR) AS src_url,
+       CAST(dst_url AS VARCHAR) AS dst_url,
+       CAST(anchor_text AS VARCHAR) AS anchor_text
+FROM (VALUES
+{values}
+) t(src_url, dst_url, anchor_text)"""
+
+
+QUERIES["q_anchor_texts"] = q_anchor_texts
+ORACLES["q_anchor_texts"] = sql_anchor_texts
