@@ -168,6 +168,7 @@ def main() -> None:
         "q_split_assign",
         "q_video_frames",
         "q_repetition",
+        "q_corpus_ngrams",
         "q_pack_sequences",
         "q_mixture_sample",
         "q_curation",

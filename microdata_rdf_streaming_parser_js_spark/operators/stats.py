@@ -114,3 +114,33 @@ def ngram_repetition(
         F.expr(f"(top_cnt * {scale}) div total").alias("top_frac_u"),
         F.expr(f"((total - n_distinct) * {scale}) div total").alias("dup_frac_u"),
     )
+
+
+def corpus_topk_ngrams(
+    df: "DataFrame",
+    text_col: str = "text",
+    k: int = 2,
+    topk: int = 100,
+) -> "DataFrame":
+    """Corpus-level most-frequent word ``k``-grams — the global vocab /
+    tokenizer-training surface (and the BPE seed-count shape): explode
+    grams -> global count -> deterministic top-``k``.
+
+    Output: (gram, n, rank) with the total order (n DESC, gram ASC),
+    so ties at the cut are deterministic on both engines.
+
+    Scale shape: one map-side-combined shuffle on the gram key (each
+    map task pre-aggregates to one row per distinct gram, so the hot
+    head of the Zipf distribution never concentrates raw occurrence
+    rows on one reducer), then distributed top-k
+    (TakeOrderedAndProject) — the full gram dictionary is never
+    collected or globally sorted. The rank window runs over <= topk
+    rows AFTER the limit.
+    """
+    from .dedup import shingles
+
+    grams = df.select(F.explode(shingles(F.col(text_col), k)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    topped = counts.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(topk)
+    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
+    return topped.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -3641,3 +3641,41 @@ FROM (VALUES
 
 QUERIES["q_anchor_texts"] = q_anchor_texts
 ORACLES["q_anchor_texts"] = sql_anchor_texts
+
+
+# ---------------------------------------------------------------------------
+# corpus-level top-k n-gram frequencies (vocab / tokenizer training)
+# ---------------------------------------------------------------------------
+
+_CN_K = 2
+_CN_TOPK = 100
+
+
+def q_corpus_ngrams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Corpus-wide most-frequent word bigrams
+    (operators/stats.corpus_topk_ngrams): one map-side-combined shuffle
+    + TakeOrderedAndProject top-k with a total (n DESC, gram ASC)
+    order. The oracle recomputes the full gram histogram in DuckDB."""
+    from ..operators.stats import corpus_topk_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_topk_ngrams(docs, k=_CN_K, topk=_CN_TOPK)
+
+
+def sql_corpus_ngrams() -> str:
+    k, topk = _CN_K, _CN_TOPK
+    return f"""WITH toks AS (
+  SELECT {_TOKS.format(c="text")} AS t FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(range(0, len(t) - {k - 1}),
+                i -> array_to_string(t[i + 1 : i + {k}], ' '))) AS gram
+  FROM toks WHERE len(t) >= {k}
+),
+c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1)
+SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram ASC) AS rank
+FROM c QUALIFY rank <= {topk}"""
+
+
+QUERIES["q_corpus_ngrams"] = q_corpus_ngrams
+ORACLES["q_corpus_ngrams"] = sql_corpus_ngrams

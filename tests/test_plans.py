@@ -278,3 +278,17 @@ def test_q5_shape_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
     assert "unix_timestamp" in plan
     # no per-row Python anywhere in a pure relational query
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_ngrams_topk_plan(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        corpus_topk_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_str(corpus_topk_ngrams(docs, k=2, topk=50).limit(50))
+    # distributed top-k, not a global sort of the gram dictionary
+    assert "TakeOrderedAndProject" in plan
+    # map-side partial aggregation before the gram-key exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
