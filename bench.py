@@ -169,6 +169,8 @@ def main() -> None:
         "q_video_frames",
         "q_repetition",
         "q_corpus_ngrams",
+        "q_redact_pii",
+        "q_span_dedup",
         "q_pack_sequences",
         "q_mixture_sample",
         "q_curation",

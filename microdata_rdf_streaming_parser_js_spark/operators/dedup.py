@@ -685,6 +685,64 @@ def winnow_fingerprints(
     )
 
 
+def span_dedup(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> "DataFrame":
+    """C4-style sub-document exact dedup: chop each document's
+    normalized token stream into consecutive non-overlapping
+    ``span_words``-word spans and keep only the FIRST occurrence of
+    each distinct span corpus-wide (first = min (doc_id, span_no) in
+    lexicographic order). Output: one row per span,
+    ``(doc_id, span_no, span_digest, keep)`` — filtering on ``keep``
+    and re-concatenating by span_no materializes the span-deduplicated
+    corpus. The trailing short span (< span_words words) is kept as its
+    own unit so no text is silently dropped.
+
+    Scale shape: span chopping is a scan-side array expression; the
+    only shuffle is the groupBy on the span digest (map-side combined —
+    boilerplate spans repeated across millions of pages reduce to one
+    row per map task before the exchange), then the winner frame joins
+    back on the digest. No windows over the corpus, no driver state.
+    """
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+    toks = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * span_words + 1, span_words)
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.when(n_spans >= 1, spans).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("span_no", "_span"),
+    ).select(
+        "doc_id",
+        F.col("span_no").cast("long").alias("span_no"),
+        F.md5(F.col("_span")).alias("span_digest"),
+    )
+    winners = exploded.groupBy("span_digest").agg(
+        F.min(F.struct("doc_id", "span_no")).alias("_w")
+    )
+    return exploded.join(winners, "span_digest").select(
+        "doc_id",
+        "span_no",
+        "span_digest",
+        (
+            (F.col("doc_id") == F.col("_w.doc_id"))
+            & (F.col("span_no") == F.col("_w.span_no"))
+        ).alias("keep"),
+    )
+
+
 def curate_documents(
     docs: "DataFrame",
     id_col: str = "doc_id",

@@ -3679,3 +3679,120 @@ FROM c QUALIFY rank <= {topk}"""
 
 QUERIES["q_corpus_ngrams"] = q_corpus_ngrams
 ORACLES["q_corpus_ngrams"] = sql_corpus_ngrams
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+def q_redact_pii(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """PII scrubbing (operators/scrub.redact_pii): emails, IPv4
+    literals, and phone numbers replaced by placeholder tokens, with
+    per-category counts. Both engines deterministically append
+    doc_id-derived PII to every document FIRST, so the redaction
+    regexes are exercised on every row and the oracle genuinely
+    cross-checks Java-vs-RE2 regex behavior (not a no-op pass)."""
+    from ..operators.scrub import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail.example.com tel +1-555-"),
+            F.lpad(F.pmod(d, 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(d * 7, 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            F.pmod(d, 256).cast("string"),
+            F.lit("."),
+            F.pmod(d * 3, 256).cast("string"),
+            F.lit(".1"),
+            F.when(
+                F.pmod(d, 3) == 0, F.lit(" alt 555-867-5309")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
+def sql_redact_pii() -> str:
+    from ..operators.scrub import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    toks = {name: token for name, _, token in PII_PATTERNS}
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel +1-555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1'
+              || CASE WHEN doc_id % 3 = 0 THEN ' alt 555-867-5309' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{pats["email"]}', '{toks["email"]}', 'g'),
+      '{pats["ip"]}', '{toks["ip"]}', 'g'),
+    '{pats["phone"]}', '{toks["phone"]}', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{pats["ip"]}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS BIGINT) AS n_phone
+FROM aug"""
+
+
+QUERIES["q_redact_pii"] = q_redact_pii
+ORACLES["q_redact_pii"] = sql_redact_pii
+
+
+# ---------------------------------------------------------------------------
+# C4-style span-level exact dedup (sub-document units)
+# ---------------------------------------------------------------------------
+
+_SPAN_WORDS = 10
+
+
+def q_span_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sub-document span dedup (operators/dedup.span_dedup): the corpus
+    chopped into non-overlapping 10-word spans, first occurrence per
+    distinct span kept ((doc_id, span_no) lexicographic min). The
+    oracle recomputes every span digest and resolves winners with a
+    row_number window."""
+    from ..operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dedup(docs, span_words=_SPAN_WORDS)
+
+
+def sql_span_dedup() -> str:
+    w = _SPAN_WORDS
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+sp0 AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {w}.0) AS BIGINT))) AS span_no
+  FROM toks
+),
+sp AS (
+  SELECT doc_id, span_no,
+         md5(array_to_string(
+           t[CAST(span_no * {w} + 1 AS INT) : CAST(span_no * {w} + {w} AS INT)],
+           ' ')) AS span_digest
+  FROM sp0
+)
+SELECT doc_id, span_no, span_digest,
+       ROW_NUMBER() OVER (PARTITION BY span_digest
+                          ORDER BY doc_id, span_no) = 1 AS keep
+FROM sp"""
+
+
+QUERIES["q_span_dedup"] = q_span_dedup
+ORACLES["q_span_dedup"] = sql_span_dedup
