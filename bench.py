@@ -173,6 +173,10 @@ def main() -> None:
         "q_span_dedup",
         "q_pack_sequences",
         "q_mixture_sample",
+        "q_source_quota",
+        "q_triples_vocab",
+        "q_graph_triangles",
+        "q_kmeans_clusters",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))

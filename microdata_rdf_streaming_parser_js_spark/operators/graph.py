@@ -240,3 +240,76 @@ def degree_stats(
         )
         .withColumn("total_deg", F.col("out_deg") + F.col("in_deg"))
     )
+
+
+def triangle_counts(
+    nodes: "DataFrame",
+    edges: "DataFrame",
+    id_col: str = "iri",
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> "DataFrame":
+    """(id, n_triangles) — exact per-node triangle counts on the
+    undirected simplification of ``edges`` (self-loops dropped,
+    direction and multiplicity collapsed).
+
+    Algorithm: degree-ordered orientation (node-iterator++ / the
+    "compact-forward" join of Schank & Wagner 2005, the shape every
+    distributed triangle counter uses). Each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one;
+    every triangle then has exactly one source vertex u with u -> v,
+    u -> w, v -> w, so it is found once by joining the oriented edge
+    list with itself on the wedge vertex and semi-closing with the
+    third edge. Orientation bounds the per-vertex out-degree by
+    O(sqrt(m)) regardless of hub skew — the property that makes the
+    wedge join survive power-law web graphs where a raw neighbor join
+    on a 10^7-degree hub would explode quadratically.
+
+    Shuffles: dedup (1), degree agg (1), two orientation joins keyed
+    on the edge endpoints, wedge join + closing join (AQE-planned;
+    the closing join's build side is the oriented edge list itself).
+    No driver-side data; counts stay distributed.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oe.select(F.col("u").alias("t_u"), F.col("w").alias("t_v"))
+    o2 = oe.select(F.col("u").alias("t_v"), F.col("w").alias("t_w"))
+    o3 = oe.select(F.col("u").alias("t_u"), F.col("w").alias("t_w"))
+    wedges = o1.join(o2, "t_v")
+    tri = wedges.join(o3, ["t_u", "t_w"])
+    verts = (
+        tri.select(
+            F.explode(F.array("t_u", "t_v", "t_w")).alias(id_col)
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return nodes.join(verts, id_col, "left").select(
+        id_col,
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -424,3 +424,51 @@ def embedding_near_dup(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_id_a", "vec_id_b", "cos_sim")
     )
+
+
+def kmeans_assign(
+    embeddings: "DataFrame",
+    cents_u: list[list[int]],
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """(vec_id, cid): nearest-centroid assignment against micro-unit
+    centroids from :func:`kmeans_centroids_u` — the clustering twin of
+    the IVF inverted-list assignment.
+
+    Uses the SAME integer squared-Euclidean argmin as the Lloyd
+    training rounds (micro-unit longs, ties to the smaller cid), so
+    assignment is exactly the (iterations+1)-th Lloyd E-step and a
+    DuckDB oracle can replay it bit-for-bit. Scan-side codegen over
+    plan-time centroid literals: no shuffle, no UDF — each of the
+    10^12 corpus rows is read once and labeled in place, which is the
+    whole game for clustering at 100 TB.
+    """
+    vu = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in enumerate(cents_u)
+        ]
+    )
+    return vu.select(
+        "vec_id", F.array_min(scores).getField("cid").alias("cid")
+    )

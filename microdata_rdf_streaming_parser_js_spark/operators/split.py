@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Sequence
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -95,3 +96,42 @@ def mixture_sample(
     for g, w in sorted(weights_u.items()):
         rate = F.when(F.col(group_col) == g, F.lit(w)).otherwise(rate)
     return df.where(bucket < rate)
+
+
+def per_group_quota(
+    df: "DataFrame",
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "quota",
+    rank_col: str = "quota_rank",
+) -> "DataFrame":
+    """Per-group document cap (domain quotas): keep at most ``cap``
+    rows per ``group_col`` value, chosen by a deterministic content
+    hash rather than input order.
+
+    Web-corpus curation caps documents per host so a handful of
+    mega-domains cannot dominate the training mixture. The selection
+    order inside a group is ``md5(key|salt)`` (ties broken by the key
+    itself), so the SAME ``cap`` survivors are chosen on every rerun,
+    partitioning, and engine — a re-crawl adds/removes only the rows
+    whose own keys changed. One shuffle, on ``group_col``.
+
+    Scale note: ``row_number`` sorts each group partition; for a
+    mega-host (10^9 rows) that sort dominates. Because the order key
+    is a uniform digest, callers at that scale can pre-filter with a
+    conservative digest-prefix threshold (keep the smallest ~4x
+    cap/count fraction) before this exact pass — the pre-filter is a
+    scan-side codegen'd predicate and never changes the final set.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    digest = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        digest.asc(), F.col(key_col).asc()
+    )
+    return df.withColumn(
+        rank_col, F.row_number().over(w).cast("long")
+    ).where(F.col(rank_col) <= cap)

@@ -1170,23 +1170,16 @@ def q_ivf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def sql_ivf_topk() -> str:
-    cdot = (
-        "list_reduce(list_transform(range(1, 65), "
-        "i -> v.e[i] * c.ce[i]), (x, y) -> x + y)"
-    )
-    qdot = (
-        "list_reduce(list_transform(range(1, 65), "
-        "i -> q.e[i] * e.e[i]), (x, y) -> x + y)"
-    )
-    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
-    # unrolled integer-exact Lloyd rounds mirroring
-    # operators/similarity.kmeans_centroids_u: micro-unit vectors,
-    # argmin squared-Euclidean assignment (ties -> min cid), floor-div
-    # centroid update ((s - mod)/n is exactly divisible, so '//' is
-    # exact), empty clusters keep their previous centroid
+def _sql_lloyd_rounds(iters: int) -> str:
+    """Unrolled integer-exact Lloyd rounds mirroring
+    operators/similarity.kmeans_centroids_u: micro-unit vectors,
+    argmin squared-Euclidean assignment (ties -> min cid), floor-div
+    centroid update ((s - mod)/n is exactly divisible, so '//' is
+    exact), empty clusters keep their previous centroid. Expects CTEs
+    ``vu(vec_id, v)`` and ``c0(cid, cv)``; defines ``c{iters}``.
+    Shared by sql_ivf_topk and sql_kmeans_clusters."""
     lloyd = []
-    for r in range(_IVF_KMEANS_ITER):
+    for r in range(iters):
         lloyd.append(f"""dist{r} AS (
   SELECT v.vec_id, c.cid,
          list_reduce(list_transform(range(1, 65),
@@ -1212,7 +1205,20 @@ c{r + 1} AS (
   SELECT p.cid, COALESCE(cn.cv, p.cv) AS cv
   FROM c{r} p LEFT JOIN cn{r} cn USING (cid)
 )""")
-    lloyd_ctes = ",\n".join(lloyd)
+    return ",\n".join(lloyd)
+
+
+def sql_ivf_topk() -> str:
+    cdot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v.e[i] * c.ce[i]), (x, y) -> x + y)"
+    )
+    qdot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> q.e[i] * e.e[i]), (x, y) -> x + y)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    lloyd_ctes = _sql_lloyd_rounds(_IVF_KMEANS_ITER)
     return f"""WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -3796,3 +3802,210 @@ FROM sp"""
 
 QUERIES["q_span_dedup"] = q_span_dedup
 ORACLES["q_span_dedup"] = sql_span_dedup
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota (domain caps), KG vocabulary profile, triangles,
+# k-means clustering
+# ---------------------------------------------------------------------------
+
+_QUOTA_CAP = 10
+_QUOTA_SALT = "quota"
+
+
+def q_source_quota(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source document cap (operators/split.per_group_quota): keep
+    at most _QUOTA_CAP docs per source, chosen by md5(doc_id|salt)
+    order — the domain-quota curation step that stops mega-hosts from
+    dominating a training mixture. One shuffle on source; identical
+    survivors on every rerun/partitioning/engine."""
+    from ..operators.split import per_group_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return per_group_quota(
+        docs, "source", "doc_id", _QUOTA_CAP, salt=_QUOTA_SALT
+    ).select("doc_id", "source", "quota_rank")
+
+
+def sql_source_quota() -> str:
+    return f"""SELECT doc_id, source, quota_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{_QUOTA_SALT}'),
+                    doc_id) AS BIGINT) AS quota_rank
+  FROM documents
+) WHERE quota_rank <= {_QUOTA_CAP}"""
+
+
+QUERIES["q_source_quota"] = q_source_quota
+ORACLES["q_source_quota"] = sql_source_quota
+
+
+def q_triples_vocab(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """KG vocabulary profile: per-predicate triple / distinct-subject /
+    page / literal counts over the extracted+skolemized+deduped graph —
+    the schema-usage census a KG builder runs before designing
+    downstream joins (which predicates are dense, which are
+    page-local). Reuses the D2+D3+D5 pipeline; one groupBy pred with
+    partial aggregation (count-distinct via Spark's two-phase expand)."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    return triples.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("url").alias("n_pages"),
+        F.count(F.when(F.col("obj_kind") == "literal", True)).alias(
+            "n_literals"
+        ),
+    )
+
+
+def sql_triples_vocab() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT pred,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT url) AS n_pages,
+       COUNT(CASE WHEN obj_kind = 'literal' THEN TRUE END) AS n_literals
+FROM golden GROUP BY pred"""
+
+
+QUERIES["q_triples_vocab"] = q_triples_vocab
+ORACLES["q_triples_vocab"] = sql_triples_vocab
+
+
+def q_graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-node exact triangle counts (operators/graph.triangle_counts,
+    degree-ordered orientation) on a deterministic synthetic graph:
+    ring edges (i, i+1) and (i, i+2) mod n plant a triangle at every
+    vertex, and every fifth doc adds a chord to (i*31+7) mod n for
+    degree variety so the orientation step is non-trivial. The oracle
+    rebuilds graph, orientation, wedge join, and closing join in SQL."""
+    from ..operators.graph import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") + 1, F.col("n")).alias("obj"),
+    )
+    e2 = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") + 2, F.col("n")).alias("obj"),
+    )
+    e3 = base.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("obj"),
+    )
+    return triangle_counts(
+        ids, e1.union(e2).union(e3), id_col="doc_id"
+    )
+
+
+def sql_graph_triangles() -> str:
+    return """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id AS s, (doc_id + 1) % (SELECT c FROM n) AS o FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % (SELECT c FROM n) FROM ids
+  WHERE doc_id % 5 = 0
+),
+e AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+  FROM raw WHERE s <> o
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+),
+oe AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS w
+  FROM e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+),
+tri AS (
+  SELECT o1.u AS t_u, o1.w AS t_v, o2.w AS t_w
+  FROM oe o1
+  JOIN oe o2 ON o2.u = o1.w
+  JOIN oe o3 ON o3.u = o1.u AND o3.w = o2.w
+),
+verts AS (
+  SELECT v AS doc_id, COUNT(*) AS n_triangles FROM (
+    SELECT t_u AS v FROM tri
+    UNION ALL SELECT t_v FROM tri
+    UNION ALL SELECT t_w FROM tri
+  ) GROUP BY v
+)
+SELECT i.doc_id,
+       CAST(COALESCE(verts.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM ids i LEFT JOIN verts ON verts.doc_id = i.doc_id"""
+
+
+QUERIES["q_graph_triangles"] = q_graph_triangles
+ORACLES["q_graph_triangles"] = sql_graph_triangles
+
+
+def q_kmeans_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Document clustering over embeddings: integer-exact Lloyd
+    k-means (3 rounds, first-16 seed — the IVF training path) followed
+    by the scan-side integer argmin assignment
+    (operators/similarity.kmeans_assign) plus per-cluster sizes. The
+    clustering twin of q_ivf_topk: same centroids, but the deliverable
+    is (vec_id, cid, cluster_n) — the corpus-bucketing step a
+    diversity-aware sampler consumes."""
+    from ..operators.similarity import kmeans_assign, kmeans_centroids_u
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    cents = kmeans_centroids_u(
+        emb, n_centroids=_IVF_CENTROIDS, iterations=_IVF_KMEANS_ITER
+    )
+    asg = kmeans_assign(emb, cents)
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("cluster_n"))
+    return asg.join(F.broadcast(sizes), "cid").select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "cluster_n"
+    )
+
+
+def sql_kmeans_clusters() -> str:
+    it = _IVF_KMEANS_ITER
+    lloyd_ctes = _sql_lloyd_rounds(it)
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vu WHERE vec_id < {_IVF_CENTROIDS}),
+{lloyd_ctes},
+distf AS (
+  SELECT v.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+  FROM vu v CROSS JOIN c{it} c
+),
+asgf AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM distf) WHERE rn = 1
+),
+sz AS (SELECT cid, COUNT(*) AS cluster_n FROM asgf GROUP BY cid)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, sz.cluster_n
+FROM asgf a JOIN sz USING (cid)"""
+
+
+QUERIES["q_kmeans_clusters"] = q_kmeans_clusters
+ORACLES["q_kmeans_clusters"] = sql_kmeans_clusters

@@ -274,3 +274,40 @@ def test_extract_sitemap_urls(spark):
         ("http://h/s.xml", "http://h/a"),
         ("http://h/s.xml", "http://h/b"),
     ]
+
+
+def _tri(spark, nodes, edges):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    n = spark.createDataFrame([(x,) for x in nodes], "iri string")
+    e = spark.createDataFrame(edges, "subj string, obj string")
+    return {
+        r["iri"]: r["n_triangles"]
+        for r in triangle_counts(n, e).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    # K4: every vertex is in C(3,2) = 3 triangles
+    verts = ["a", "b", "c", "d"]
+    edges = [(u, v) for i, u in enumerate(verts) for v in verts[i + 1:]]
+    out = _tri(spark, verts, edges)
+    assert out == {v: 3 for v in verts}
+
+
+def test_triangles_collapses_direction_multiplicity_loops(spark):
+    # duplicate edges, both directions, and a self-loop must not
+    # manufacture extra triangles; 'lone' has none
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("a", "c"), ("c", "c"),
+    ]
+    out = _tri(spark, ["a", "b", "c", "lone"], edges)
+    assert out == {"a": 1, "b": 1, "c": 1, "lone": 0}
+
+
+def test_triangles_wedge_is_not_triangle(spark):
+    out = _tri(spark, ["a", "b", "c"], [("a", "b"), ("b", "c")])
+    assert out == {"a": 0, "b": 0, "c": 0}

@@ -126,3 +126,37 @@ def test_mixture_sample_deterministic_and_weighted(spark):
         assert (i in kept_half) == want, i
     with pytest.raises(ValueError, match="weight"):
         mixture_sample(sdf, "doc_id", "src", {"a": 2_000_000})
+
+
+def test_per_group_quota_cap_and_determinism(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.split import (
+        per_group_quota,
+    )
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = per_group_quota(df, "source", "doc_id", 5).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r["source"], set()).add(r["doc_id"])
+        assert 1 <= r["quota_rank"] <= 5
+    assert {len(v) for v in by_g.values()} == {5}
+    # same survivors regardless of input partitioning
+    kept2 = per_group_quota(
+        df.repartition(7), "source", "doc_id", 5
+    ).collect()
+    assert {(r["doc_id"], r["quota_rank"]) for r in kept} == {
+        (r["doc_id"], r["quota_rank"]) for r in kept2
+    }
+
+
+def test_per_group_quota_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from microdata_rdf_streaming_parser_js_spark.operators.split import (
+        per_group_quota,
+    )
+
+    df = spark.createDataFrame([(1, "g")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="cap"):
+        per_group_quota(df, "source", "doc_id", 0)
