@@ -173,6 +173,7 @@ def main() -> None:
         "q_span_dedup",
         "q_pack_sequences",
         "q_mixture_sample",
+        "q_main_content",
         "q_source_quota",
         "q_triples_vocab",
         "q_graph_triangles",

@@ -247,3 +247,51 @@ def page_metrics(pages: "DataFrame", vocab_registry: dict | None = None) -> "Dat
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(fn, schema=METRICS_SCHEMA)
+
+
+MAIN_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("main_text", T.StringType(), True),
+        T.StructField("n_blocks", T.LongType(), True),
+        T.StructField("n_content_blocks", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def main_content(
+    pages: "DataFrame",
+    min_block_chars: int = 25,
+    max_link_density_u: int = 330_000,
+) -> "DataFrame":
+    """Boilerplate removal (functions/boilerplate.extract_main_content):
+    per-page main text after dropping short / link-dense blocks — the
+    nav-footer-linkfarm filter that runs before any text-quality or
+    dedup stage of a crawl pipeline.
+
+    Same execution shape as extraction: one Arrow ``mapInPandas`` over
+    (url, html), column-pruned scan, embarrassingly parallel, parse
+    failures quarantined to the ``error`` column. The block classifier
+    shares the extractor's tokenizer, so content/boilerplate decisions
+    see exactly the structure the KG extraction saw.
+    """
+    import pandas as pd
+
+    from ..functions.boilerplate import extract_main_content
+
+    cols = [f.name for f in MAIN_CONTENT_SCHEMA.fields]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                extract_main_content(
+                    url, html, min_block_chars, max_link_density_u
+                )
+                for url, html in zip(pdf["url"], pdf["html"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(
+        fn, schema=MAIN_CONTENT_SCHEMA
+    )

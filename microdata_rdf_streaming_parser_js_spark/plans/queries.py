@@ -4009,3 +4009,68 @@ FROM asgf a JOIN sz USING (cid)"""
 
 QUERIES["q_kmeans_clusters"] = q_kmeans_clusters
 ORACLES["q_kmeans_clusters"] = sql_kmeans_clusters
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (main-content extraction)
+# ---------------------------------------------------------------------------
+
+_MC_PRE = (
+    '<nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/archive">Archive</a></li>'
+    '<li><a href="/tags">Tags</a></li></ul></nav><main>'
+)
+_MC_POST = (
+    '</main><footer><a href="/about">About</a> | '
+    '<a href="/contact">Contact</a> | '
+    '<a href="/terms">Terms of service</a></footer>'
+)
+
+
+def q_main_content(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Boilerplate removal (operators/extract.main_content): fixture
+    pages wrapped in an identical nav + footer on BOTH engines, so the
+    block classifier must drop the link-dense chrome and keep the
+    page's own prose. One Arrow mapInPandas pass, no shuffle; the
+    oracle replays the shared pure-Python kernel into golden VALUES."""
+    from ..operators.extract import main_content
+
+    pages = synthesize_oracle_pages(spark)
+    aug = pages.select(
+        "url",
+        F.concat(
+            F.lit(_MC_PRE), F.col("html").cast("string"), F.lit(_MC_POST)
+        ).alias("html"),
+    )
+    return main_content(aug)
+
+
+def sql_main_content() -> str:
+    """Golden VALUES: functions/boilerplate.extract_main_content run
+    locally over the identically-wrapped fixture corpus."""
+    from ..functions.boilerplate import extract_main_content
+
+    rows = []
+    for f in FIXTURES:
+        url = f"http://pages.example.org/{f.name}.html"
+        r = extract_main_content(url, _MC_PRE + f.html + _MC_POST)
+        cells = []
+        for i, v in enumerate(r):
+            if i in (0, 1, 4):
+                cells.append(_sql_str(v))
+            else:
+                cells.append("NULL" if v is None else str(v))
+        rows.append("(" + ", ".join(cells) + ")")
+    values = ",\n".join(rows)
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(main_text AS VARCHAR) AS main_text,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_content_blocks AS BIGINT) AS n_content_blocks,
+       CAST(error AS VARCHAR) AS error
+FROM (VALUES
+{values}
+) t(url, main_text, n_blocks, n_content_blocks, error)"""
+
+
+QUERIES["q_main_content"] = q_main_content
+ORACLES["q_main_content"] = sql_main_content
