@@ -174,6 +174,8 @@ def main() -> None:
         "q_pack_sequences",
         "q_mixture_sample",
         "q_main_content",
+        "q_ntriples",
+        "q_fuzzy_link",
         "q_source_quota",
         "q_triples_vocab",
         "q_graph_triangles",

@@ -190,3 +190,66 @@ def link_entities_scored(
         .select(F.col("entity_iri").alias("iri"), "canonical_iri")
     )
     return mapping.groupBy("iri").agg(F.min("canonical_iri").alias("canonical_iri"))
+
+
+def fuzzy_link_mentions(
+    mentions: "DataFrame",
+    dictionary: "DataFrame",
+    mention_col: str = "mention_key",
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    max_distance: int = 2,
+) -> "DataFrame":
+    """Record-linkage fuzzy matcher: map each distinct mention surface
+    to its closest dictionary/gazetteer name by Levenshtein distance
+    (<= ``max_distance``), ties broken by the smaller entity id.
+
+    Candidate generation is length-band blocking: a dictionary name of
+    length L can only match mentions of length in [L-d, L+d] (edit
+    distance >= length difference), so each dictionary row explodes to
+    its 2d+1 admissible lengths and candidates come from an EQUI-join
+    on mention length — complete for the bound, never all-pairs. The
+    dictionary side (gazetteers are small next to a crawl) is
+    broadcast, so the 10^12-mention side is never shuffled for
+    candidate generation; the only shuffle is the final per-mention
+    argmin, a map-side-combinable min over (distance, entity_id)
+    structs. Levenshtein runs JVM-side (built-in, codegen).
+
+    Returns (mention_col, id_col, distance) — one row per distinct
+    mention that matched anything.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    d = dictionary.select(
+        id_col, name_col, F.length(name_col).alias("_nlen")
+    ).withColumn(
+        "_mlen",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_nlen") - max_distance, F.lit(1)),
+                F.col("_nlen") + max_distance,
+            )
+        ),
+    )
+    m = (
+        mentions.select(mention_col)
+        .where(F.length(mention_col) > 0)
+        .distinct()
+        .withColumn("_mlen", F.length(mention_col))
+    )
+    scored = (
+        m.join(F.broadcast(d), "_mlen")
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col(mention_col), F.col(name_col)).cast("long"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )
+    best = scored.groupBy(mention_col).agg(
+        F.min(F.struct("distance", id_col)).alias("_b")
+    )
+    return best.select(
+        mention_col,
+        F.col(f"_b.{id_col}").alias(id_col),
+        F.col("_b.distance").alias("distance"),
+    )

@@ -4074,3 +4074,133 @@ FROM (VALUES
 
 QUERIES["q_main_content"] = q_main_content
 ORACLES["q_main_content"] = sql_main_content
+
+
+# ---------------------------------------------------------------------------
+# N-Triples serialization + fuzzy entity linking
+# ---------------------------------------------------------------------------
+
+def q_ntriples(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Canonical N-Triples serialization (operators/serialize
+    .to_ntriples) of the extracted+skolemized+deduped graph — the
+    reference's streaming-serializer surface as a codegen'd column
+    expression (ECHAR escaping, @lang / ^^<dt> suffixes), no UDF, no
+    shuffle beyond the pipeline's own."""
+    from ..operators.serialize import to_ntriples
+
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    return to_ntriples(triples, keep=("url",))
+
+
+def sql_ntriples() -> str:
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return (
+        "WITH "
+        + _golden_skolemized_cte()
+        + f"""
+SELECT url,
+  CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj
+       ELSE '<' || subj || '>' END
+  || ' <' || pred || '> '
+  || CASE WHEN obj_kind = 'literal' THEN
+       '"' || {esc} || '"' ||
+       CASE WHEN obj_lang IS NOT NULL THEN '@' || obj_lang
+            WHEN obj_datatype IS NOT NULL
+              THEN '^^<' || obj_datatype || '>'
+            ELSE '' END
+     WHEN obj LIKE '\\_:%' ESCAPE '\\' THEN obj
+     ELSE '<' || obj || '>' END
+  || ' .' AS line
+FROM golden"""
+    )
+
+
+QUERIES["q_ntriples"] = q_ntriples
+ORACLES["q_ntriples"] = sql_ntriples
+
+
+_FZ_MAX_DIST = 2
+
+
+def q_fuzzy_link(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Fuzzy record linkage (operators/linking.fuzzy_link_mentions):
+    mention surfaces matched to a gazetteer by Levenshtein <= 2 with
+    length-band blocking. Both engines derive the same gazetteer from
+    the corpus's distinct mention keys: one name at edit distance 1
+    (append 'x'), one at distance 1 (prepend 'z') to exercise the
+    (distance, entity_id) tie-break, and one at distance 3 ('qqq'
+    suffix) that blocking must exclude."""
+    from ..operators.linking import fuzzy_link_mentions
+
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(
+        skolemize(extract_triples(pages)), per_graph=True
+    ).persist()
+    mentions = detect_mentions(triples, name_preds=_MENTION_PREDS)
+    dmk = mentions.select("mention_key").distinct()
+    mk = F.col("mention_key")
+    dict_df = (
+        dmk.select(
+            F.md5(mk).alias("entity_id"),
+            F.concat(mk, F.lit("x")).alias("name"),
+        )
+        .unionAll(
+            dmk.select(
+                F.md5(F.concat(mk, F.lit("2"))).alias("entity_id"),
+                F.concat(F.lit("z"), mk).alias("name"),
+            )
+        )
+        .unionAll(
+            dmk.select(
+                F.md5(F.concat(mk, F.lit("3"))).alias("entity_id"),
+                F.concat(mk, F.lit("qqq")).alias("name"),
+            )
+        )
+    )
+    return fuzzy_link_mentions(
+        mentions, dict_df, max_distance=_FZ_MAX_DIST
+    )
+
+
+def sql_fuzzy_link() -> str:
+    preds = ", ".join(_sql_str(p) for p in _MENTION_PREDS)
+    norm = (
+        "regexp_replace(regexp_replace(lower(trim(obj)),"
+        " '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')"
+    )
+    return f"""WITH {_golden_skolemized_cte()},
+mentions AS (
+  SELECT DISTINCT {norm} AS mention_key
+  FROM golden
+  WHERE pred IN ({preds}) AND obj_kind = 'literal'
+    AND length({norm}) > 0
+),
+dict AS (
+  SELECT md5(mention_key) AS entity_id, mention_key || 'x' AS name
+  FROM mentions
+  UNION ALL
+  SELECT md5(mention_key || '2'), 'z' || mention_key FROM mentions
+  UNION ALL
+  SELECT md5(mention_key || '3'), mention_key || 'qqq' FROM mentions
+),
+scored AS (
+  SELECT m.mention_key, d.entity_id,
+         CAST(levenshtein(m.mention_key, d.name) AS BIGINT) AS distance
+  FROM mentions m
+  JOIN dict d ON abs(length(m.mention_key) - length(d.name)) <= {_FZ_MAX_DIST}
+  WHERE levenshtein(m.mention_key, d.name) <= {_FZ_MAX_DIST}
+)
+SELECT mention_key, entity_id, distance FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY mention_key ORDER BY distance ASC, entity_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1"""
+
+
+QUERIES["q_fuzzy_link"] = q_fuzzy_link
+ORACLES["q_fuzzy_link"] = sql_fuzzy_link
