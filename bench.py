@@ -174,6 +174,9 @@ def main() -> None:
         "q_pack_sequences",
         "q_mixture_sample",
         "q_main_content",
+        "q_gopher_rules",
+        "q_crawl_schedule",
+        "q_crawl_delta",
         "q_ntriples",
         "q_fuzzy_link",
         "q_source_quota",

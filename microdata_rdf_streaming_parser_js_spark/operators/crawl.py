@@ -103,3 +103,81 @@ def robots_filter(
             yield out
 
     return joined.mapInPandas(fn, schema=out_schema)
+
+
+def politeness_schedule(
+    urls: "DataFrame",
+    host_col: str = "_host",
+    key_col: str = "url",
+    per_wave: int = 1,
+    delay_s: int = 1,
+    salt: str = "sched",
+) -> "DataFrame":
+    """Crawl-frontier scheduling under per-host politeness: assign each
+    URL a fetch wave and start offset such that at most ``per_wave``
+    URLs of a host are fetched per wave, waves ``delay_s`` apart — the
+    deterministic batch twin of a crawler's per-host rate limiter.
+
+    Order within a host is md5(key|salt) (ties by key), the same
+    content-hash device as the quota/split operators, so the schedule
+    is reproducible across reruns and engines and is independent of
+    input partitioning. One shuffle (on host for the rank window);
+    wave/offset are plain arithmetic on the rank. Returns the input
+    keys plus (host_rank, wave, offset_s).
+    """
+    if per_wave < 1:
+        raise ValueError(f"per_wave must be >= 1, got {per_wave}")
+    if delay_s < 0:
+        raise ValueError(f"delay_s must be >= 0, got {delay_s}")
+    from pyspark.sql import Window
+
+    digest = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    w = Window.partitionBy(host_col).orderBy(digest.asc(), F.col(key_col).asc())
+    ranked = urls.select(
+        key_col,
+        F.col(host_col).alias("host"),
+        F.row_number().over(w).cast("long").alias("host_rank"),
+    )
+    wave = (F.col("host_rank") - 1).cast("long") / F.lit(per_wave)
+    return ranked.select(
+        key_col,
+        "host",
+        "host_rank",
+        F.floor(wave).cast("long").alias("wave"),
+        (F.floor(wave) * delay_s).cast("long").alias("offset_s"),
+    )
+
+
+def crawl_delta(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> "DataFrame":
+    """Incremental-crawl change detection: full-outer join of the
+    previous snapshot's (key, content-digest) ledger against the new
+    crawl's, classifying every key as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the delta that drives re-extraction
+    (only added+changed pages re-enter the KG pipeline) and tombstoning
+    (removed pages retire their triples).
+
+    Both inputs are (key, digest) pairs — kilobyte-scale ledgers per
+    10^12-page snapshot live fine in a table; the join is one shuffle
+    on the key (or zero if both ledgers are bucketed by key on disk).
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("od")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("nd")
+    )
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("od").isNull(), F.lit("added"))
+        .when(F.col("nd").isNull(), F.lit("removed"))
+        .when(F.col("od") == F.col("nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("k").alias(key_col), status.alias("status"))

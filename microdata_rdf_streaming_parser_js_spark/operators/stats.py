@@ -144,3 +144,88 @@ def corpus_topk_ngrams(
     topped = counts.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(topk)
     w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
     return topped.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def gopher_rules(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_u: int = 3_000_000,
+    max_mean_word_len_u: int = 10_000_000,
+    max_symbol_ratio_u: int = 100_000,
+    max_bullet_frac_u: int = 900_000,
+    max_ellipsis_frac_u: int = 300_000,
+) -> "DataFrame":
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1):
+    per-document rule features plus the conjunctive ``keep`` flag.
+
+    All features are integer micro-units computed by built-in string
+    expressions — scan-side codegen, zero shuffles, pushdown-friendly —
+    and every division is ``floor(x * scale / y)`` so the DuckDB oracle
+    reproduces each value exactly:
+
+    - ``n_words``: whitespace tokens;
+    - ``mean_word_len_u``: non-whitespace chars per word;
+    - ``symbol_ratio_u``: ('#' + unicode-ellipsis + '...') per word —
+      the Gopher symbol-to-word screen;
+    - ``bullet_frac_u`` / ``ellipsis_frac_u``: fraction of lines
+      starting with a bullet ('-', '*', the bullet char) / ending with
+      an ellipsis.
+
+    The thresholds default to the published Gopher cut-points
+    (50..100k words, mean word length 3..10, symbol ratio 0.1, 90%
+    bullet lines, 30% ellipsis lines).
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    uni_ell = F.length(t) - F.length(
+        F.replace(t, F.lit("…"), F.lit(""))
+    )
+    dot_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbols = (hashes + uni_ell + dot_ell).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    is_bullet = lambda x: (  # noqa: E731
+        F.ltrim(x).startswith("-")
+        | F.ltrim(x).startswith("*")
+        | F.ltrim(x).startswith("•")
+    )
+    ends_ell = lambda x: (  # noqa: E731
+        F.rtrim(x).endswith("…") | F.rtrim(x).endswith("...")
+    )
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    n_ell = F.size(F.filter(lines, ends_ell))
+
+    def _ratio_u(num, den):
+        return F.when(den > 0, F.floor(num * scale / den)).otherwise(
+            F.lit(0)
+        ).cast("long")
+
+    out = df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        _ratio_u(word_chars, n_words).alias("mean_word_len_u"),
+        _ratio_u(symbols, n_words).alias("symbol_ratio_u"),
+        _ratio_u(n_bullet, n_lines).alias("bullet_frac_u"),
+        _ratio_u(n_ell, n_lines).alias("ellipsis_frac_u"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_u") >= min_mean_word_len_u)
+        & (F.col("mean_word_len_u") <= max_mean_word_len_u)
+        & (F.col("symbol_ratio_u") <= max_symbol_ratio_u)
+        & (F.col("bullet_frac_u") <= max_bullet_frac_u)
+        & (F.col("ellipsis_frac_u") <= max_ellipsis_frac_u)
+    )
+    return out.withColumn("keep", keep)

@@ -4204,3 +4204,201 @@ SELECT mention_key, entity_id, distance FROM (
 
 QUERIES["q_fuzzy_link"] = q_fuzzy_link
 ORACLES["q_fuzzy_link"] = sql_fuzzy_link
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules, crawl scheduling, incremental-crawl delta
+# ---------------------------------------------------------------------------
+
+_GR_AUG = "\n- first bullet line\n- second bullet line\ntrailing dots ..."
+
+
+def q_gopher_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gopher-style quality gate (operators/stats.gopher_rules): rule
+    features + conjunctive keep flag, all integer micro-units from
+    codegen'd string exprs (zero shuffles). Every third doc gets the
+    same bullet/ellipsis suffix on BOTH engines so the line-fraction
+    rules are exercised, not vacuously zero."""
+    from ..operators.stats import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.col("text"), F.lit(_GR_AUG)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_rules(aug)
+
+
+def sql_gopher_rules() -> str:
+    aug = _GR_AUG.replace("\n", "' || chr(10) || '")
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{aug}' ELSE text END AS text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '…', '')))
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+      AS symbols,
+    string_split(text, chr(10)) AS lines
+  FROM aug
+),
+m AS (
+  SELECT doc_id, n_words, word_chars, symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> starts_with(ltrim(x), '-')
+        OR starts_with(ltrim(x), '*')
+        OR starts_with(ltrim(x), '•'))) AS n_bullet,
+    len(list_filter(lines, x -> ends_with(rtrim(x), '…')
+        OR ends_with(rtrim(x), '...'))) AS n_ell
+  FROM feats
+),
+r AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    CAST(CASE WHEN n_words > 0
+         THEN floor(word_chars * 1000000.0 / n_words) ELSE 0 END AS BIGINT)
+      AS mean_word_len_u,
+    CAST(CASE WHEN n_words > 0
+         THEN floor(symbols * 1000000.0 / n_words) ELSE 0 END AS BIGINT)
+      AS symbol_ratio_u,
+    CAST(CASE WHEN n_lines > 0
+         THEN floor(n_bullet * 1000000.0 / n_lines) ELSE 0 END AS BIGINT)
+      AS bullet_frac_u,
+    CAST(CASE WHEN n_lines > 0
+         THEN floor(n_ell * 1000000.0 / n_lines) ELSE 0 END AS BIGINT)
+      AS ellipsis_frac_u
+  FROM m
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len_u >= 3000000 AND mean_word_len_u <= 10000000
+   AND symbol_ratio_u <= 100000
+   AND bullet_frac_u <= 900000
+   AND ellipsis_frac_u <= 300000) AS keep
+FROM r"""
+
+
+QUERIES["q_gopher_rules"] = q_gopher_rules
+ORACLES["q_gopher_rules"] = sql_gopher_rules
+
+
+_CS_PER_WAVE = 3
+_CS_DELAY_S = 2
+_CS_SALT = "sched"
+
+
+def q_crawl_schedule(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Politeness scheduling (operators/crawl.politeness_schedule):
+    per-host fetch waves (at most _CS_PER_WAVE urls/host/wave,
+    _CS_DELAY_S s apart) over synthetic urls keyed by documents.source
+    as the host — the frontier-planning step after robots filtering."""
+    from ..operators.crawl import politeness_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("_host"),
+    )
+    return politeness_schedule(
+        urls, per_wave=_CS_PER_WAVE, delay_s=_CS_DELAY_S, salt=_CS_SALT
+    )
+
+
+def sql_crawl_schedule() -> str:
+    return f"""WITH urls AS (
+  SELECT 'http://' || source || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source AS host
+  FROM documents
+),
+ranked AS (
+  SELECT url, host,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY md5(url || '|{_CS_SALT}'), url) AS BIGINT) AS host_rank
+  FROM urls
+)
+SELECT url, host, host_rank,
+       CAST((host_rank - 1) // {_CS_PER_WAVE} AS BIGINT) AS wave,
+       CAST(((host_rank - 1) // {_CS_PER_WAVE}) * {_CS_DELAY_S} AS BIGINT)
+         AS offset_s
+FROM ranked"""
+
+
+QUERIES["q_crawl_schedule"] = q_crawl_schedule
+ORACLES["q_crawl_schedule"] = sql_crawl_schedule
+
+
+_CD_ADDED = 20
+
+
+def q_crawl_delta(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Incremental-crawl change detection (operators/crawl.crawl_delta):
+    previous vs new snapshot ledgers, full-outer joined into
+    added/removed/changed/unchanged — both engines derive the same two
+    ledgers from documents (every 7th doc removed, every 5th modified,
+    _CD_ADDED new keys)."""
+    from ..operators.crawl import crawl_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    old = docs.select(key.alias("url"), F.md5("text").alias("digest"))
+    survived = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) != 0).select(
+        key.alias("url"),
+        F.md5(
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.concat(F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    added = docs.where(F.col("doc_id") < _CD_ADDED).select(
+        F.concat(F.lit("new"), F.col("doc_id").cast("string")).alias("url"),
+        F.md5(F.concat(F.lit("new"), F.col("doc_id").cast("string"))).alias(
+            "digest"
+        ),
+    )
+    return crawl_delta(old, survived.unionAll(added))
+
+
+def sql_crawl_delta() -> str:
+    return f"""WITH old AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS digest
+  FROM documents
+),
+new AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || 'v2' ELSE text END)
+           AS digest
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'new' || CAST(doc_id AS VARCHAR),
+         md5('new' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id < {_CD_ADDED}
+)
+SELECT COALESCE(old.url, new.url) AS url,
+       CASE WHEN old.url IS NULL THEN 'added'
+            WHEN new.url IS NULL THEN 'removed'
+            WHEN old.digest = new.digest THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.url = new.url"""
+
+
+QUERIES["q_crawl_delta"] = q_crawl_delta
+ORACLES["q_crawl_delta"] = sql_crawl_delta

@@ -292,3 +292,64 @@ def test_corpus_ngrams_topk_plan(spark, sf_dir):
     # map-side partial aggregation before the gram-key exchange
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_is_pure_scan_projection(spark, sf_dir):
+    """The Gopher quality gate must compile to scan -> project: no
+    exchange, no Python eval — it rides an existing corpus pass for
+    free, like hash-split assignment."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_gopher_rules
+
+    plan = plan_str(q_gopher_rules(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ntriples_serialization_no_shuffle_no_python(spark, sf_dir):
+    """N-Triples formatting is a map: serialization must add zero
+    exchanges beyond the extraction pipeline's own single dedup
+    shuffle, and no Python eval nodes beyond the extraction UDF."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_extract_triples,
+        q_ntriples,
+    )
+
+    base = _shuffle_nodes(plan_str(q_extract_triples(spark, sf_dir)))
+    lines = _shuffle_nodes(plan_str(q_ntriples(spark, sf_dir)))
+    assert len(lines) == len(base), (base, lines)
+
+
+def test_fuzzy_link_broadcasts_dictionary(spark, sf_dir):
+    """Fuzzy linking must broadcast the (exploded) gazetteer so the
+    mention side is never shuffled for candidate generation."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_fuzzy_link
+
+    plan = plan_str(q_fuzzy_link(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_per_group_quota_single_shuffle(spark, sf_dir):
+    """Domain quotas: exactly one exchange (hash on the group) feeding
+    the rank window."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_source_quota
+
+    plan = plan_str(q_source_quota(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_kmeans_assignment_is_scan_side(spark, sf_dir):
+    """Cluster assignment must be a scan-side projection joined to the
+    broadcast 16-row size table: no Python eval, and the only
+    exchanges belong to the tiny sizes aggregation — never a shuffle
+    of the full assignment output."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids_u,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids_u(emb, n_centroids=4, iterations=0)
+    plan = plan_str(kmeans_assign(emb, cents))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan

@@ -159,3 +159,55 @@ def test_robots_sitemap_directive_feeds_frontier(spark):
     assert [(r["sitemap_url"], r["url"]) for r in frontier.collect()] == [
         ("http://a.com/sm.xml", "http://a.com/p1")
     ]
+
+
+def test_politeness_schedule_waves(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.crawl import (
+        politeness_schedule,
+    )
+
+    rows = [(f"http://h{i % 2}/p{i}", f"h{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, _host string")
+    out = politeness_schedule(df, per_wave=2, delay_s=5).collect()
+    assert len(out) == 10
+    per_host_wave = {}
+    for r in out:
+        assert r["offset_s"] == r["wave"] * 5
+        assert r["wave"] == (r["host_rank"] - 1) // 2
+        per_host_wave.setdefault((r["host"], r["wave"]), 0)
+        per_host_wave[(r["host"], r["wave"])] += 1
+    assert max(per_host_wave.values()) <= 2
+    # deterministic across repartition
+    out2 = politeness_schedule(
+        df.repartition(5), per_wave=2, delay_s=5
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+
+def test_politeness_schedule_guards(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.crawl import (
+        politeness_schedule,
+    )
+
+    df = spark.createDataFrame([("u", "h")], "url string, _host string")
+    with pytest.raises(ValueError, match="per_wave"):
+        politeness_schedule(df, per_wave=0)
+    with pytest.raises(ValueError, match="delay_s"):
+        politeness_schedule(df, delay_s=-1)
+
+
+def test_crawl_delta_statuses(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.crawl import (
+        crawl_delta,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "d1"), ("b", "d2"), ("c", "d3")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("a", "d1"), ("b", "dX"), ("d", "d4")], "url string, digest string"
+    )
+    out = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert out == {
+        "a": "unchanged", "b": "changed", "c": "removed", "d": "added"
+    }

@@ -163,3 +163,37 @@ def test_pack_sequences_hand_counted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         pack_sequences(sdf, seq_len=0)
+
+
+def test_gopher_rules_features_and_keep(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        gopher_rules,
+    )
+
+    good = " ".join(["word"] * 60)  # 60 words, mean len 4
+    short = "too few words"
+    bullety = "intro line\n- a\n- b\n- c"  # 3/4 bullet lines
+    symbolic = " ".join(["w###"] * 60)  # 3 hashes per word
+    rows = [(1, good), (2, short), (3, bullety), (4, symbolic), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert out[1]["n_words"] == 60
+    assert out[1]["mean_word_len_u"] == 4_000_000
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # below min_words
+    assert out[3]["bullet_frac_u"] == 750_000
+    assert out[4]["symbol_ratio_u"] == 3_000_000
+    assert out[4]["keep"] is False  # symbol screen
+    assert out[5]["n_words"] == 0 and out[5]["keep"] is False
+
+
+def test_gopher_rules_ellipsis_lines(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        gopher_rules,
+    )
+
+    text = "ends here ...\nends with char …\nplain line\nfourth"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = gopher_rules(df).collect()
+    assert r["ellipsis_frac_u"] == 500_000
