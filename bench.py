@@ -175,6 +175,8 @@ def main() -> None:
         "q_mixture_sample",
         "q_main_content",
         "q_gopher_rules",
+        "q_countmin",
+        "q_phrase_pmi",
         "q_crawl_schedule",
         "q_crawl_delta",
         "q_ntriples",

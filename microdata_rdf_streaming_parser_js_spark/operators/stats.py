@@ -229,3 +229,59 @@ def gopher_rules(
         & (F.col("ellipsis_frac_u") <= max_ellipsis_frac_u)
     )
     return out.withColumn("keep", keep)
+
+
+def phrase_pmi(
+    df: "DataFrame",
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """word2phrase-style collocation scores (Mikolov et al. 2013):
+    for each corpus bigram with at least ``min_count`` occurrences,
+    the integer PMI surrogate
+
+        score_u = (n_bigram * n_tokens * scale) div (n_a * n_b)
+
+    — high when 'new york' co-occurs far above chance — ranked
+    (score_u DESC, gram ASC) and cut to ``topk``. The phrase-merge
+    pass a tokenizer/vocab pipeline runs before BPE.
+
+    Integer-exact cross-engine: one fused product before a single
+    floor division (fits a long through ~sf10 corpora: n_bigram *
+    n_tokens * 1e6 at 4e5 tokens is ~4e16 < 2^63; shard the corpus
+    before the product at larger scales). Shuffles: unigram agg,
+    bigram agg (both map-side combined), broadcast of the two 1-row
+    totals, TakeOrderedAndProject for the cut.
+    """
+    from .dedup import shingles
+
+    toks = df.select(F.explode(shingles(F.col(text_col), 1)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = toks.agg(F.count("*").alias("n_tokens"))
+    bi = (
+        df.select(F.explode(shingles(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_bigram"))
+        .where(F.col("n_bigram") >= min_count)
+        .withColumn("wa", F.split(F.col("gram"), " ")[0])
+        .withColumn("wb", F.split(F.col("gram"), " ")[1])
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n_w").alias("n_b"))
+    scored = (
+        bi.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            F.col("n_bigram").cast("long").alias("n_bigram"),
+            F.expr(
+                f"(n_bigram * n_tokens * {scale}) div (n_a * n_b)"
+            ).alias("score_u"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_u").desc(), F.col("gram").asc()
+    ).limit(topk)

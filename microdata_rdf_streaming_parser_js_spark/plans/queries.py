@@ -4402,3 +4402,148 @@ FROM old FULL OUTER JOIN new ON old.url = new.url"""
 
 QUERIES["q_crawl_delta"] = q_crawl_delta
 ORACLES["q_crawl_delta"] = sql_crawl_delta
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + phrase PMI (vocab collocations)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_PROBES = ("dup", "spark", "vector", "the", "zzz-absent")
+
+
+def _sql_hex8(expr: str) -> str:
+    """First 8 hex nibbles of a (md5 hex) SQL expression as an exact
+    integer (16^8 < 2^53) — the DuckDB twin of Spark's conv(...,16,10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+def q_countmin(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Count-min sketch (operators/sketch.py): build a depth-4 x
+    width-256 md5-hashed counter table over all corpus tokens, then
+    probe five fixed keys, reporting exact count vs CMS estimate side
+    by side (est >= exact always; the oracle rebuilds the identical
+    sketch, so the comparison is exact, not statistical)."""
+    from ..operators.dedup import shingles
+    from ..operators.sketch import count_min_build, count_min_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(shingles(F.col("text"), 1)).alias("tok"))
+    sketch = count_min_build(toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "tok string"
+    )
+    est = count_min_estimate(
+        sketch, probes, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = toks.where(F.col("tok").isin(*_CMS_PROBES)).groupBy("tok").agg(
+        F.count("*").alias("exact")
+    )
+    return est.join(exact, "tok", "left").select(
+        "tok",
+        F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def sql_countmin() -> str:
+    probe_list = ", ".join(_sql_str(p) for p in _CMS_PROBES)
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS row, {_sql_hex8(f_md5)} % {_CMS_WIDTH} AS bucket"
+        f" FROM toks"
+        for j, f_md5 in (
+            (j, f"md5(tok || '#{j}')") for j in range(_CMS_DEPTH)
+        )
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT tok, {j} AS row,"
+        f" {_sql_hex8(f'''md5(tok || '#{j}')''')} % {_CMS_WIDTH} AS bucket"
+        f" FROM probes"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""WITH toks AS (
+  SELECT unnest({_TOKS.format(c="text")}) AS tok FROM documents
+),
+probes AS (SELECT unnest([{probe_list}]) AS tok),
+cells AS (
+{rows}
+),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket
+),
+probe_cells AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM probe_cells p
+  LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+  GROUP BY p.tok
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact FROM toks
+  WHERE tok IN ({probe_list}) GROUP BY tok
+)
+SELECT e.tok, CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+       CAST(e.est AS BIGINT) AS est
+FROM est e LEFT JOIN exact x ON x.tok = e.tok"""
+
+
+QUERIES["q_countmin"] = q_countmin
+ORACLES["q_countmin"] = sql_countmin
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def q_phrase_pmi(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """word2phrase collocations (operators/stats.phrase_pmi): integer
+    PMI surrogate over corpus bigrams with >= _PMI_MIN_COUNT
+    occurrences, top-_PMI_TOPK by (score_u DESC, gram ASC)."""
+    from ..operators.stats import phrase_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_pmi(
+        docs, min_count=_PMI_MIN_COUNT, topk=_PMI_TOPK
+    )
+
+
+def sql_phrase_pmi() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH toks AS (
+  SELECT unnest({toks}) AS w FROM documents
+),
+uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+total AS (SELECT COUNT(*) AS n_tokens FROM toks),
+t2 AS (SELECT {toks} AS t FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(0, len(t) - 1),
+                i -> array_to_string(t[i + 1 : i + 2], ' '))) AS gram
+  FROM t2 WHERE len(t) >= 2
+),
+bic AS (
+  SELECT gram, COUNT(*) AS n_bigram FROM bi GROUP BY gram
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT b.gram, CAST(b.n_bigram AS BIGINT) AS n_bigram,
+         (b.n_bigram * (SELECT n_tokens FROM total) * 1000000)
+           // (ua.n_w * ub.n_w) AS score_u
+  FROM bic b
+  JOIN uni ua ON ua.w = string_split(b.gram, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2]
+)
+SELECT gram, n_bigram, CAST(score_u AS BIGINT) AS score_u
+FROM scored
+ORDER BY score_u DESC, gram ASC
+LIMIT {_PMI_TOPK}"""
+
+
+QUERIES["q_phrase_pmi"] = q_phrase_pmi
+ORACLES["q_phrase_pmi"] = sql_phrase_pmi

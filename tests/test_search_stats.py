@@ -197,3 +197,76 @@ def test_gopher_rules_ellipsis_lines(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     (r,) = gopher_rules(df).collect()
     assert r["ellipsis_frac_u"] == 500_000
+
+
+def test_count_min_exact_when_no_collisions(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "k string"
+    )
+    sketch = count_min_build(items, "k", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("absent",)], "k string"
+    )
+    out = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sketch, probes, "k", depth=4, width=4096
+        ).collect()
+    }
+    # 9 items in 4x4096 cells: no collisions, estimates are exact
+    assert out == {"a": 5, "b": 3, "c": 1, "absent": 0}
+
+
+def test_count_min_overestimates_never_under(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200) for _ in range(i % 3 + 1)],
+        "k string",
+    )
+    sketch = count_min_build(items, "k", depth=2, width=8)  # heavy collisions
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(200)], "k string")
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sketch, probes, "k", depth=2, width=8
+        ).collect()
+    }
+    for i in range(200):
+        assert est[f"k{i}"] >= i % 3 + 1
+
+
+def test_count_min_guards(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        count_min_build,
+    )
+
+    items = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="depth/width"):
+        count_min_build(items, "k", depth=0)
+
+
+def test_phrase_pmi_hand_computed(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        phrase_pmi,
+    )
+
+    # "new york" appears 3x; tokens: 3x("new york is") = 9 tokens
+    docs = spark.createDataFrame(
+        [(i, "new york is") for i in range(3)], "doc_id long, text string"
+    )
+    out = phrase_pmi(docs, min_count=3, topk=10).collect()
+    scores = {r["gram"]: (r["n_bigram"], r["score_u"]) for r in out}
+    # n_tokens=9, n(new)=n(york)=n(is)=3
+    # score(new york) = (3 * 9 * 1e6) // (3*3) = 3_000_000
+    assert scores["new york"] == (3, 3_000_000)
+    assert scores["york is"] == (3, 3_000_000)
+    assert set(scores) == {"new york", "york is"}
