@@ -177,6 +177,9 @@ def main() -> None:
         "q_gopher_rules",
         "q_countmin",
         "q_phrase_pmi",
+        "q_kcore",
+        "q_tfidf_terms",
+        "q_group_kmv",
         "q_crawl_schedule",
         "q_crawl_delta",
         "q_ntriples",

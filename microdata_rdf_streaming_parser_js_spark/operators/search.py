@@ -109,3 +109,59 @@ def bm25_topk(
         .agg(F.sum("contrib_u").alias("score_u"))
     )
     return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)
+
+
+def tfidf_top_terms(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 3,
+    scale: int = 1_000_000,
+    min_df: int = 1,
+) -> "DataFrame":
+    """(doc_id, term, score_u, rank): each document's ``topk`` most
+    distinctive terms by an integer tf-idf surrogate — the keyword
+    summary used for doc-level routing, clustering labels, and index
+    pruning.
+
+    ``score_u = tf * (n_docs * scale div df)`` — a rational inverse-df
+    idf (same device as the BM25 idf surrogate: monotone in the real
+    idf, exactly reproducible in integer arithmetic on both engines;
+    log-free because IEEE ln is not a cross-engine contract).
+    Tie-break (score_u DESC, term ASC) makes the rank-``topk`` cut
+    deterministic.
+
+    Shuffles: (doc, term) tf aggregation, term df aggregation, the
+    df join back on term, and the per-doc rank window — all map-side
+    combinable or key-partitioned; the 1-row corpus count broadcasts.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), 1)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"tf * ((n_docs * {scale}) div df)").alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= topk)

@@ -97,3 +97,51 @@ def count_min_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est")
     )
+
+
+def grouped_kmv(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> "DataFrame":
+    """(group, n_seen, ndv_estimate): per-group KMV distinct-count
+    sketch — the engine-portable HLL alternative, per key (distinct
+    users per event type, distinct urls per host). Estimate =
+    (k-1) / fraction(k-th smallest md5), or the exact count when a
+    group holds fewer than ``k`` distinct values.
+
+    Shape: distinct (group, value) -> md5 -> per-group rank window
+    keeping k rows -> 1-row-per-group aggregate. Bounded state per
+    group (k hashes), mergeable (union = k smallest of the union),
+    no driver collect. The 12-nibble fraction is an exact
+    integer-valued double (16^12 < 2^53), so both engines compute the
+    identical estimate.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .distinct()
+        .select("g", F.md5(F.col("v").cast("string")).alias("h"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    agg = topk.groupBy("g").agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("kth")
+    )
+    frac = F.conv(F.substring("kth", 1, 12), 16, 10).cast("double") / F.lit(
+        float(16**12)
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("long")
+    ).otherwise(F.floor(F.lit(k - 1) / frac).cast("long"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        est.alias("ndv_estimate"),
+    )

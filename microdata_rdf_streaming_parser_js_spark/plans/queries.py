@@ -4547,3 +4547,191 @@ LIMIT {_PMI_TOPK}"""
 
 QUERIES["q_phrase_pmi"] = q_phrase_pmi
 ORACLES["q_phrase_pmi"] = sql_phrase_pmi
+
+
+# ---------------------------------------------------------------------------
+# k-core, per-doc tf-idf terms, grouped KMV
+# ---------------------------------------------------------------------------
+
+_KC_K = 2
+_KC_ORACLE_ROUNDS = 4  # synthetic peel depth is exactly 3 (chain length)
+
+
+def q_kcore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """k-core membership (operators/graph.kcore, parallel peeling to a
+    checksummed fixpoint) on a synthetic graph with a known peel
+    structure: a ring (every vertex degree 2 — the entire 2-core) plus
+    a pendant 3-chain hanging off every 5th vertex (peels in exactly 3
+    rounds, tail first). The oracle unrolls _KC_ORACLE_ROUNDS peeling
+    rounds — one more than the construction's peel depth — so both
+    engines reach the same fixpoint."""
+    from ..operators.graph import kcore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    ring = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") + 1, F.col("n")).alias("obj"),
+    )
+    anchors = base.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id", "n", F.expr("doc_id div 5").alias("j")
+    )
+    c0 = F.col("n") + F.col("j") * 3
+    chains = (
+        anchors.select(F.col("doc_id").alias("subj"), c0.alias("obj"))
+        .unionAll(anchors.select(c0.alias("subj"), (c0 + 1).alias("obj")))
+        .unionAll(
+            anchors.select((c0 + 1).alias("subj"), (c0 + 2).alias("obj"))
+        )
+    )
+    chain_nodes = anchors.select(
+        F.explode(F.array(c0, c0 + 1, c0 + 2)).alias("node_id")
+    )
+    nodes = ids.select(F.col("doc_id").alias("node_id")).unionAll(chain_nodes)
+    return kcore(
+        nodes, ring.unionAll(chains), k=_KC_K, id_col="node_id"
+    )
+
+
+def sql_kcore() -> str:
+    # each e{r} is referenced three times by round r+1 (twice via the
+    # degree count, once as the join base): MATERIALIZED stops DuckDB
+    # from inlining the chain, which otherwise explodes 3^rounds-fold
+    rounds = []
+    for r in range(1, _KC_ORACLE_ROUNDS + 1):
+        rounds.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+  ) GROUP BY v
+),
+k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {_KC_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN k{r} x ON x.v = e.a
+  JOIN k{r} y ON y.v = e.b
+)""")
+    last = f"e{_KC_ORACLE_ROUNDS}"
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+anchors AS (
+  SELECT doc_id, doc_id // 5 AS j FROM documents WHERE doc_id % 5 = 0
+),
+nodes AS (
+  SELECT doc_id AS node_id FROM documents
+  UNION ALL
+  SELECT (SELECT c FROM n) + j * 3 + o
+  FROM anchors CROSS JOIN (SELECT unnest([0, 1, 2]) AS o)
+),
+raw AS (
+  SELECT doc_id AS s, (doc_id + 1) % (SELECT c FROM n) AS o FROM documents
+  UNION ALL
+  SELECT doc_id, (SELECT c FROM n) + j * 3 FROM anchors
+  UNION ALL
+  SELECT (SELECT c FROM n) + j * 3, (SELECT c FROM n) + j * 3 + 1 FROM anchors
+  UNION ALL
+  SELECT (SELECT c FROM n) + j * 3 + 1, (SELECT c FROM n) + j * 3 + 2
+  FROM anchors
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+  FROM raw WHERE s <> o
+){''.join(rounds)},
+core AS (
+  SELECT DISTINCT v FROM (
+    SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last}
+  )
+)
+SELECT nodes.node_id, core.v IS NOT NULL AS in_kcore
+FROM nodes LEFT JOIN core ON core.v = nodes.node_id"""
+
+
+QUERIES["q_kcore"] = q_kcore
+ORACLES["q_kcore"] = sql_kcore
+
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_terms(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document tf-idf keywords (operators/search.tfidf_top_terms):
+    integer rational-idf surrogate, top-3 terms per doc with a
+    deterministic (score DESC, term ASC) cut."""
+    from ..operators.search import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, topk=_TFIDF_TOPK)
+
+
+def sql_tfidf_terms() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH terms AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (((SELECT n_docs FROM nd) * 1000000) // dft.df) AS score_u
+  FROM tf JOIN dft USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, CAST(score_u AS BIGINT) AS score_u,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score_u DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {_TFIDF_TOPK}"""
+
+
+QUERIES["q_tfidf_terms"] = q_tfidf_terms
+ORACLES["q_tfidf_terms"] = sql_tfidf_terms
+
+
+_GKMV_K = 64
+
+
+def q_group_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-group KMV distinct-count sketch (operators/sketch
+    .grouped_kmv): distinct users per event type with bounded per-group
+    state — the grouped twin of q_kmv_distinct."""
+    from ..operators.sketch import grouped_kmv
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_kmv(events, "event_type", "user_id", k=_GKMV_K)
+
+
+def sql_group_kmv() -> str:
+    k = _GKMV_K
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(kth, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}.0"
+        for i in range(12)
+    )
+    return f"""WITH hashed AS (
+  SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+topk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+agg AS (SELECT g, COUNT(*) AS n_seen, MAX(h) AS kth FROM topk GROUP BY g)
+SELECT g AS event_type, CAST(n_seen AS BIGINT) AS n_seen,
+       CASE WHEN n_seen < {k} THEN CAST(n_seen AS BIGINT)
+            ELSE CAST(floor(({k - 1}) /
+                 (({nibbles}) / {float(16 ** 12)!r})) AS BIGINT)
+       END AS ndv_estimate
+FROM agg"""
+
+
+QUERIES["q_group_kmv"] = q_group_kmv
+ORACLES["q_group_kmv"] = sql_group_kmv

@@ -311,3 +311,43 @@ def test_triangles_collapses_direction_multiplicity_loops(spark):
 def test_triangles_wedge_is_not_triangle(spark):
     out = _tri(spark, ["a", "b", "c"], [("a", "b"), ("b", "c")])
     assert out == {"a": 0, "b": 0, "c": 0}
+
+
+def _kcore(spark, nodes, edges, k, **kw):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import kcore
+
+    n = spark.createDataFrame([(x,) for x in nodes], "iri string")
+    e = spark.createDataFrame(edges, "subj string, obj string")
+    return {
+        r["iri"]: r["in_kcore"] for r in kcore(n, e, k, **kw).collect()
+    }
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    # triangle is the 2-core; the chain c1-c2-c3 peels off tail-first
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("a", "c1"), ("c1", "c2"), ("c2", "c3"),
+    ]
+    out = _kcore(spark, ["a", "b", "c", "c1", "c2", "c3", "lone"], edges, 2)
+    assert out == {
+        "a": True, "b": True, "c": True,
+        "c1": False, "c2": False, "c3": False, "lone": False,
+    }
+
+
+def test_kcore_3core_empty_for_triangle(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    out = _kcore(spark, ["a", "b", "c"], edges, 3)
+    assert out == {"a": False, "b": False, "c": False}
+
+
+def test_kcore_guards(spark):
+    import pytest as _pytest
+
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import kcore
+
+    n = spark.createDataFrame([("a",)], "iri string")
+    e = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(n, e, 0)

@@ -270,3 +270,44 @@ def test_phrase_pmi_hand_computed(spark):
     assert scores["new york"] == (3, 3_000_000)
     assert scores["york is"] == (3, 3_000_000)
     assert set(scores) == {"new york", "york is"}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.search import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["score_u"], r["rank"])
+        for r in tfidf_top_terms(docs, topk=2).collect()
+    }
+    # n_docs=2; df(apple)=1, df(banana)=2, df(cherry)=1
+    # doc1: apple tf=2 -> 2*(2e6//1)=4e6 ; banana tf=1 -> 1e6
+    assert out[(1, "apple")] == (4_000_000, 1)
+    assert out[(1, "banana")] == (1_000_000, 2)
+    # doc2: cherry 2e6 rank1, banana 1e6 rank2
+    assert out[(2, "cherry")] == (2_000_000, 1)
+    assert out[(2, "banana")] == (1_000_000, 2)
+
+
+def test_grouped_kmv_exact_branch_and_guard(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        grouped_kmv,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", i % 3) for i in range(30)] + [("t2", i) for i in range(5)],
+        "event_type string, user_id long",
+    )
+    out = {
+        r["event_type"]: (r["n_seen"], r["ndv_estimate"])
+        for r in grouped_kmv(df, "event_type", "user_id", k=8).collect()
+    }
+    # both groups have fewer than k distinct -> exact counts
+    assert out == {"t1": (3, 3), "t2": (5, 5)}
+    with pytest.raises(ValueError, match="k must be"):
+        grouped_kmv(df, "event_type", "user_id", k=1)
