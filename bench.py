@@ -180,6 +180,8 @@ def main() -> None:
         "q_kcore",
         "q_tfidf_terms",
         "q_group_kmv",
+        "q_countmin_stream",
+        "q_compression_signal",
         "q_crawl_schedule",
         "q_crawl_delta",
         "q_ntriples",

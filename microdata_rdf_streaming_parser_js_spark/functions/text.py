@@ -110,3 +110,23 @@ def fingerprint(col: "Column") -> "Column":
     """Content fingerprint: md5 over normalized text (lower, collapsed
     whitespace) — stable across engines and whitespace layout."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def compress_ratio_u(text: str, level: int = 6, scale: int = 1_000_000):
+    """(n_bytes, comp_bytes, ratio_u): zlib-compressed size of the
+    UTF-8 text as a micro-unit fraction of the raw size — the
+    compression-ratio quality signal (highly repetitive/templated
+    pages compress far below prose; used alongside the Gopher rules
+    to drop boilerplate-heavy documents).
+
+    Deterministic for a fixed zlib level, so the DuckDB oracle embeds
+    this kernel's local output as golden VALUES (the shared-kernel
+    pattern; SQL has no zlib). Empty text reports ratio 0.
+    """
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return (0, 0, 0)
+    comp = zlib.compress(raw, level)
+    return (len(raw), len(comp), (len(comp) * scale) // len(raw))

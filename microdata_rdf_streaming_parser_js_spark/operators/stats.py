@@ -285,3 +285,45 @@ def phrase_pmi(
     return scored.orderBy(
         F.col("score_u").desc(), F.col("gram").asc()
     ).limit(topk)
+
+
+def compression_signal(
+    df: "DataFrame",
+    id_col: str = "url",
+    text_col: str = "text",
+    level: int = 6,
+) -> "DataFrame":
+    """(id, n_bytes, comp_bytes, ratio_u): the zlib compression-ratio
+    quality signal (functions/text.compress_ratio_u) per document —
+    templated/repetitive pages compress hard and get filtered.
+
+    Arrow ``mapInPandas`` (zlib is not expressible in codegen), no
+    shuffle, column-pruned scan — the same embarrassingly-parallel
+    shape as extraction; at 100 TB this rides the same corpus pass as
+    the other scan-side quality features.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.text import compress_ratio_u
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("comp_bytes", T.LongType(), True),
+            T.StructField("ratio_u", T.LongType(), True),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                n, c, r = compress_ratio_u(text or "", level)
+                rows.append((str(i), n, c, r))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "comp_bytes", "ratio_u"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)

@@ -4735,3 +4735,110 @@ FROM agg"""
 
 QUERIES["q_group_kmv"] = q_group_kmv
 ORACLES["q_group_kmv"] = sql_group_kmv
+
+
+def q_countmin_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sketches under Structured Streaming: the count-min counter build
+    (operators/sketch.count_min_build — plain select/explode/groupBy,
+    so the same operator runs batch or streaming) as a stateful
+    streaming aggregation over the events file source, availableNow,
+    complete-mode memory sink. The state store is bounded at
+    depth x width rows no matter how long the stream runs — the whole
+    point of sketching a 10^12-event firehose — and md5 hashing makes
+    the drained table exactly equal to the batch/DuckDB sketch."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.sketch import count_min_build
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cms_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(
+        link if os.path.isdir(path) else src_dir
+    )
+    sketch = count_min_build(
+        src.select(F.col("event_type").alias("tok")),
+        "tok",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"countmin_stream_{_STREAM_SEQ[0]}"
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("row").cast("long").alias("row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def sql_countmin_stream() -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS row,"
+        f" {_sql_hex8(f'''md5(event_type || '#{j}')''')} % {_CMS_WIDTH}"
+        f" AS bucket FROM events"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""WITH cells AS (
+{rows}
+)
+SELECT CAST(row AS BIGINT) AS row, CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS cnt
+FROM cells GROUP BY row, bucket"""
+
+
+QUERIES["q_countmin_stream"] = q_countmin_stream
+ORACLES["q_countmin_stream"] = sql_countmin_stream
+
+
+def q_compression_signal(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Compression-ratio quality signal (operators/stats
+    .compression_signal) over the fixture pages' extracted text —
+    repetitive/templated pages compress hard. The oracle runs the
+    shared zlib kernel locally into golden VALUES (zlib is
+    deterministic per level; SQL has none)."""
+    from ..operators.stats import compression_signal
+
+    pages = synthesize_oracle_pages(spark)
+    return compression_signal(pages, id_col="url", text_col="text")
+
+
+def sql_compression_signal() -> str:
+    from ..functions.microdata import extract_text
+    from ..functions.text import compress_ratio_u
+
+    rows = []
+    for f in FIXTURES:
+        url = f"http://pages.example.org/{f.name}.html"
+        n, c, r = compress_ratio_u(extract_text(f.html))
+        rows.append(f"({_sql_str(url)}, {n}, {c}, {r})")
+    values = ",\n".join(rows)
+    return f"""SELECT CAST(id AS VARCHAR) AS id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(comp_bytes AS BIGINT) AS comp_bytes,
+       CAST(ratio_u AS BIGINT) AS ratio_u
+FROM (VALUES
+{values}
+) t(id, n_bytes, comp_bytes, ratio_u)"""
+
+
+QUERIES["q_compression_signal"] = q_compression_signal
+ORACLES["q_compression_signal"] = sql_compression_signal

@@ -118,3 +118,25 @@ def test_main_content_whitespace_normalized_blocks():
     _, text, _, n_kept, _ = extract_main_content("u", html)
     assert text == "spread across many whitespace runs in one block"
     assert n_kept == 1
+
+
+def test_compress_ratio_u_repetitive_vs_prose():
+    from microdata_rdf_streaming_parser_js_spark.functions.text import (
+        compress_ratio_u,
+    )
+
+    rep = compress_ratio_u("spam " * 200)
+    import random
+
+    rng = random.Random(7)
+    prose = compress_ratio_u(
+        " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+            for _ in range(200)
+        )
+    )
+    assert rep[2] < prose[2]  # templated text compresses much harder
+    assert rep[0] == 1000 and rep[1] > 0
+    assert compress_ratio_u("") == (0, 0, 0)
+    # deterministic
+    assert compress_ratio_u("hello world") == compress_ratio_u("hello world")
