@@ -472,3 +472,77 @@ def kmeans_assign(
     return vu.select(
         "vec_id", F.array_min(scores).getField("cid").alias("cid")
     )
+
+
+def semantic_dedup(
+    embeddings: "DataFrame",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, compare
+    vectors pairwise ONLY within a cluster, and drop every vector that
+    has a near-duplicate partner (cos >= threshold) with a smaller id
+    in its cluster — the first-by-id member of each duplicate chain
+    survives.
+
+    Scale shape: the cluster bound is what makes the quadratic
+    affordable — the within-cluster self-join shuffles on ``cid`` and
+    the pair count is sum(|cluster|^2), not |corpus|^2; at 100 TB you
+    grow ``n_centroids`` with the corpus so cluster sizes stay roughly
+    constant (the paper uses k ~ sqrt(n)). Assignment itself is
+    scan-side codegen against plan-time centroid literals (no shuffle,
+    no UDF), so the corpus is read once to label and once to join.
+
+    Exact and engine-replayable: centroids from the fixed-iteration
+    integer Lloyd rounds (:func:`kmeans_centroids_u`), assignment via
+    the integer squared-Euclidean argmin (:func:`kmeans_assign`),
+    cosine on doubles with the repo's shared fold shape, threshold on
+    ``round(cos, 6)``.
+
+    Returns (vec_id, cid, keep) with keep = 1 for survivors.
+    """
+    cents_u = kmeans_centroids_u(
+        embeddings,
+        n_centroids=n_centroids,
+        iterations=iterations,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    asg = kmeans_assign(
+        embeddings, cents_u, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e_vec"),
+    )
+    v = asg.join(e, "vec_id")
+    dups = (
+        v.alias("l")
+        .join(
+            v.alias("r"),
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("l.e_vec"), F.col("r.e_vec")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return asg.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.when(F.col("dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )

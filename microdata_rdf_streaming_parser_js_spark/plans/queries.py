@@ -4842,3 +4842,89 @@ FROM (VALUES
 
 QUERIES["q_compression_signal"] = q_compression_signal
 ORACLES["q_compression_signal"] = sql_compression_signal
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SemDeDup (operators/similarity.semantic_dedup): k-means-bucketed
+    within-cluster near-duplicate removal over the embeddings table
+    augmented with the same planted duplicates as q_embedding_near_dup
+    (the raw table has no cos >= 0.95 pairs at any SF). The oracle
+    replays the identical Lloyd rounds, integer argmin assignment, and
+    double-cosine threshold."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noise = F.array(*[F.lit(x) for x in _noise_vector()])
+    dups = emb.filter(F.col("vec_id") < _ND_NDUP).select(
+        (F.col("vec_id") + _ND_ID_OFFSET).alias("vec_id"),
+        F.zip_with("embedding", noise, lambda v, n: v + n).alias("embedding"),
+    )
+    aug = emb.unionByName(dups)
+    return semantic_dedup(
+        aug,
+        threshold=_ND_THRESHOLD,
+        n_centroids=_IVF_CENTROIDS,
+        iterations=_IVF_KMEANS_ITER,
+    )
+
+
+def sql_semantic_dedup() -> str:
+    noise = "[" + ", ".join(repr(x) for x in _noise_vector()) + "]::DOUBLE[]"
+    it = _IVF_KMEANS_ITER
+    lloyd_ctes = _sql_lloyd_rounds(it)
+    dot = _SQL_DOT.format(dim=_LSH_DIM, a="l.e", b="r.e")
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+noise(n) AS (VALUES ({noise})),
+vecs AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + {_ND_ID_OFFSET},
+         list_transform(range(1, {_LSH_DIM} + 1), i -> e[i] + noise.n[i])
+  FROM base CROSS JOIN noise WHERE vec_id < {_ND_NDUP}
+),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vu WHERE vec_id < {_IVF_CENTROIDS}),
+{lloyd_ctes},
+distf AS (
+  SELECT v.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+  FROM vu v CROSS JOIN c{it} c
+),
+asgf AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM distf) WHERE rn = 1
+),
+vv AS (
+  SELECT a.vec_id, a.cid, vecs.e FROM asgf a JOIN vecs USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT r.vec_id
+  FROM vv l JOIN vv r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE round({dot} / ({_SQL_NORM.format(v="l.e")} * {_SQL_NORM.format(v="r.e")}), 6)
+        >= {_ND_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM asgf a LEFT JOIN dups d USING (vec_id)"""
+
+
+QUERIES["q_semantic_dedup"] = q_semantic_dedup
+ORACLES["q_semantic_dedup"] = sql_semantic_dedup
