@@ -390,3 +390,77 @@ def kcore(
     return nodes.join(members, id_col, "left").select(
         id_col, F.coalesce("in_kcore", F.lit(False)).alias("in_kcore")
     )
+
+
+def hits(
+    nodes: "DataFrame",
+    edges: "DataFrame",
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, auth_u, hub_u) after ``iterations`` rounds of HITS
+    (Kleinberg 1999) in integer micro-units.
+
+    Determinism contract: hub(0) = scale for every node; each round
+    auth_raw(v) = sum of hub(u) over in-edges (long sum,
+    fold-order-free), then auth(v) = (auth_raw(v) * scale) div
+    max(auth_raw) — max-normalization instead of the usual L2 norm so
+    the update stays in exact integer arithmetic a DuckDB oracle can
+    unroll with ``//`` — and hub is updated symmetrically from the NEW
+    auth scores. Nodes without in-(out-)edges score 0. Overflow bound:
+    exact while max_in_degree * scale^2 < 2^63 (in-degree < ~9.2e6 at
+    scale 1e6); shrink ``scale`` for hub-ier graphs.
+
+    Scale shape: the classic two-phase Pregel pattern — each round one
+    shuffle on dst (auth sum) and one on src (hub sum); the per-round
+    max is a 1-row broadcast, never a driver collect. Edges are
+    localCheckpoint'ed once; per-round scores are checkpointed so the
+    plan depth stays O(1) per round.
+    """
+    ids = nodes.select(F.col(id_col).alias("id"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    hubs = ids.select("id", F.lit(scale).cast("long").alias("hub_u"))
+    auths = ids.select("id", F.lit(0).cast("long").alias("auth_u"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub_u").alias("raw"))
+        )
+        a_max = a_raw.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+        )
+        auths = (
+            ids.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "id",
+                F.expr(f"(coalesce(raw, 0L) * {scale}) div mx").alias("auth_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth_u").alias("raw"))
+        )
+        h_max = h_raw.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+        )
+        hubs = (
+            ids.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "id",
+                F.expr(f"(coalesce(raw, 0L) * {scale}) div mx").alias("hub_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return auths.join(hubs, "id").select(
+        F.col("id").alias(id_col), "auth_u", "hub_u"
+    )

@@ -4928,3 +4928,94 @@ FROM asgf a LEFT JOIN dups d USING (vec_id)"""
 
 QUERIES["q_semantic_dedup"] = q_semantic_dedup
 ORACLES["q_semantic_dedup"] = sql_semantic_dedup
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ITER = 2
+_HITS_SCALE = 1_000_000
+
+
+def q_hits(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Fixed-iteration integer HITS (operators/graph.hits) over the
+    same deterministic synthetic web graph as q_pagerank (doc i ->
+    (31i+7) mod n, plus (17i+3) mod n for every third doc). Each round
+    max-normalizes with integer div, so the DuckDB oracle unrolls the
+    identical rounds with ``//`` and matches bit-for-bit."""
+    from ..operators.graph import hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    return hits(
+        ids,
+        e1.union(e2),
+        id_col="doc_id",
+        iterations=_HITS_ITER,
+        scale=_HITS_SCALE,
+    ).select(
+        "doc_id",
+        F.col("auth_u").cast("long").alias("auth_u"),
+        F.col("hub_u").cast("long").alias("hub_u"),
+    )
+
+
+def sql_hits() -> str:
+    s = _HITS_SCALE
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT c FROM n) AS dst FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT c FROM n) FROM ids
+  WHERE doc_id % 3 = 0
+),
+h0 AS (SELECT doc_id, CAST({s} AS BIGINT) AS hub_u FROM ids)"""
+    ]
+    for i in range(1, _HITS_ITER + 1):
+        parts.append(
+            f""",
+ar{i} AS (
+  SELECT e.dst AS doc_id, SUM(h.hub_u) AS raw
+  FROM e JOIN h{i - 1} h ON h.doc_id = e.src GROUP BY e.dst
+),
+am{i} AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM ar{i}),
+a{i} AS (
+  SELECT i.doc_id,
+         (COALESCE(ar.raw, 0) * {s}) // (SELECT mx FROM am{i}) AS auth_u
+  FROM ids i LEFT JOIN ar{i} ar ON ar.doc_id = i.doc_id
+),
+hr{i} AS (
+  SELECT e.src AS doc_id, SUM(a.auth_u) AS raw
+  FROM e JOIN a{i} a ON a.doc_id = e.dst GROUP BY e.src
+),
+hm{i} AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM hr{i}),
+h{i} AS (
+  SELECT i.doc_id,
+         (COALESCE(hr.raw, 0) * {s}) // (SELECT mx FROM hm{i}) AS hub_u
+  FROM ids i LEFT JOIN hr{i} hr ON hr.doc_id = i.doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.doc_id, CAST(a.auth_u AS BIGINT) AS auth_u,
+       CAST(h.hub_u AS BIGINT) AS hub_u
+FROM a{_HITS_ITER} a JOIN h{_HITS_ITER} h USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["q_hits"] = q_hits
+ORACLES["q_hits"] = sql_hits
