@@ -5019,3 +5019,81 @@ FROM a{_HITS_ITER} a JOIN h{_HITS_ITER} h USING (doc_id)"""
 
 QUERIES["q_hits"] = q_hits
 ORACLES["q_hits"] = sql_hits
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (attribution)
+# ---------------------------------------------------------------------------
+
+_SSJ_LAG = "6 hours"
+_SSJ_LAG_SQL = "INTERVAL 6 HOUR"
+
+
+def q_stream_stream_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Click->purchase attribution as a REAL stream-stream interval
+    join (streaming/stream.stream_stream_interval_join): one events
+    file source split into two streaming branches, watermarks on both
+    sides, time-range predicate bounding the state store, append-mode
+    memory sink drained with availableNow. Inner-join matches emit
+    without waiting for the watermark, so the drained table equals the
+    batch join and the DuckDB oracle replays it exactly."""
+    import os
+    import re
+    import tempfile
+
+    from ..streaming.stream import stream_stream_interval_join
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ssj_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    # watermarks require TIMESTAMP; the parquet reads as TIMESTAMP_NTZ
+    # (session tz is UTC, so the cast is epoch-identical to DuckDB)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "user_id"
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts", "user_id"
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key_col="user_id", ts_col="ts", max_lag=_SSJ_LAG
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_stream_join_{_STREAM_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("lag_s").cast("long").alias("lag_s"),
+    )
+
+
+def sql_stream_stream_join() -> str:
+    return f"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + {_SSJ_LAG_SQL}"""
+
+
+QUERIES["q_stream_stream_join"] = q_stream_stream_join
+ORACLES["q_stream_stream_join"] = sql_stream_stream_join

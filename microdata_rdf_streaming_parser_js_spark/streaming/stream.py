@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import functions as F
+
 from ..operators.extract import extract_triples
 from ..operators.skolemize import skolemize
 from ..sources.writers import materialize_wave, with_host_bucket
@@ -141,3 +143,54 @@ def streaming_first_seen_dedup(pages_stream: "DataFrame") -> "DataFrame":
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_lag: str = "6 hours",
+    watermark: str = "1 hour",
+) -> "DataFrame":
+    """Stream-stream INNER interval join (the attribution shape:
+    right-side events that follow a matching left-side event on the
+    same key within ``max_lag``).
+
+    Both sides get an event-time watermark and the join carries the
+    time-range predicate ``l.ts <= r.ts <= l.ts + max_lag`` — the two
+    conditions Spark needs to bound the join state store: left rows
+    are evicted once the right watermark passes ``l.ts + max_lag`` and
+    right rows once the left watermark passes ``r.ts``, so state stays
+    proportional to the lag window, not the stream length — the only
+    shape that survives an unbounded 100 TB event firehose. Inner
+    join, append mode: matches emit as they arrive (no watermark
+    wait), so a drained availableNow run equals the batch join and a
+    DuckDB oracle can check it exactly.
+
+    Column names must be disjoint apart from ``key_col``; the joined
+    frame exposes left columns, right columns, and ``lag_s`` (whole
+    seconds, long, floor semantics on both engines).
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    joined = l.join(
+        r,
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_lag}")),
+    )
+    keep = [F.col(f"l.{key_col}").alias(key_col)]
+    for c in left.columns:
+        if c not in (key_col, ts_col):
+            keep.append(F.col(f"l.{c}"))
+    for c in right.columns:
+        if c not in (key_col, ts_col):
+            keep.append(F.col(f"r.{c}"))
+    keep.append(
+        (F.unix_timestamp(rts) - F.unix_timestamp(lts))
+        .cast("long")
+        .alias("lag_s")
+    )
+    return joined.select(*keep)
