@@ -327,3 +327,54 @@ def compression_signal(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+def cooccurrence_counts(
+    docs: "DataFrame",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+) -> "DataFrame":
+    """(t_a, t_b, n): corpus-global windowed token co-occurrence counts
+    — the GloVe/word2vec input statistic (Pennington et al. 2014 build
+    exactly this matrix before factorizing it).
+
+    A pair is two tokens at raw-split positions (i, j) with
+    0 < j - i <= ``window``, keyed unordered (least, greatest), counted
+    over the whole corpus, kept when n >= ``min_count``.
+
+    Scale shape: pair generation is pure scan-side array code — for
+    each offset d the token array is zipped with itself shifted by d
+    (slice + zip_with, codegen; no positions self-join, no UDF) — then
+    one explode feeds a single groupBy(t_a, t_b) with map-side partial
+    aggregation. One shuffle total, proportional to distinct pairs,
+    not corpus size.
+    """
+    from ..functions.text import _tokens
+
+    toks = _tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    shifted = []
+    for d in range(1, window + 1):
+        n = F.size(toks) - d
+        shifted.append(
+            F.when(
+                F.size(toks) > d,
+                F.zip_with(
+                    F.slice(toks, 1, n),
+                    F.slice(toks, d + 1, n),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                    ),
+                ),
+            ).otherwise(empty)
+        )
+    pairs = docs.select(
+        F.explode(F.concat(*shifted)).alias("p")
+    ).select(F.col("p.a").alias("t_a"), F.col("p.b").alias("t_b"))
+    return (
+        pairs.filter((F.col("t_a") != "") & (F.col("t_b") != ""))
+        .groupBy("t_a", "t_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -5097,3 +5097,49 @@ FROM events c JOIN events p
 
 QUERIES["q_stream_stream_join"] = q_stream_stream_join
 ORACLES["q_stream_stream_join"] = sql_stream_stream_join
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence counts (GloVe input statistic)
+# ---------------------------------------------------------------------------
+
+_COOC_WINDOW = 2
+_COOC_MIN = 2
+
+
+def q_cooccurrence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Corpus-global windowed token co-occurrence counts
+    (operators/stats.cooccurrence_counts): scan-side shifted-zip pair
+    generation, one map-side-combined shuffle. The oracle rebuilds the
+    same pair multiset from positional unnest + a positions join."""
+    from ..operators.stats import cooccurrence_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cooccurrence_counts(
+        docs, text_col="text", window=_COOC_WINDOW, min_count=_COOC_MIN
+    )
+
+
+def sql_cooccurrence() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, (s).t AS t, (s).i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(ts, (x, j) -> struct_pack(t := x, i := j))) AS s
+    FROM toks
+  )
+),
+pairs AS (
+  SELECT least(p1.t, p2.t) AS t_a, greatest(p1.t, p2.t) AS t_b
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.i > p1.i AND p2.i <= p1.i + {_COOC_WINDOW}
+  WHERE p1.t <> '' AND p2.t <> ''
+)
+SELECT t_a, t_b, COUNT(*) AS n
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN}"""
+
+
+QUERIES["q_cooccurrence"] = q_cooccurrence
+ORACLES["q_cooccurrence"] = sql_cooccurrence
