@@ -39,3 +39,19 @@ def plane_weights(
             row.append(int(h[:8], 16) % 2001 - 1000)
         planes.append(tuple(row))
     return tuple(planes)
+
+
+@lru_cache(maxsize=32)
+def linear_weights(
+    n_buckets: int, seed: str = "linear-lr-v1"
+) -> tuple[int, ...]:
+    """Per-bucket NON-NEGATIVE integer weights in [0, 2000] for the
+    hashed linear classifier (operators/classify.py) — md5-derived so
+    both engines embed the identical weight table as plan-time
+    literals. Non-negative by construction: the score stays positive,
+    so the cross-engine integer division never hits the negative
+    floor-vs-truncate divergence."""
+    return tuple(
+        int(hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:8], 16) % 2001
+        for b in range(n_buckets)
+    )

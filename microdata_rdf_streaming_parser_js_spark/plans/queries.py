@@ -5143,3 +5143,60 @@ FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_COOC_MIN}"""
 
 QUERIES["q_cooccurrence"] = q_cooccurrence
 ORACLES["q_cooccurrence"] = sql_cooccurrence
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (fastText shape)
+# ---------------------------------------------------------------------------
+
+_LC_BUCKETS = 1024
+_LC_THRESHOLD_U = 1_000_000_000
+_LC_SCALE = 1_000_000
+_LC_SEED = "linear-lr-v1"
+
+
+def q_linear_classify(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """fastText-style hashed linear scoring (operators/classify
+    .linear_classify): md5-bucketed bag-of-words, plan-time literal
+    weight table, one map-side-combined shuffle. The oracle embeds the
+    identical weight list and replays the integer mean."""
+    from ..operators.classify import linear_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return linear_classify(
+        docs,
+        n_buckets=_LC_BUCKETS,
+        threshold_u=_LC_THRESHOLD_U,
+        scale=_LC_SCALE,
+        seed=_LC_SEED,
+    )
+
+
+def sql_linear_classify() -> str:
+    from ..functions.lattice import linear_weights
+
+    w = linear_weights(_LC_BUCKETS, _LC_SEED)
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    toks = _TOKS.format(c="text")
+    bucket = f"{_sql_hex8('md5(t)')} % {_LC_BUCKETS}"
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+wt AS (
+  SELECT doc_id, list_extract({wlist}, CAST({bucket} AS INTEGER) + 1) AS w
+  FROM tt
+),
+agg AS (
+  SELECT doc_id, (SUM(w) * {_LC_SCALE}) // COUNT(*) AS score_u FROM wt
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(a.score_u, 0) AS BIGINT) AS score_u,
+       CAST(CASE WHEN COALESCE(a.score_u, 0) >= {_LC_THRESHOLD_U}
+            THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+QUERIES["q_linear_classify"] = q_linear_classify
+ORACLES["q_linear_classify"] = sql_linear_classify
