@@ -378,3 +378,55 @@ def cooccurrence_counts(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def unigram_rarity(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_toks, rarity_u): per-document mean unigram surprisal
+    surrogate — the integer-exact stand-in for the CCNet/KenLM
+    perplexity filter (Wenzek et al. 2020 rank Common-Crawl docs by
+    LM perplexity; rarity of a token under the corpus unigram LM is
+    the log-free monotone surrogate).
+
+    Per token: rarity_u(t) = (total_tokens * scale) div count(t) —
+    inverse relative frequency in micro-units, floored to a long
+    before the per-doc sum so the distributed fold is order-free.
+    Per doc: rarity_u = sum div n_toks. Empty docs score 0.
+
+    Scale shape: one shuffle to build the unigram table (map-side
+    combined), one join of the token stream against it keyed on the
+    token (AQE broadcasts it while it fits; shuffle-join beyond),
+    one shuffle for the per-doc sum. Overflow bound: exact while
+    total_tokens * scale < 2^63 (~9.2e12 tokens at scale 1e6 —
+    shrink ``scale`` for a larger corpus).
+    """
+    from ..functions.text import _tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    ).filter(F.col("t") != "")
+    counts = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        toks.join(counts, "t")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.expr(f"(total * {scale}) div cnt").alias("r"))
+        .groupBy("id")
+        .agg(F.sum("r").alias("sr"), F.count("*").alias("n"))
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_toks"),
+            F.expr("sr div n").cast("long").alias("rarity_u"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce("rarity_u", F.lit(0)).cast("long").alias("rarity_u"),
+    )

@@ -5200,3 +5200,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 QUERIES["q_linear_classify"] = q_linear_classify
 ORACLES["q_linear_classify"] = sql_linear_classify
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM rarity (CCNet/KenLM perplexity-filter surrogate)
+# ---------------------------------------------------------------------------
+
+_UR_SCALE = 1_000_000
+
+
+def q_unigram_rarity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc mean unigram surprisal surrogate
+    (operators/stats.unigram_rarity): corpus unigram table + token
+    join + integer mean; the oracle rebuilds the identical unigram LM
+    and per-token floors."""
+    from ..operators.stats import unigram_rarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_rarity(docs, scale=_UR_SCALE)
+
+
+def sql_unigram_rarity() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+counts AS (SELECT t, COUNT(*) AS cnt FROM tt GROUP BY t),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+scored AS (
+  SELECT doc_id,
+         SUM(((SELECT total FROM total) * {_UR_SCALE}) // cnt) AS sr,
+         COUNT(*) AS n
+  FROM tt JOIN counts USING (t) GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE(s.sr // s.n, 0) AS BIGINT) AS rarity_u
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
+QUERIES["q_unigram_rarity"] = q_unigram_rarity
+ORACLES["q_unigram_rarity"] = sql_unigram_rarity
