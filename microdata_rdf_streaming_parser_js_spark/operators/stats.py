@@ -430,3 +430,71 @@ def unigram_rarity(
         F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
         F.coalesce("rarity_u", F.lit(0)).cast("long").alias("rarity_u"),
     )
+
+
+def range_histogram(
+    df: "DataFrame",
+    value_col: str = "value",
+    n_bins: int = 8,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(bin, n_rows, min_u, max_u): exact equi-depth histogram of
+    ``floor(value * scale)`` — the boundary table a range partitioner
+    (distributed sort, ORDER BY writes) plans with. Spark's own
+    RangePartitioner samples; this is the exact twin, and exactness is
+    what makes it oracle-checkable.
+
+    Boundaries are the ceil-rank values at ranks ceil(i*n/n_bins); a
+    value lands in bin = #(boundaries < value), so heavy single values
+    never split across bins (they may leave later bins short — the
+    honest answer for a skewed key).
+
+    Scale shape: the corpus is touched ONCE (groupBy value -> (v, cnt)
+    histogram, map-side combined); everything after — cumulative
+    counts, boundary selection, bin assignment, per-bin rollup — runs
+    on the distinct-value histogram, not the rows. The one global
+    window orders that histogram, so its single-partition sort is
+    distinct-values-sized; for a near-unique 100 TB key, feed a
+    deterministic md5 sample (operators/split.mixture_sample) instead
+    of the full table. NULL and NaN excluded (the portable contract,
+    see group_quantiles_u).
+    """
+    v = F.col(value_col).cast("double")
+    vu = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.floor(v * scale).cast("long").alias("v")
+    )
+    hist = vu.groupBy("v").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("v", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+    total = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    ranks = (
+        hist.sparkSession.range(1, n_bins)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(total))
+        .select("i", F.expr(f"(i * n + {n_bins - 1}) div {n_bins}").alias("r"))
+    )
+    bounds = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+    )
+    bl = bounds.agg(F.sort_array(F.collect_list("b")).alias("bl"))
+    return (
+        hist.crossJoin(F.broadcast(bl))
+        .select(
+            F.size(F.filter("bl", lambda x: F.col("v") > x))
+            .cast("long")
+            .alias("bin"),
+            "v",
+            "cnt",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.min("v").alias("min_u"),
+            F.max("v").alias("max_u"),
+        )
+    )

@@ -5242,3 +5242,52 @@ FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 QUERIES["q_unigram_rarity"] = q_unigram_rarity
 ORACLES["q_unigram_rarity"] = sql_unigram_rarity
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth range histogram (range-partition planning)
+# ---------------------------------------------------------------------------
+
+_RH_BINS = 8
+
+
+def q_range_histogram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact equi-depth histogram over events.value
+    (operators/stats.range_histogram): the boundary/occupancy table a
+    range partitioner plans a distributed sort with. The oracle
+    replays ceil-rank boundary selection and the boundaries-<-v bin
+    rule."""
+    from ..operators.stats import range_histogram
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_histogram(events, value_col="value", n_bins=_RH_BINS)
+
+
+def sql_range_histogram() -> str:
+    nb = _RH_BINS
+    return f"""WITH vu AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hist AS (SELECT v, COUNT(*) AS cnt FROM vu GROUP BY v),
+cum AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM hist),
+total AS (SELECT SUM(cnt) AS n FROM hist),
+ranks AS (
+  SELECT i, (i * (SELECT n FROM total) + {nb - 1}) // {nb} AS r
+  FROM range(1, {nb}) t(i)
+),
+bounds AS (
+  SELECT i, MIN(v) AS b FROM ranks JOIN cum ON cum.cum >= ranks.r GROUP BY i
+),
+bl AS (SELECT list(b ORDER BY b) AS bl FROM bounds),
+binned AS (
+  SELECT len(list_filter((SELECT bl FROM bl), x -> v > x)) AS bin, v, cnt
+  FROM hist
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MIN(v) AS min_u, MAX(v) AS max_u
+FROM binned GROUP BY bin"""
+
+
+QUERIES["q_range_histogram"] = q_range_histogram
+ORACLES["q_range_histogram"] = sql_range_histogram
