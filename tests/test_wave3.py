@@ -1,0 +1,201 @@
+"""Unit tests for the round-3 third-wave operators: SemDeDup semantic
+dedup, HITS, stream-stream interval join, co-occurrence counts, the
+hashed linear classifier, unigram rarity, and the range histogram.
+
+Cross-engine exactness for each is covered by tests/test_oracles.py
+(every operator has an exact DuckDB oracle); these pin the
+operator-level semantics on tiny hand-checked inputs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_drops_higher_id_of_near_pair(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 4 vectors, 2 centroids (init = ids 0,1): 0/2 nearly parallel
+    # (cos ~ 1), 1/3 orthogonal to them and to each other.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _emb_df(spark, rows), threshold=0.95, n_centroids=2, iterations=1
+        ).collect()
+    }
+    assert out[0] == 1 and out[2] == 0  # lower id of the near pair survives
+    assert out[1] == 1 and out[3] == 1
+
+
+def test_semantic_dedup_chain_keeps_lowest(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # three mutually-near vectors: only the lowest id survives
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.001]),
+        (2, [0.998, 0.002]),
+        (3, [0.0, 1.0]),
+    ]
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _emb_df(spark, rows), threshold=0.95, n_centroids=2, iterations=1
+        ).collect()
+    }
+    assert out == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+def test_hits_hub_authority_split(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import hits
+
+    # star: h -> a1, h -> a2. h is the only hub; a1/a2 the authorities.
+    nodes = spark.createDataFrame([("h",), ("a1",), ("a2",)], "id string")
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2")], "src string, dst string"
+    )
+    out = {r["id"]: (r["auth_u"], r["hub_u"]) for r in hits(nodes, edges).collect()}
+    assert out["h"] == (0, 1_000_000)  # max-normalized sole hub
+    assert out["a1"] == (1_000_000, 0)
+    assert out["a2"] == (1_000_000, 0)
+
+
+def test_hits_isolated_node_scores_zero(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([("u",), ("v",), ("lone",)], "id string")
+    edges = spark.createDataFrame([("u", "v")], "src string, dst string")
+    out = {r["id"]: (r["auth_u"], r["hub_u"]) for r in hits(nodes, edges).collect()}
+    assert out["lone"] == (0, 0)
+    assert out["u"][1] == 1_000_000 and out["v"][0] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_counts
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_window_and_unordered_key(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {
+        (r["t_a"], r["t_b"]): r["n"]
+        for r in cooccurrence_counts(docs, window=1, min_count=1).collect()
+    }
+    # adjacent pairs: (a,b) x3 in doc1 + (b,a)->(a,b) in doc2
+    assert out == {("a", "b"): 4}
+
+
+def test_cooccurrence_min_count_filters(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    out = cooccurrence_counts(docs, window=2, min_count=2).collect()
+    assert out == []  # every pair occurs once
+
+
+# ---------------------------------------------------------------------------
+# linear_classify / unigram_rarity
+# ---------------------------------------------------------------------------
+
+def test_linear_classify_empty_doc_scores_zero(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.classify import (
+        linear_classify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in linear_classify(docs).collect()}
+    assert out[2]["score_u"] == 0 and out[2]["label"] == 0
+    assert out[1]["score_u"] > 0
+
+
+def test_unigram_rarity_rare_doc_scores_higher(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        unigram_rarity,
+    )
+
+    # 'common' appears 6x, 'rare' once -> doc 2 is rarer on average
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "rare common common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["rarity_u"] for r in unigram_rarity(docs).collect()}
+    assert out[2] > out[1] == out[3]
+
+
+# ---------------------------------------------------------------------------
+# range_histogram
+# ---------------------------------------------------------------------------
+
+def test_range_histogram_heavy_value_never_splits(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        range_histogram,
+    )
+
+    # 90 copies of 1.0 + ten distinct values: the heavy value must land
+    # in exactly one bin, and bin occupancies must sum to 100
+    vals = [(1.0,)] * 90 + [(float(i),) for i in range(2, 12)]
+    df = spark.createDataFrame(vals, "value double")
+    out = range_histogram(df, n_bins=4).collect()
+    assert sum(r["n_rows"] for r in out) == 100
+    heavy_bins = [r for r in out if r["min_u"] <= 1_000_000 <= r["max_u"]]
+    assert len(heavy_bins) == 1 and heavy_bins[0]["n_rows"] >= 90
+
+
+def test_range_histogram_excludes_null_and_nan(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        range_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (float("nan"),)], "value double"
+    )
+    out = range_histogram(df, n_bins=2).collect()
+    assert sum(r["n_rows"] for r in out) == 2
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_interval_join (batch-shape check of the join predicate)
+# ---------------------------------------------------------------------------
+
+def test_stream_stream_join_lag_bound(spark, sf_dir):
+    from __spark_entry__ import queries
+
+    out = queries()["q_stream_stream_join"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(0 <= r["lag_s"] <= 6 * 3600 for r in rows)
