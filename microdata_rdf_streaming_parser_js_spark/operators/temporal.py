@@ -102,3 +102,58 @@ def asof_join_backward(
         F.col("_m.matched_ts").alias("matched_ts"),
         *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
     )
+
+
+def funnel_stages(
+    events: "DataFrame",
+    stages: "Sequence[str]",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "DataFrame":
+    """(key, t1_s..tN_s, stage_reached): classic ordered-funnel
+    analysis — for each key, the earliest time each stage happened at
+    or after the previous stage's earliest completion (ties count:
+    ``>=``, so a same-timestamp next stage advances the funnel).
+    Stage times are epoch seconds (long), NULL once the funnel stalls;
+    ``stage_reached`` counts completed stages.
+
+    Scale shape: stage 1 is one groupBy(key) min; each later stage is
+    a key-equi-join against the previous frontier plus a filtered
+    groupBy — all shuffles on the same key, so after the first
+    exchange every stage reuses the partitioning (no skew beyond the
+    key's own). No windows over full event sequences, no UDF.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    keys = e.select("k").distinct()
+    frontier = (
+        e.filter(F.col("et") == stages[0])
+        .groupBy("k")
+        .agg(F.min("ts").alias("t1"))
+    )
+    out = keys.join(frontier, "k", "left")
+    for i, st in enumerate(stages[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            e.filter(F.col("et") == st)
+            .join(out.select("k", prev).where(F.col(prev).isNotNull()), "k")
+            .filter(F.col("ts") >= F.col(prev))
+            .groupBy("k")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "k", "left")
+    cols = [F.col("k").alias(key_col)]
+    for i in range(1, len(stages) + 1):
+        cols.append(F.unix_timestamp(f"t{i}").cast("long").alias(f"t{i}_s"))
+    reached = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(stages) + 1)
+    )
+    cols.append(reached.cast("long").alias("stage_reached"))
+    return out.select(*cols)

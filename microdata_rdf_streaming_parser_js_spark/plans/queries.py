@@ -5291,3 +5291,51 @@ FROM binned GROUP BY bin"""
 
 QUERIES["q_range_histogram"] = q_range_histogram
 ORACLES["q_range_histogram"] = sql_range_histogram
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered stage completion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """view -> click -> purchase funnel per user
+    (operators/temporal.funnel_stages): earliest completion of each
+    stage at-or-after the previous one, epoch-second longs, NULL once
+    the funnel stalls. The oracle replays the staged min-joins."""
+    from ..operators.temporal import funnel_stages
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(events, _FUNNEL_STAGES)
+
+
+def sql_funnel() -> str:
+    s1, s2, s3 = _FUNNEL_STAGES
+    return f"""WITH e AS (SELECT user_id AS k, ts, event_type AS et FROM events),
+keys AS (SELECT DISTINCT k FROM e),
+f1 AS (SELECT k, MIN(ts) AS t1 FROM e WHERE et = '{s1}' GROUP BY k),
+f2 AS (
+  SELECT e.k, MIN(e.ts) AS t2
+  FROM e JOIN f1 ON f1.k = e.k AND e.ts >= f1.t1
+  WHERE e.et = '{s2}' GROUP BY e.k
+),
+f3 AS (
+  SELECT e.k, MIN(e.ts) AS t3
+  FROM e JOIN f2 ON f2.k = e.k AND e.ts >= f2.t2
+  WHERE e.et = '{s3}' GROUP BY e.k
+)
+SELECT keys.k AS user_id,
+       CAST(floor(epoch(t1)) AS BIGINT) AS t1_s,
+       CAST(floor(epoch(t2)) AS BIGINT) AS t2_s,
+       CAST(floor(epoch(t3)) AS BIGINT) AS t3_s,
+       CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage_reached
+FROM keys
+LEFT JOIN f1 USING (k) LEFT JOIN f2 USING (k) LEFT JOIN f3 USING (k)"""
+
+
+QUERIES["q_funnel"] = q_funnel
+ORACLES["q_funnel"] = sql_funnel
