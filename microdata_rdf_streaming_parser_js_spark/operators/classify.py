@@ -12,11 +12,11 @@ with ``w`` a deterministic md5-derived integer weight table
 (functions/lattice.linear_weights) embedded as a plan-time literal
 array — the inference-time shape is identical with trained weights.
 
-Scale shape: tokenize + bucket + weight lookup are all scan-side
-codegen (explode -> element_at on a literal array), then ONE
-groupBy(doc) with map-side partial sums. No join (the weight table
-rides in the plan, the 100 TB corpus never shuffles against it), no
-UDF, integer-exact end to end.
+Scale shape: the whole inference is scan-side codegen — tokenize,
+bucket, weight lookup (element_at on a literal array), and the
+per-document sum as an array ``aggregate`` INSIDE the row. Zero
+shuffles, zero joins (the weight table rides in the plan, the 100 TB
+corpus never moves), no UDF, integer-exact end to end.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ from ..functions.lattice import linear_weights
 from ..functions.text import _tokens
 
 if TYPE_CHECKING:
-    from pyspark.sql import DataFrame
+    from pyspark.sql import Column, DataFrame
 
 
 def linear_classify(
@@ -43,32 +43,44 @@ def linear_classify(
 ) -> "DataFrame":
     """(id, score_u, label): mean hashed-bucket weight per document in
     micro-units and the thresholded binary label. Empty documents
-    score 0."""
+    score 0.
+
+    ZERO shuffles: the per-document sum runs as an array ``aggregate``
+    over the token array inside the row — no explode, no groupBy, no
+    join. Each corpus row is read, scored, and labeled in place."""
     w = linear_weights(n_buckets, seed)
     warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(_tokens(F.col(text_col))).alias("t"),
-    ).filter(F.col("t") != "")
-    bucket = (
-        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
-        % n_buckets
+
+    def _w(t: "Column") -> "Column":
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+        return F.element_at(warr, (bucket + 1).cast("int"))
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    sw = F.aggregate(
+        F.transform(toks, _w), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    scored = (
-        toks.select("id", F.element_at(warr, (bucket + 1).cast("int")).alias("w"))
-        .groupBy("id")
-        .agg(F.sum("w").alias("sw"), F.count("*").alias("n"))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            sw.alias("_sw"),
+            F.size(toks).cast("long").alias("_n"),
+        )
         .select(
             "id",
-            F.expr(f"(sw * {scale}) div n").alias("score_u"),
+            F.when(F.col("_n") > 0, F.expr(f"(_sw * {scale}) div _n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score_u"),
         )
-    )
-    ids = docs.select(F.col(id_col).alias("id"))
-    return ids.join(scored, "id", "left").select(
-        "id",
-        F.coalesce("score_u", F.lit(0)).cast("long").alias("score_u"),
-        F.when(F.coalesce("score_u", F.lit(0)) >= threshold_u, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("label"),
+        .select(
+            "id",
+            "score_u",
+            F.when(F.col("score_u") >= threshold_u, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("label"),
+        )
     )
