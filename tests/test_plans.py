@@ -353,3 +353,31 @@ def test_kmeans_assignment_is_scan_side(spark, sf_dir):
     plan = plan_str(kmeans_assign(emb, cents))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_linear_classify_is_pure_scan_projection(spark, sf_dir):
+    """fastText-shape inference must compile to scan -> project: the
+    weight table is a plan-time literal and the per-doc sum is an
+    in-row array aggregate — no exchange, no join, no Python eval."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_linear_classify,
+    )
+
+    plan = plan_str(q_linear_classify(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cooccurrence_single_shuffle_no_join(spark, sf_dir):
+    """Pair generation is shifted-zip array code in the scan; the only
+    exchange is the global (t_a, t_b) count with map-side partial
+    aggregation — a positions self-join would show as a Join node."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_cooccurrence,
+    )
+
+    plan = plan_str(q_cooccurrence(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
