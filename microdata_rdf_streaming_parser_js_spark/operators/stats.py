@@ -498,3 +498,55 @@ def range_histogram(
             F.max("v").alias("max_u"),
         )
     )
+
+
+def script_mix(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_chars, latin_u, cyrillic_u, cjk_u, digit_u): per-document
+    Unicode-script composition in micro-unit fractions — the script
+    detector a multilingual pipeline runs before language ID (script
+    gates which LID model applies; CJK vs Latin tokenization differs
+    upstream of everything).
+
+    Counts characters per script class via regexp_extract_all (the
+    same JVM-side mechanism as the quality signals) over the BMP
+    ranges Latin A-Za-z, Cyrillic U+0400-U+04FF, CJK Unified
+    U+4E00-U+9FFF, digits; fractions as count * scale div n_chars
+    (integer, cross-engine exact). Pure scan-side codegen: zero
+    shuffles, zero joins — a free column on an existing corpus pass.
+    """
+    t = F.col(text_col)
+
+    def cnt(pattern: str) -> "Column":
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).cast("long")
+
+    counted = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        cnt("[A-Za-z]").alias("_lat"),
+        cnt("[\u0400-\u04FF]").alias("_cyr"),
+        cnt("[\u4E00-\u9FFF]").alias("_cjk"),
+        cnt("[0-9]").alias("_dig"),
+    )
+    def share(c: str) -> "Column":
+        return (
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr(f"({c} * {scale}) div n_chars"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return counted.select(
+        "id",
+        "n_chars",
+        share("_lat").alias("latin_u"),
+        share("_cyr").alias("cyrillic_u"),
+        share("_cjk").alias("cjk_u"),
+        share("_dig").alias("digit_u"),
+    )

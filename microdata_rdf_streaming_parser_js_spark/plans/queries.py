@@ -5339,3 +5339,56 @@ LEFT JOIN f1 USING (k) LEFT JOIN f2 USING (k) LEFT JOIN f3 USING (k)"""
 
 QUERIES["q_funnel"] = q_funnel
 ORACLES["q_funnel"] = sql_funnel
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition
+# ---------------------------------------------------------------------------
+
+def q_script_mix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc script composition (operators/stats.script_mix) over a
+    corpus deterministically augmented with Cyrillic / CJK tails on
+    every third doc — so the non-Latin ranges are genuinely exercised
+    and the oracle cross-checks Java-vs-RE2 Unicode-class behavior."""
+    from ..operators.stats import script_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.pmod(d, 3) == 1, F.lit(" привет мир 123"))
+            .when(F.pmod(d, 3) == 2, F.lit(" 你好世界"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix(aug)
+
+
+def sql_script_mix() -> str:
+    return """WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 1 THEN ' привет мир 123'
+                      WHEN doc_id % 3 = 2 THEN ' 你好世界'
+                      ELSE '' END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
+         len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS cyr,
+         len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS cjk,
+         len(regexp_extract_all(text, '[0-9]')) AS dig
+  FROM aug
+)
+SELECT id, n_chars,
+       CAST(CASE WHEN n_chars > 0 THEN (lat * 1000000) // n_chars ELSE 0 END AS BIGINT) AS latin_u,
+       CAST(CASE WHEN n_chars > 0 THEN (cyr * 1000000) // n_chars ELSE 0 END AS BIGINT) AS cyrillic_u,
+       CAST(CASE WHEN n_chars > 0 THEN (cjk * 1000000) // n_chars ELSE 0 END AS BIGINT) AS cjk_u,
+       CAST(CASE WHEN n_chars > 0 THEN (dig * 1000000) // n_chars ELSE 0 END AS BIGINT) AS digit_u
+FROM counted"""
+
+
+QUERIES["q_script_mix"] = q_script_mix
+ORACLES["q_script_mix"] = sql_script_mix
