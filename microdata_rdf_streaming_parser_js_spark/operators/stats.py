@@ -550,3 +550,91 @@ def script_mix(
         share("_cjk").alias("cjk_u"),
         share("_dig").alias("digit_u"),
     )
+
+
+def skew_profile(
+    df: "DataFrame",
+    key_col: str,
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(key, n, share_u, rank): the ``topk`` heaviest values of a
+    prospective join/groupBy key with their corpus share in
+    micro-units — the diagnostic you run BEFORE shuffling 100 TB on a
+    key, to decide whether it needs salting or an AQE skew hint (a key
+    holding >1/partitions of the data guarantees a straggler).
+
+    One map-side-combined shuffle for the per-key counts, a broadcast
+    1-row total, then TakeOrdered for the top-k (cnt desc, key asc —
+    deterministic at the boundary); the rank window runs on the k
+    surviving rows only.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(topk)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.expr(f"(n * {scale}) div total").alias("share_u"),
+        )
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def distribution_drift(
+    docs_a: "DataFrame",
+    docs_b: "DataFrame",
+    text_col: str = "text",
+    topk: int = 20,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(token, p_u, q_u, delta_u, rank): the ``topk`` tokens whose
+    corpus share moved most between snapshot A and snapshot B —
+    integer L1 drift on unigram distributions, the monitor a
+    continuous-crawl pipeline reads to catch template floods, spam
+    bursts, or topic shift before they poison a training mix (the
+    log-free stand-in for KL drift).
+
+    p_u/q_u = token share per snapshot in micro-units (cnt * scale
+    div total; absent tokens score 0 via the full-outer join),
+    delta_u = |p_u - q_u|. Two map-side-combined count shuffles, one
+    token-keyed full-outer join, TakeOrdered top-k (delta desc, token
+    asc), rank window on the k survivors only.
+    """
+    from ..functions.text import _tokens
+
+    def counts(d: "DataFrame") -> "DataFrame":
+        return (
+            d.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy("t")
+            .agg(F.count("*").alias("cnt"))
+        )
+    ca, cb = counts(docs_a), counts(docs_b)
+    ta = ca.agg(F.sum("cnt").cast("long").alias("total_a"))
+    tb = cb.agg(F.sum("cnt").cast("long").alias("total_b"))
+    joined = (
+        ca.withColumnRenamed("cnt", "cnt_a")
+        .join(cb.withColumnRenamed("cnt", "cnt_b"), "t", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("t").alias("token"),
+            F.expr(f"(coalesce(cnt_a, 0L) * {scale}) div total_a").alias("p_u"),
+            F.expr(f"(coalesce(cnt_b, 0L) * {scale}) div total_b").alias("q_u"),
+        )
+        .select(
+            "token", "p_u", "q_u", F.abs(F.col("p_u") - F.col("q_u")).alias("delta_u")
+        )
+    )
+    top = joined.orderBy(
+        F.col("delta_u").desc(), F.col("token").asc()
+    ).limit(topk)
+    w = Window.orderBy(F.col("delta_u").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

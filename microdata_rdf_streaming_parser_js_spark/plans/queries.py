@@ -5392,3 +5392,90 @@ FROM counted"""
 
 QUERIES["q_script_mix"] = q_script_mix
 ORACLES["q_script_mix"] = sql_script_mix
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+
+def q_skew_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Heavy-key diagnostic over events.user_id
+    (operators/stats.skew_profile): top-10 keys by frequency with
+    micro-unit corpus share — the pre-shuffle skew check."""
+    from ..operators.stats import skew_profile
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(events, "user_id", topk=_SKEW_TOPK)
+
+
+def sql_skew_profile() -> str:
+    return f"""WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY user_id
+),
+total AS (SELECT SUM(n) AS total FROM counts),
+ranked AS (
+  SELECT key, CAST(n AS BIGINT) AS n,
+         CAST((n * 1000000) // (SELECT total FROM total) AS BIGINT) AS share_u,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT * FROM ranked WHERE rank <= {_SKEW_TOPK}"""
+
+
+QUERIES["q_skew_profile"] = q_skew_profile
+ORACLES["q_skew_profile"] = sql_skew_profile
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution drift (crawl-snapshot monitor)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+
+def q_corpus_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Unigram L1 drift between two deterministic halves of the
+    documents table (even vs odd doc_id — the same-shaped stand-in for
+    two crawl snapshots): top-20 movers by absolute micro-unit share
+    change (operators/stats.distribution_drift)."""
+    from ..operators.stats import distribution_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    b = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return distribution_drift(a, b, topk=_DRIFT_TOPK)
+
+
+def sql_corpus_drift() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH ta AS (
+  SELECT unnest({toks}) AS t FROM documents WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT unnest({toks}) AS t FROM documents WHERE doc_id % 2 = 1
+),
+ca AS (SELECT t, COUNT(*) AS cnt_a FROM ta WHERE t <> '' GROUP BY t),
+cb AS (SELECT t, COUNT(*) AS cnt_b FROM tb WHERE t <> '' GROUP BY t),
+tot_a AS (SELECT SUM(cnt_a) AS total_a FROM ca),
+tot_b AS (SELECT SUM(cnt_b) AS total_b FROM cb),
+j AS (
+  SELECT COALESCE(ca.t, cb.t) AS token,
+         (COALESCE(cnt_a, 0) * 1000000) // (SELECT total_a FROM tot_a) AS p_u,
+         (COALESCE(cnt_b, 0) * 1000000) // (SELECT total_b FROM tot_b) AS q_u
+  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t
+),
+ranked AS (
+  SELECT token, CAST(p_u AS BIGINT) AS p_u, CAST(q_u AS BIGINT) AS q_u,
+         CAST(abs(p_u - q_u) AS BIGINT) AS delta_u,
+         CAST(ROW_NUMBER() OVER (ORDER BY abs(p_u - q_u) DESC, token ASC)
+              AS BIGINT) AS rank
+  FROM j
+)
+SELECT * FROM ranked WHERE rank <= {_DRIFT_TOPK}"""
+
+
+QUERIES["q_corpus_drift"] = q_corpus_drift
+ORACLES["q_corpus_drift"] = sql_corpus_drift
