@@ -5479,3 +5479,99 @@ SELECT * FROM ranked WHERE rank <= {_DRIFT_TOPK}"""
 
 QUERIES["q_corpus_drift"] = q_corpus_drift
 ORACLES["q_corpus_drift"] = sql_corpus_drift
+
+
+# ---------------------------------------------------------------------------
+# OLAP rollup + pivot surfaces
+# ---------------------------------------------------------------------------
+
+def q_sales_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Nation x order-year revenue ROLLUP (nation subtotals + grand
+    total in one pass): Spark's native rollup() multi-grouping-set
+    aggregation over broadcast-dim joins, integer-cent money. The
+    oracle is DuckDB GROUP BY ROLLUP with matching GROUPING flags
+    (grouping-set NULLs are disambiguated from data NULLs by the
+    flags, which the value-hash then covers)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("o_year").cast("long").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_c"),
+        )
+        .select(
+            "n_name", "o_year", "g_nation", "g_year", "n_orders", "revenue_c"
+        )
+    )
+
+
+def sql_sales_rollup() -> str:
+    return """WITH base AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, o_year,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS revenue_c
+FROM base GROUP BY ROLLUP(n_name, o_year)"""
+
+
+QUERIES["q_sales_rollup"] = q_sales_rollup
+ORACLES["q_sales_rollup"] = sql_sales_rollup
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user event-type matrix via Spark's native pivot with an
+    EXPLICIT value list (the scale-correct form — no extra pass to
+    discover values, fixed output schema): one shuffle, counts per
+    type. Oracle: conditional aggregation."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+
+
+def sql_event_pivot() -> str:
+    cols = ",\n       ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id"""
+
+
+QUERIES["q_event_pivot"] = q_event_pivot
+ORACLES["q_event_pivot"] = sql_event_pivot
