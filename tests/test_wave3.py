@@ -199,3 +199,85 @@ def test_stream_stream_join_lag_bound(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(0 <= r["lag_s"] <= 6 * 3600 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages
+# ---------------------------------------------------------------------------
+
+def test_funnel_requires_stage_order(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    # u1 completes in order; u2 purchased BEFORE clicking -> stalls at 2
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "purchase"),
+        (2, "2024-01-01 01:00:00", "view"),
+        (2, "2024-01-01 02:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {
+        r["user_id"]: r["stage_reached"]
+        for r in funnel_stages(df, ("view", "click", "purchase")).collect()
+    }
+    assert out == {1: 3, 2: 2}
+
+
+def test_funnel_same_timestamp_advances(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    rows = [(1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:00:00", "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = funnel_stages(df, ("view", "click")).collect()[0]
+    assert out["stage_reached"] == 2 and out["t1_s"] == out["t2_s"]
+
+
+# ---------------------------------------------------------------------------
+# script_mix / skew_profile / distribution_drift
+# ---------------------------------------------------------------------------
+
+def test_script_mix_fractions(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import script_mix
+
+    docs = spark.createDataFrame(
+        [(1, "ab你好"), (2, ""), (3, "1234")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in script_mix(docs).collect()}
+    assert out[1]["latin_u"] == 500_000 and out[1]["cjk_u"] == 500_000
+    assert out[2]["n_chars"] == 0 and out[2]["latin_u"] == 0
+    assert out[3]["digit_u"] == 1_000_000
+
+
+def test_skew_profile_orders_heavy_first(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 8 + [2] * 2], "k long"
+    )
+    out = skew_profile(df, "k", topk=2).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["key"] == 1 and by_rank[1]["share_u"] == 800_000
+    assert by_rank[2]["key"] == 2 and by_rank[2]["share_u"] == 200_000
+
+
+def test_distribution_drift_flags_mover(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x y y")], "doc_id long, text string")
+    out = {r["token"]: r for r in distribution_drift(a, b, topk=5).collect()}
+    # x: 2/3 -> 1/3, y: 1/3 -> 2/3 — both move by 1/3
+    # (666_666 - 333_333 with per-share floors)
+    assert out["x"]["delta_u"] == out["y"]["delta_u"] == 333_333
