@@ -1,0 +1,114 @@
+"""Data-layout operators: the write-side clustering a lakehouse table
+format (Delta/Iceberg ``OPTIMIZE ZORDER``, Hudi clustering) applies so
+that later multi-dimensional predicates prune files instead of
+scanning 100 TB.
+
+Z-ordering maps two sort dimensions onto one locality-preserving key
+by interleaving their bits; sorting/bucketing by the z-value keeps
+rows close in BOTH dimensions close in the file layout, so min/max
+file statistics cut both ways. All pure integer bit arithmetic
+(shift/and/or) — scan-side codegen, engine-portable, no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def z_value(a: "Column", b: "Column", bits: int = 16) -> "Column":
+    """Interleave the low ``bits`` bits of two non-negative longs:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+    2*bits <= 62 keeps the result in a long."""
+    if not 0 < bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def zorder_layout(
+    df: "DataFrame",
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    file_shift: int = 8,
+) -> "DataFrame":
+    """(file_id, n_rows, min_a, max_a, min_b, max_b): the file-level
+    min/max statistics a z-ordered write would produce — rows grouped
+    by the top z-value bits (``z div 2^file_shift`` = one "file" per
+    z-range). Tight per-file ranges in BOTH dimensions are exactly
+    what lets a reader prune on either predicate; compare with a
+    single-column sort, where the second dimension's ranges stay
+    corpus-wide.
+
+    One shuffle (the groupBy on the derived file id); the z-value
+    itself is scan-side bit codegen.
+    """
+    a, b = F.col(col_a).cast("long"), F.col(col_b).cast("long")
+    z = z_value(a, b, bits=bits)
+    return (
+        df.select(
+            a.alias("_a"),
+            b.alias("_b"),
+            F.shiftright(z, file_shift).cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_a").alias("min_a"),
+            F.max("_a").alias("max_a"),
+            F.min("_b").alias("min_b"),
+            F.max("_b").alias("max_b"),
+        )
+    )
+
+
+def bloom_build(
+    df: "DataFrame",
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> "DataFrame":
+    """(pos,): the set bit positions of a Bloom filter over a key
+    column — the portable semi-join pruning filter (what Spark's
+    runtime row-group bloom pushdown builds; materialized, it ships to
+    OTHER jobs/engines to pre-filter a 100 TB probe side before the
+    real join).
+
+    k md5-derived positions per key (``md5(key || '#i') mod m``),
+    deduplicated — so the output is mergeable by plain UNION/DISTINCT
+    and bounded at m rows no matter the input size. Scan-side hashing,
+    one distinct shuffle bounded by m.
+    """
+    hashes = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{i}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).alias("pos")
+        for i in range(k)
+    ]
+    return (
+        df.select(F.explode(F.array(*hashes)).alias("pos"))
+        .distinct()
+        .select(F.col("pos").cast("long").alias("pos"))
+    )

@@ -5575,3 +5575,82 @@ FROM events GROUP BY user_id"""
 
 QUERIES["q_event_pivot"] = q_event_pivot
 ORACLES["q_event_pivot"] = sql_event_pivot
+
+
+# ---------------------------------------------------------------------------
+# Data layout: z-order file statistics + bloom pruning filter
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_FILE_SHIFT = 8
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def q_zorder_layout(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Z-order clustering statistics (operators/layout.zorder_layout)
+    over events keyed by (user_id, day number): the per-file min/max
+    ranges a lakehouse OPTIMIZE ZORDER write would produce. The oracle
+    replays the identical bit interleave in SQL."""
+    from ..operators.layout import zorder_layout
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    return zorder_layout(
+        keyed, "uid", "day", bits=_Z_BITS, file_shift=_Z_FILE_SHIFT
+    )
+
+
+def _sql_zvalue(a: str, b: str, bits: int) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+def sql_zorder_layout() -> str:
+    z = _sql_zvalue("uid", "day", _Z_BITS)
+    return f"""WITH keyed AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+zd AS (SELECT uid, day, ({z}) >> {_Z_FILE_SHIFT} AS file_id FROM keyed)
+SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       MIN(uid) AS min_a, MAX(uid) AS max_a,
+       MIN(day) AS min_b, MAX(day) AS max_b
+FROM zd GROUP BY file_id"""
+
+
+QUERIES["q_zorder_layout"] = q_zorder_layout
+ORACLES["q_zorder_layout"] = sql_zorder_layout
+
+
+def q_bloom_build(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Portable Bloom pruning filter over events.user_id
+    (operators/layout.bloom_build): k md5 positions per key, distinct
+    — bounded at m rows, mergeable by UNION. The semi-join pushdown
+    artifact for pre-filtering a 100 TB probe side."""
+    from ..operators.layout import bloom_build
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bloom_build(events, "user_id", m=_BLOOM_M, k=_BLOOM_K)
+
+
+def sql_bloom_build() -> str:
+    sels = "\n  UNION ALL\n".join(
+        f"  SELECT {_sql_hex8(f'''md5(CAST(user_id AS VARCHAR) || '#{i}')''')}"
+        f" % {_BLOOM_M} AS pos FROM events"
+        for i in range(_BLOOM_K)
+    )
+    return f"""SELECT DISTINCT CAST(pos AS BIGINT) AS pos FROM (
+{sels}
+)"""
+
+
+QUERIES["q_bloom_build"] = q_bloom_build
+ORACLES["q_bloom_build"] = sql_bloom_build
