@@ -617,8 +617,18 @@ def distribution_drift(
             .agg(F.count("*").alias("cnt"))
         )
     ca, cb = counts(docs_a), counts(docs_b)
-    ta = ca.agg(F.sum("cnt").cast("long").alias("total_a"))
-    tb = cb.agg(F.sum("cnt").cast("long").alias("total_b"))
+    # greatest(..,1): an empty snapshot must yield all-zero shares on
+    # both engines, not Spark-NULL-vs-DuckDB-divide-by-zero drift
+    ta = ca.agg(
+        F.greatest(F.coalesce(F.sum("cnt"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("total_a")
+    )
+    tb = cb.agg(
+        F.greatest(F.coalesce(F.sum("cnt"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("total_b")
+    )
     joined = (
         ca.withColumnRenamed("cnt", "cnt_a")
         .join(cb.withColumnRenamed("cnt", "cnt_b"), "t", "full_outer")

@@ -5459,8 +5459,8 @@ tb AS (
 ),
 ca AS (SELECT t, COUNT(*) AS cnt_a FROM ta WHERE t <> '' GROUP BY t),
 cb AS (SELECT t, COUNT(*) AS cnt_b FROM tb WHERE t <> '' GROUP BY t),
-tot_a AS (SELECT SUM(cnt_a) AS total_a FROM ca),
-tot_b AS (SELECT SUM(cnt_b) AS total_b FROM cb),
+tot_a AS (SELECT GREATEST(COALESCE(SUM(cnt_a), 0), 1) AS total_a FROM ca),
+tot_b AS (SELECT GREATEST(COALESCE(SUM(cnt_b), 0), 1) AS total_b FROM cb),
 j AS (
   SELECT COALESCE(ca.t, cb.t) AS token,
          (COALESCE(cnt_a, 0) * 1000000) // (SELECT total_a FROM tot_a) AS p_u,
