@@ -281,3 +281,56 @@ def test_distribution_drift_flags_mover(spark):
     # x: 2/3 -> 1/3, y: 1/3 -> 2/3 — both move by 1/3
     # (666_666 - 333_333 with per-share floors)
     assert out["x"]["delta_u"] == out["y"]["delta_u"] == 333_333
+
+
+def test_distribution_drift_empty_snapshot_all_zero_shares(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    b = spark.createDataFrame([], "doc_id long, text string")
+    out = {r["token"]: r for r in distribution_drift(a, b, topk=5).collect()}
+    assert out["x"]["q_u"] == 0 and out["x"]["p_u"] == 500_000
+
+
+# ---------------------------------------------------------------------------
+# layout: z_value / zorder_layout / bloom_build
+# ---------------------------------------------------------------------------
+
+def test_z_value_interleaves_bits(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.layout import z_value
+
+    df = spark.createDataFrame([(3, 1)], "a long, b long")
+    out = df.select(
+        z_value(F.col("a"), F.col("b"), bits=4).alias("z")
+    ).collect()[0]["z"]
+    # a=0b11 -> bits at 0,2 ; b=0b1 -> bit at 1 ==> z = 0b111 = 7
+    assert out == 7
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = zorder_layout(df, "a", "b", bits=4, file_shift=2).collect()
+    assert sum(r["n_rows"] for r in out) == 256
+    # every z-range "file" of 4 z-values spans <= 2 in EACH dimension —
+    # the locality property a single-column sort cannot give for b
+    for r in out:
+        assert r["max_a"] - r["min_a"] <= 2
+        assert r["max_b"] - r["min_b"] <= 2
+
+
+def test_bloom_build_bounded_and_deterministic(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.layout import (
+        bloom_build,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    a = sorted(r["pos"] for r in bloom_build(df, "k", m=64, k=3).collect())
+    b = sorted(r["pos"] for r in bloom_build(df, "k", m=64, k=3).collect())
+    assert a == b and len(a) <= 64 and all(0 <= p < 64 for p in a)
