@@ -190,6 +190,21 @@ def main() -> None:
         "q_triples_vocab",
         "q_graph_triangles",
         "q_kmeans_clusters",
+        "q_semantic_dedup",
+        "q_hits",
+        "q_stream_stream_join",
+        "q_cooccurrence",
+        "q_linear_classify",
+        "q_unigram_rarity",
+        "q_range_histogram",
+        "q_funnel",
+        "q_script_mix",
+        "q_skew_profile",
+        "q_corpus_drift",
+        "q_sales_rollup",
+        "q_event_pivot",
+        "q_zorder_layout",
+        "q_bloom_build",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
