@@ -774,3 +774,86 @@ def curate_documents(
     return w_min.join(scored, ["digest", "doc_id"]).select(
         "doc_id", "lang_pred", "quality_u", "digest", "n_dups"
     )
+
+
+def containment_pairs(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_u: int = 500_000,
+    scale: int = 1_000_000,
+    max_shingle_df: int | None = None,
+) -> "DataFrame":
+    """(doc_id_a, doc_id_b, containment_u): DIRECTED shingle
+    containment C(A in B) = |S(A) ∩ S(B)| div |S(A)| in micro-units —
+    the partial-copy detector (a short doc quoted inside a long one)
+    that symmetric Jaccard structurally misses when sizes differ
+    (C = 1.0 can coexist with Jaccard ~ |A|/|B| ~ 0).
+
+    Shape mirrors ngram_jaccard_pairs: one distinct-shingle inverted
+    index, ONE undirected self-join intersection count, then both
+    directions derived from the same count by dividing by each side's
+    shingle-set size (integer div — exact, fold-order-free).
+    ``max_shingle_df`` caps boilerplate shingles exactly as in the
+    Jaccard path; at corpus scale feed LSH survivors instead of the
+    all-pairs index.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_lo"),
+            F.col("r.doc_id").alias("id_hi"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    with_sizes = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("id_lo"), F.col("n_sh").alias("n_lo")
+            ),
+            "id_lo",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_hi"), F.col("n_sh").alias("n_hi")
+            ),
+            "id_hi",
+        )
+    )
+    directed = with_sizes.select(
+        F.col("id_lo").alias("doc_id_a"),
+        F.col("id_hi").alias("doc_id_b"),
+        F.expr(f"(n_inter * {scale}) div n_lo").alias("containment_u"),
+    ).unionByName(
+        with_sizes.select(
+            F.col("id_hi").alias("doc_id_a"),
+            F.col("id_lo").alias("doc_id_b"),
+            F.expr(f"(n_inter * {scale}) div n_hi").alias("containment_u"),
+        )
+    )
+    return directed.filter(F.col("containment_u") >= threshold_u).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("containment_u").cast("long").alias("containment_u"),
+    )

@@ -464,3 +464,67 @@ def hits(
     return auths.join(hubs, "id").select(
         F.col("id").alias(id_col), "auth_u", "hub_u"
     )
+
+
+def personalized_pagerank(
+    nodes: "DataFrame",
+    edges: "DataFrame",
+    seeds: "DataFrame",
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_u: int = 850_000,
+) -> "DataFrame":
+    """(id, rank_u): personalized PageRank — PageRank whose teleport
+    mass returns ONLY to the seed set, so rank measures proximity to
+    the seeds (the entity-importance / related-pages primitive:
+    "rank every page by relevance to these trusted domains").
+
+    Same determinism contract as :func:`pagerank` (per-edge integer
+    contributions floored before the fold-order-free sum; the oracle
+    unrolls identical rounds with ``//``), with rank(0) = scale div
+    n_seeds on seeds / 0 elsewhere, and the per-round teleport
+    (scale - damping_u) div n_seeds added on seed rows only. Dangling
+    mass is dropped, mirroring pagerank. Same Pregel shape: two
+    shuffles per round, seeds arrive as a broadcast-joined flag, no
+    driver collect.
+    """
+    ids = nodes.select(F.col(id_col).alias("id"))
+    sd = seeds.select(F.col(id_col).alias("id")).distinct()
+    ns_df = sd.agg(F.count("*").alias("ns")).localCheckpoint(eager=False)
+    flagged = (
+        ids.join(sd.withColumn("_seed", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ew = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .localCheckpoint(eager=False)
+    )
+    teleport_u = F.expr(f"is_seed * ({scale - damping_u} div ns)")
+    ranks = flagged.crossJoin(F.broadcast(ns_df)).select(
+        "id", F.expr(f"is_seed * ({scale} div ns)").alias("rank_u")
+    )
+    for _ in range(iterations):
+        msgs = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"(rank_u * {damping_u}) div (outdeg * {scale})").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            flagged.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(ns_df))
+            .select(
+                "id",
+                (teleport_u + F.coalesce(F.col("s"), F.lit(0))).alias("rank_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias(id_col), F.col("rank_u").cast("long").alias("rank_u"))

@@ -582,3 +582,89 @@ def frame_sample_plan(
         )
         .select("media_id", "url", "frame_ts")
     )
+
+
+def perturb_ppm(content: bytes, step: int = 23, delta: int = 64) -> bytes:
+    """Deterministic local perturbation of a P6 image: every
+    ``step``-th pixel's channels shift by ``delta`` (mod 256) — enough
+    to flip a few average-hash grid bits (a GLOBAL shift would flip
+    none: the hash compares each cell against the global mean, which
+    shifts with it). Pure Python, shared by the Spark near-dup corpus
+    builder and the DuckDB oracle."""
+    width, height, rgb = parse_ppm(content)
+    out = bytearray(rgb)
+    for j in range(0, len(out), 3):
+        if (j // 3) % step == 0:
+            out[j] = (out[j] + delta) % 256
+            out[j + 1] = (out[j + 1] + delta) % 256
+            out[j + 2] = (out[j + 2] + delta) % 256
+    return encode_ppm(width, height, bytes(out))
+
+
+def phash_pairs(
+    features: "DataFrame",
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 10,
+) -> "DataFrame":
+    """(media_id_a, media_id_b, hamming): image near-duplicate pairs by
+    perceptual-hash Hamming distance — the image twin of SimHash text
+    dedup (near-identical frames/thumbnails survive re-encodes that
+    break exact digests).
+
+    The 64-bit hex phash splits into two 32-bit halves so the XOR
+    popcount stays in exact signed-long arithmetic on both engines
+    (bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b)). All-pairs self-join
+    here; at corpus scale feed it candidate pairs from the SimHash
+    combination-blocking machinery (operators/dedup._simhash_block_rows
+    generalizes to any fixed-width signature) instead of the full
+    cross.
+    """
+    from pyspark.sql import functions as F
+
+    h = features.select(
+        F.col(id_col).alias("mid"),
+        F.conv(F.substring(F.col(phash_col), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.col(phash_col), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
+    pairs = h.alias("l").join(
+        h.alias("r"), F.col("l.mid") < F.col("r.mid")
+    )
+    ham = (
+        F.bit_count(F.col("l.hi").bitwiseXOR(F.col("r.hi")))
+        + F.bit_count(F.col("l.lo").bitwiseXOR(F.col("r.lo")))
+    ).alias("hamming")
+    return (
+        pairs.select(
+            F.col("l.mid").alias("media_id_a"),
+            F.col("r.mid").alias("media_id_b"),
+            ham,
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+def media_rows_with_image_dups(
+    n: int = 100, id_offset: int = 3_000_000
+) -> list[tuple]:
+    """media_rows plus a perturbed near-duplicate of every image row
+    (perturb_ppm) — the shared corpus for the phash near-dup query and
+    its oracle."""
+    rows = list(media_rows(n))
+    for (mid, url, kind, payload, ctype, _nb) in list(rows):
+        if kind != "image":
+            continue
+        dup = perturb_ppm(payload)
+        rows.append(
+            (mid + id_offset, url + "?v=2", kind, dup, ctype, len(dup))
+        )
+    return rows

@@ -5654,3 +5654,303 @@ def sql_bloom_build() -> str:
 
 QUERIES["q_bloom_build"] = q_bloom_build
 ORACLES["q_bloom_build"] = sql_bloom_build
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded proximity)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = 10
+
+
+def q_personalized_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Personalized PageRank (operators/graph.personalized_pagerank)
+    over the q_pagerank synthetic web graph with doc_id < 10 as the
+    seed set — proximity-to-trusted-pages ranking, integer-exact, the
+    oracle unrolls identical rounds."""
+    from ..operators.graph import personalized_pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    seeds = ids.filter(F.col("doc_id") < _PPR_SEEDS)
+    return personalized_pagerank(
+        ids,
+        e1.union(e2),
+        seeds,
+        id_col="doc_id",
+        iterations=_PR_ITER,
+        scale=_PR_SCALE,
+        damping_u=_PR_DAMPING_U,
+    )
+
+
+def sql_personalized_pagerank() -> str:
+    s, d, ns = _PR_SCALE, _PR_DAMPING_U, _PPR_SEEDS
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT doc_id, CASE WHEN doc_id < {ns} THEN 1 ELSE 0 END AS is_seed
+        FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT c FROM n) AS dst FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT c FROM n) FROM ids
+  WHERE doc_id % 3 = 0
+),
+od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT doc_id, CAST(is_seed * ({s} // {ns}) AS BIGINT) AS rank_u
+       FROM ids)"""
+    ]
+    for i in range(1, _PR_ITER + 1):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.dst AS doc_id,
+         CAST(SUM((r.rank_u * {d}) // (od.outdeg * {s})) AS BIGINT) AS contrib
+  FROM e
+  JOIN r{i - 1} r ON r.doc_id = e.src
+  JOIN od ON od.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT i.doc_id,
+         i.is_seed * ({s - d} // {ns}) + COALESCE(m{i}.contrib, 0) AS rank_u
+  FROM ids i LEFT JOIN m{i} ON m{i}.doc_id = i.doc_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT doc_id, CAST(rank_u AS BIGINT) AS rank_u FROM r{_PR_ITER}"
+    )
+    return "".join(parts)
+
+
+QUERIES["q_personalized_pagerank"] = q_personalized_pagerank
+ORACLES["q_personalized_pagerank"] = sql_personalized_pagerank
+
+
+# ---------------------------------------------------------------------------
+# Directed shingle containment (partial-copy detection)
+# ---------------------------------------------------------------------------
+
+_CT_K = 3
+_CT_THRESHOLD_U = 600_000
+_CT_NQUOTE = 20
+_CT_ID_OFFSET = 2_000_000
+_CT_PRE = "intro section begins here "
+_CT_POST = " closing remarks follow now"
+
+
+def q_containment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Directed containment pairs (operators/dedup.containment_pairs)
+    over documents augmented with planted quote-docs (each of the
+    first 20 docs embedded verbatim inside filler) — C(original in
+    quote) = 1.0 while Jaccard stays low, which is exactly the case
+    this operator exists for. Both engines build the augmented corpus
+    identically."""
+    from ..operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    quotes = docs.filter(F.col("doc_id") < _CT_NQUOTE).select(
+        (F.col("doc_id") + _CT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(_CT_PRE), F.col("text"), F.lit(_CT_POST)).alias("text"),
+    )
+    aug = docs.unionByName(quotes)
+    return containment_pairs(
+        aug, k=_CT_K, threshold_u=_CT_THRESHOLD_U
+    )
+
+
+def sql_containment() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CT_ID_OFFSET},
+         '{_CT_PRE}' || text || '{_CT_POST}'
+  FROM documents WHERE doc_id < {_CT_NQUOTE}
+),
+toks AS (SELECT doc_id, {toks} AS t FROM aug),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {_CT_K}
+                THEN list_transform(range(0, len(t) - {_CT_K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {_CT_K}], ' '))
+                ELSE [] END) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (
+  SELECT l.doc_id AS id_lo, r.doc_id AS id_hi, COUNT(*) AS n_inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+ws AS (
+  SELECT i.id_lo, i.id_hi, i.n_inter, sa.n_sh AS n_lo, sb.n_sh AS n_hi
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_lo
+  JOIN sizes sb ON sb.doc_id = i.id_hi
+),
+directed AS (
+  SELECT id_lo AS doc_id_a, id_hi AS doc_id_b,
+         (n_inter * 1000000) // n_lo AS containment_u
+  FROM ws
+  UNION ALL
+  SELECT id_hi, id_lo, (n_inter * 1000000) // n_hi FROM ws
+)
+SELECT doc_id_a, doc_id_b, CAST(containment_u AS BIGINT) AS containment_u
+FROM directed WHERE containment_u >= {_CT_THRESHOLD_U}"""
+
+
+QUERIES["q_containment"] = q_containment
+ORACLES["q_containment"] = sql_containment
+
+
+def q_stream_static_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming dimension enrichment: the events file stream joined
+    against a STATIC broadcast dimension (user -> tier) before a
+    stateful aggregation — the canonical stream-static join shape
+    (dimension rides the plan as a broadcast; only the aggregation
+    keeps state). Drained availableNow, complete mode, integer-exact
+    sums; the oracle replays the same derived dimension in batch."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ssd_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    dim = (
+        spark.read.parquet(path)
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.pmod(F.col("user_id"), F.lit(3)).alias("tier"))
+    )
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias(
+                "sum_value_u"
+            ),
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_static_join_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("tier").cast("long").alias("tier"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_u").cast("long").alias("sum_value_u"),
+    )
+
+
+def sql_stream_static_join() -> str:
+    return """SELECT CAST(user_id % 3 AS BIGINT) AS tier, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_u
+FROM events GROUP BY 1, 2"""
+
+
+QUERIES["q_stream_static_join"] = q_stream_static_join
+ORACLES["q_stream_static_join"] = sql_stream_static_join
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup (perceptual-hash Hamming pairs)
+# ---------------------------------------------------------------------------
+
+_PH_MAX_HAMMING = 10
+_PH_MEDIA_N = 100
+
+
+def q_image_near_dup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Image near-duplicate pairs (operators/multimodal.phash_pairs)
+    over the synthetic media corpus plus a perturbed copy of every
+    image (shared builder media_rows_with_image_dups): REAL Arrow
+    PPM decode -> 8x8 average-hash -> split-half XOR popcount pairs.
+    Planted dups measure hamming <= 7, unrelated images >= 13, so the
+    threshold 10 separates exactly. The oracle recomputes the phashes
+    with the same local kernel and replays the SQL-side hamming."""
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        media_rows_with_image_dups,
+        phash_pairs,
+    )
+
+    media = spark.createDataFrame(
+        media_rows_with_image_dups(_PH_MEDIA_N), schema=MEDIA_SCHEMA
+    ).repartition(4)
+    feats = decode_image_features(media.filter(F.col("kind") == "image"))
+    return phash_pairs(feats, max_hamming=_PH_MAX_HAMMING)
+
+
+def sql_image_near_dup() -> str:
+    from ..operators.multimodal import (
+        image_features_kernel,
+        media_rows_with_image_dups,
+    )
+
+    rows = []
+    for (mid, _url, kind, payload, _ct, _nb) in media_rows_with_image_dups(
+        _PH_MEDIA_N
+    ):
+        if kind != "image":
+            continue
+        phash = image_features_kernel(payload)[3]
+        rows.append(f"({mid}, '{phash}')")
+    values = ",\n".join(rows)
+    return f"""WITH ph(media_id, phash) AS (VALUES
+{values}
+),
+h AS (
+  SELECT media_id,
+         {_sql_hex8("phash")} AS hi,
+         {_sql_hex8("substr(phash, 9, 8)")} AS lo
+  FROM ph
+)
+SELECT CAST(l.media_id AS BIGINT) AS media_id_a,
+       CAST(r.media_id AS BIGINT) AS media_id_b,
+       CAST(bit_count(xor(CAST(l.hi AS BIGINT), CAST(r.hi AS BIGINT)))
+          + bit_count(xor(CAST(l.lo AS BIGINT), CAST(r.lo AS BIGINT)))
+         AS BIGINT) AS hamming
+FROM h l JOIN h r ON l.media_id < r.media_id
+WHERE bit_count(xor(CAST(l.hi AS BIGINT), CAST(r.hi AS BIGINT)))
+    + bit_count(xor(CAST(l.lo AS BIGINT), CAST(r.lo AS BIGINT)))
+    <= {_PH_MAX_HAMMING}"""
+
+
+QUERIES["q_image_near_dup"] = q_image_near_dup
+ORACLES["q_image_near_dup"] = sql_image_near_dup

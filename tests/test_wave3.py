@@ -334,3 +334,66 @@ def test_bloom_build_bounded_and_deterministic(spark):
     a = sorted(r["pos"] for r in bloom_build(df, "k", m=64, k=3).collect())
     b = sorted(r["pos"] for r in bloom_build(df, "k", m=64, k=3).collect())
     assert a == b and len(a) <= 64 and all(0 <= p < 64 for p in a)
+
+
+# ---------------------------------------------------------------------------
+# wave 4: containment / phash pairs / personalized pagerank
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_embedded_doc(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, "start filler words here " + short + " trailing filler words end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment_u"]
+        for r in containment_pairs(docs, k=3, threshold_u=500_000).collect()
+    }
+    assert out[(1, 2)] == 1_000_000  # the short doc is fully contained
+    assert (2, 1) not in out  # the long doc is NOT contained in the short
+
+def test_phash_pairs_hamming_threshold(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    feats = spark.createDataFrame(
+        [
+            (1, "0000000000000000"),
+            (2, "0000000000000007"),  # hamming 3 to id 1
+            (3, "ffffffffffffffff"),  # hamming 64 / 61
+        ],
+        "media_id long, phash string",
+    )
+    out = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_pairs(feats, max_hamming=10).collect()
+    }
+    assert out == {(1, 2): 3}
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # chain 0 -> 1 -> 2, seed {0}: rank must be 0-heavy and node 2
+    # reachable only via the chain
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {
+        r["id"]: r["rank_u"]
+        for r in personalized_pagerank(
+            nodes, edges, seeds, iterations=3
+        ).collect()
+    }
+    assert out[0] > out[1] > out[2] > 0
