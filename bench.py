@@ -205,6 +205,10 @@ def main() -> None:
         "q_event_pivot",
         "q_zorder_layout",
         "q_bloom_build",
+        "q_personalized_pagerank",
+        "q_containment",
+        "q_stream_static_join",
+        "q_image_near_dup",
         "q_curation",
     ]
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))

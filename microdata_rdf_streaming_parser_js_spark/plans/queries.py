@@ -5026,6 +5026,7 @@ ORACLES["q_hits"] = sql_hits
 # ---------------------------------------------------------------------------
 
 _SSJ_LAG = "6 hours"
+_SSJ_STATE_PARTS = 8
 _SSJ_LAG_SQL = "INTERVAL 6 HOUR"
 
 
@@ -5070,13 +5071,24 @@ def q_stream_stream_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     _STREAM_SEQ[0] += 1
     name = f"stream_stream_join_{_STREAM_SEQ[0]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # a stream-stream join keeps FOUR state stores per shuffle
+    # partition; size the stateful shuffle to the key cardinality
+    # instead of paying 64 empty stores at test scale (21 s -> 3 s
+    # measured at sf0.1 — at production scale this is the same knob,
+    # sized UP). Streaming picks the conf up at query start; restore
+    # right after so batch plans keep the session default.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_SSJ_STATE_PARTS))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
     return spark.table(name).select(
         F.col("user_id").cast("long").alias("user_id"),
