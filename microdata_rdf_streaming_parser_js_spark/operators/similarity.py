@@ -312,6 +312,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     kmeans_iterations: int = 3,
     scale: int = 1_000_000,
+    cents_u: list[list[int]] | None = None,
 ) -> "DataFrame":
     """IVF-style approximate top-k (the brief's "IVF variant as the
     scale path"): partition vectors into inverted lists by nearest
@@ -327,14 +328,15 @@ def ivf_topk(
     100 TB: the big side is read once, assigned in codegen, and only
     candidate rows reach the final per-query rank. Tie-breaks: max
     cosine, then min centroid id (struct compares (cos, -cid))."""
-    cents_u = kmeans_centroids_u(
-        embeddings,
-        n_centroids=n_centroids,
-        iterations=kmeans_iterations,
-        scale=scale,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if cents_u is None:
+        cents_u = kmeans_centroids_u(
+            embeddings,
+            n_centroids=n_centroids,
+            iterations=kmeans_iterations,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     # micro-units -> doubles: exact-integer / exact-scale IEEE division
     # gives bit-identical doubles in every engine
     cents = [[x / scale for x in cu] for cu in cents_u]
@@ -482,6 +484,7 @@ def semantic_dedup(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_u: list[list[int]] | None = None,
 ) -> "DataFrame":
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, compare
@@ -506,14 +509,15 @@ def semantic_dedup(
 
     Returns (vec_id, cid, keep) with keep = 1 for survivors.
     """
-    cents_u = kmeans_centroids_u(
-        embeddings,
-        n_centroids=n_centroids,
-        iterations=iterations,
-        scale=scale,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if cents_u is None:
+        cents_u = kmeans_centroids_u(
+            embeddings,
+            n_centroids=n_centroids,
+            iterations=iterations,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     asg = kmeans_assign(
         embeddings, cents_u, scale=scale, id_col=id_col, vec_col=vec_col
     )
