@@ -211,6 +211,9 @@ def main() -> None:
         "q_image_near_dup",
         "q_curation",
     ]
+    unknown = [n for n in bench_queries if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"bench list names unknown queries: {unknown}")
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}
     query_raw: dict[str, list[float]] = {}
