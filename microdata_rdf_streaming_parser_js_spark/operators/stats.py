@@ -569,8 +569,14 @@ def skew_profile(
     deterministic at the boundary); the rank window runs on the k
     surviving rows only.
     """
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count("*").alias("n")
+    # NULL keys excluded: the two engines disagree on NULL sort order
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST), so a NULL at the top-k
+    # boundary would rank differently — and a NULL join key is its own
+    # pathology (it never matches), not a skew question.
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n"))
     )
     total = counts.agg(F.sum("n").cast("long").alias("total"))
     top = (

@@ -5442,7 +5442,8 @@ def q_skew_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 def sql_skew_profile() -> str:
     return f"""WITH counts AS (
-  SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY user_id
+  SELECT user_id AS key, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 total AS (SELECT SUM(n) AS total FROM counts),
 ranked AS (
