@@ -784,6 +784,8 @@ def containment_pairs(
     threshold_u: int = 500_000,
     scale: int = 1_000_000,
     max_shingle_df: int | None = None,
+    candidates: "DataFrame | None" = None,
+    max_docs_uncapped: int | None = 20_000,
 ) -> "DataFrame":
     """(doc_id_a, doc_id_b, containment_u): DIRECTED shingle
     containment C(A in B) = |S(A) ∩ S(B)| div |S(A)| in micro-units —
@@ -796,9 +798,25 @@ def containment_pairs(
     directions derived from the same count by dividing by each side's
     shingle-set size (integer div — exact, fold-order-free).
     ``max_shingle_df`` caps boilerplate shingles exactly as in the
-    Jaccard path; at corpus scale feed LSH survivors instead of the
-    all-pairs index.
+    Jaccard path; at corpus scale pass ``candidates`` (doc_id_a <
+    doc_id_b pairs, e.g. MinHash-LSH survivors) so only candidate
+    pairs pay the intersection count. Like ngram_jaccard_pairs, the
+    UNCAPPED all-pairs path refuses to run above ``max_docs_uncapped``
+    documents — the misuse is impossible, not documented away.
     """
+    if (
+        candidates is None
+        and max_shingle_df is None
+        and max_docs_uncapped is not None
+    ):
+        n = docs.limit(max_docs_uncapped + 1).count()
+        if n > max_docs_uncapped:
+            raise ValueError(
+                f"containment_pairs: uncapped all-pairs over more than "
+                f"{max_docs_uncapped} docs — pass candidates (LSH "
+                "survivors), set max_shingle_df, or explicitly disable "
+                "the guard with max_docs_uncapped=None."
+            )
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
@@ -827,6 +845,11 @@ def containment_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col("doc_id_a").alias("id_lo"), F.col("doc_id_b").alias("id_hi")
+        ).distinct()
+        inter = inter.join(cand, ["id_lo", "id_hi"])
     with_sizes = (
         inter.join(
             sizes.select(

@@ -227,3 +227,22 @@ def test_near_dup_clusters_resolution(spark):
     for _, (cid, keep) in out.items():
         clusters[cid] = clusters.get(cid, 0) + (1 if keep else 0)
     assert all(v == 1 for v in clusters.values())
+
+
+def test_containment_uncapped_guard_raises(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="uncapped all-pairs"):
+        containment_pairs(docs, max_docs_uncapped=3).collect()
+    # candidates path bypasses the guard
+    cand = spark.createDataFrame([(0, 1)], "doc_id_a long, doc_id_b long")
+    out = containment_pairs(
+        docs, threshold_u=1, candidates=cand, max_docs_uncapped=3
+    ).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in out} <= {(0, 1), (1, 0)}
