@@ -5725,10 +5725,13 @@ def q_personalized_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def sql_personalized_pagerank() -> str:
-    s, d, ns = _PR_SCALE, _PR_DAMPING_U, _PPR_SEEDS
+    s, d = _PR_SCALE, _PR_DAMPING_U
+    # ns = ACTUAL seed count (the operator divides by it), not the
+    # literal cutoff — a corpus smaller than the cutoff has fewer seeds
+    ns = "(SELECT COUNT(*) FROM ids WHERE is_seed = 1)"
     parts = [
         f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
-ids AS (SELECT doc_id, CASE WHEN doc_id < {ns} THEN 1 ELSE 0 END AS is_seed
+ids AS (SELECT doc_id, CASE WHEN doc_id < {_PPR_SEEDS} THEN 1 ELSE 0 END AS is_seed
         FROM documents),
 e AS (
   SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT c FROM n) AS dst FROM ids

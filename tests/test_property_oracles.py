@@ -57,6 +57,15 @@ _QUERY_NAMES = [
     "q_split_assign",
     "q_repetition",
     "q_pack_sequences",
+    # round-3 wave-3/4 additions over the documents table
+    "q_cooccurrence",
+    "q_linear_classify",
+    "q_unigram_rarity",
+    "q_corpus_drift",
+    "q_containment",
+    "q_script_mix",
+    "q_hits",
+    "q_personalized_pagerank",
 ]
 
 
@@ -78,6 +87,7 @@ _EMB_QUERY_NAMES = [
     "q_lsh_topk",
     "q_ivf_topk",
     "q_embedding_near_dup",
+    "q_semantic_dedup",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
@@ -170,6 +180,12 @@ _EVENTS_QUERY_NAMES = [
     # watermarked append-mode windows: only watermark-finalized windows
     # emit; the oracle replays the exact cutoff
     "q_events_window_late",
+    # round-3 wave-3/4 additions over the events table
+    "q_funnel",
+    "q_skew_profile",
+    "q_range_histogram",
+    "q_event_pivot",
+    "q_zorder_layout",
 ]
 
 
