@@ -528,3 +528,49 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("id").alias(id_col), F.col("rank_u").cast("long").alias("rank_u"))
+
+
+def bfs_hops(
+    edges: "DataFrame",
+    seeds: "DataFrame",
+    id_col: str = "id",
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    max_hops: int = 4,
+    checkpoint_every: int = 2,
+) -> "DataFrame":
+    """(id, dist) shortest-hop distance from the nearest seed, bounded
+    at ``max_hops`` — multi-source BFS over a directed edge set
+    (crawl-frontier reachability, link-distance features). Nodes not
+    reached within the bound are absent from the result.
+
+    Shape per hop: frontier-join on ``src_col`` plus a min-combine
+    groupBy — two shuffles per hop, both map-side combined, and the
+    distance table never exceeds |reachable nodes| rows. The hop count
+    is FIXED (not run-to-fixpoint) so the DuckDB oracle can unroll the
+    same rounds as CTEs and match exactly; lineage is truncated every
+    ``checkpoint_every`` hops, same rationale as connected_components
+    (nested union+join+agg plans blow up Catalyst superlinearly).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("subj"), F.col(dst_col).alias("obj"))
+    dist = seeds.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for i in range(max_hops):
+        nxt = (
+            dist.join(e, dist["node"] == e["subj"])
+            .select(
+                F.col("obj").alias("node"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select(F.col("node").alias(id_col), "dist")

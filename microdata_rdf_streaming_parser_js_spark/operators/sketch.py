@@ -1,5 +1,6 @@
-"""Count-min sketch: fixed-size frequency estimation over unbounded
-key domains (Cormode & Muthukrishnan 2005).
+"""Fixed-size sketches over unbounded key domains: count-min
+(Cormode & Muthukrishnan 2005), HyperLogLog (Flajolet et al. 2007),
+and mergeable KMV set sketches.
 
 A 100 TB corpus has too many distinct tokens/URLs to count exactly in
 memory-bounded state; the CMS bounds the table at depth x width
@@ -142,6 +143,143 @@ def grouped_kmv(
     ).otherwise(F.floor(F.lit(k - 1) / frac).cast("long"))
     return agg.select(
         F.col("g").alias(group_col),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        est.alias("ndv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+
+_HLL_RHO_NIBBLES = 12  # 48-bit rho window after the bucket nibbles
+_HLL_RHO_MAX = 4 * _HLL_RHO_NIBBLES + 1  # all-zero window -> 49
+
+
+def hll_build(df: "DataFrame", value_col: str, p: int = 8) -> "DataFrame":
+    """(bucket, max_rho) HyperLogLog registers over the distinct values
+    of ``value_col`` — at most ``2**p`` output rows regardless of input
+    size, built with one map-side-combined shuffle (per-partition MAX
+    partials ARE partial sketches, so the register table is mergeable
+    by construction).
+
+    Everything stays integer/string arithmetic on md5 hex so the DuckDB
+    oracle rebuilds bit-identical registers: bucket = the first ``p/4``
+    hex nibbles; rho = 1 + number of leading zero BITS in the next 48
+    bits, derived from the leading-zero-nibble count plus a 4-way CASE
+    on the first non-zero nibble (no floating log anywhere).
+    """
+    if p % 4 != 0 or p <= 0 or p > 16:
+        raise ValueError(f"p must be a positive multiple of 4 <= 16, got {p}")
+    bucket_nibbles = p // 4
+    distinct = df.select(F.col(value_col).alias("v")).distinct()
+    h = F.md5(F.col("v").cast("string"))
+    bucket = F.conv(F.substring(h, 1, bucket_nibbles), 16, 10).cast("long")
+    w = F.substring(h, bucket_nibbles + 1, _HLL_RHO_NIBBLES)
+    z = F.length(F.regexp_extract(w, "^0*", 0))
+    v = F.conv(
+        F.substr(h, F.lit(bucket_nibbles + 1) + z, F.lit(1)), 16, 10
+    ).cast("int")
+    lead_bits_in_nibble = (
+        F.when(v >= 8, F.lit(0))
+        .when(v >= 4, F.lit(1))
+        .when(v >= 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = F.when(z == _HLL_RHO_NIBBLES, F.lit(_HLL_RHO_MAX)).otherwise(
+        z * 4 + lead_bits_in_nibble + 1
+    )
+    return (
+        distinct.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant for ``m >= 128`` registers.
+    Computed once and inlined as the same decimal literal on both
+    engines, so the final double expression is operand-identical."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: "DataFrame", p: int = 8) -> "DataFrame":
+    """One row ``(m, n_zero, scaled_sum, ndv_estimate)`` from an
+    ``hll_build`` register table.
+
+    Cross-engine determinism: the harmonic-mean denominator is kept as
+    an exact BIGINT ``scaled_sum = sum(2**(RHO_MAX - max_rho))`` with
+    absent registers contributing ``2**RHO_MAX`` (max 2**(p+RHO_MAX)
+    < 2**63, fold-order-free integer addition), and only the final
+    ``alpha * m^2 * 2**RHO_MAX / scaled_sum`` runs in doubles — a fixed
+    expression tree over identical operands, so IEEE correctly-rounded
+    ops give the identical floor on both engines. The small-range
+    linear-counting correction is deliberately omitted (it needs ln);
+    ``n_zero`` is emitted so callers can see when it would apply.
+    """
+    m = 2**p
+    alpha = hll_alpha(m)
+    pow2max = float(2**_HLL_RHO_MAX)
+    agg = registers.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("max_rho")).cast(
+                "long"
+            )
+        ).alias("present_sum"),
+    )
+    n_zero = (F.lit(m) - F.col("n_buckets")).cast("long")
+    scaled_sum = (
+        F.coalesce(F.col("present_sum"), F.lit(0)) + n_zero * F.lit(2**_HLL_RHO_MAX)
+    ).cast("long")
+    est = F.floor(
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(pow2max)
+        / scaled_sum.cast("double")
+    ).cast("long")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        n_zero.alias("n_zero"),
+        scaled_sum.alias("scaled_sum"),
+        est.alias("ndv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable KMV set sketches
+
+def kmv_sketch(df: "DataFrame", value_col: str, k: int = 64) -> "DataFrame":
+    """The k smallest md5 hashes of the distinct values — a KMV set
+    sketch as a DataFrame (single column ``h``). Per-partition top-k
+    then global top-k; never more than ``k`` rows leave any stage."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.select(F.md5(F.col(value_col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: "DataFrame", b: "DataFrame", k: int = 64) -> "DataFrame":
+    """Union of two KMV sketches = the k smallest of the combined hash
+    sets (the defining mergeability property: per-shard sketches union
+    into the corpus sketch without touching the shards again)."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_ndv(sketch: "DataFrame", k: int = 64) -> "DataFrame":
+    """(n_seen, ndv_estimate) from a KMV sketch — exact count when the
+    sketch is not full, else (k-1)/fraction(k-th smallest hash). The
+    12-nibble fraction is an exact integer-valued double (16^12 < 2^53)
+    so both engines compute the identical estimate."""
+    agg = sketch.agg(F.count("*").alias("n_seen"), F.max("h").alias("kth"))
+    frac = F.conv(F.substring("kth", 1, 12), 16, 10).cast("double") / F.lit(
+        float(16**12)
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("long")
+    ).otherwise(F.floor(F.lit(k - 1) / frac).cast("long"))
+    return agg.select(
         F.col("n_seen").cast("long").alias("n_seen"),
         est.alias("ndv_estimate"),
     )

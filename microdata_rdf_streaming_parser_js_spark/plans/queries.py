@@ -5987,3 +5987,298 @@ WHERE bit_count(xor(CAST(l.hi AS BIGINT), CAST(r.hi AS BIGINT)))
 
 QUERIES["q_image_near_dup"] = q_image_near_dup
 ORACLES["q_image_near_dup"] = sql_image_near_dup
+
+
+# ---------------------------------------------------------------------------
+# wave 5: HyperLogLog, mergeable sketch union, BPE pair counts, BFS hops
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 256 registers
+_HLL_POW2MAX = 2 ** 49  # absent-register contribution (12-nibble rho window)
+_NIB = "strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1"
+
+
+def _sql_hexfrac12(expr: str) -> str:
+    """First 12 hex nibbles of ``expr`` as an exact integer-valued
+    double divided by 16^12 — the DuckDB twin of the KMV fraction."""
+    nibbles = " + ".join(
+        f"({_NIB.format(e=expr, i=i + 1)}) * {16 ** (11 - i)}.0"
+        for i in range(12)
+    )
+    return f"(({nibbles}) / {float(16 ** 12)!r})"
+
+
+def q_hll_distinct(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """HyperLogLog distinct-token estimate (operators/sketch.hll_build
+    / hll_estimate): 256 integer registers from md5 nibble arithmetic
+    (no floating log), harmonic denominator kept as an exact BIGINT
+    sum of powers of two, one double division at the very end. The
+    oracle rebuilds the identical registers, so the comparison is
+    exact — unlike engine-native approx_count_distinct, whose HLL
+    hashing differs per engine."""
+    from ..functions.text import _tokens as _text_tokens
+    from ..operators.sketch import hll_build, hll_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(_text_tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    return hll_estimate(hll_build(toks, "t", p=_HLL_P), p=_HLL_P)
+
+
+def sql_hll_distinct() -> str:
+    from ..operators.sketch import hll_alpha
+
+    m = 2 ** _HLL_P
+    alpha = hll_alpha(m)
+    b_hi = _NIB.format(e="h", i=1)
+    b_lo = _NIB.format(e="h", i=2)
+    return f"""WITH toks AS (
+  SELECT unnest({_TOKS.format(c="text")}) AS t FROM documents
+),
+d AS (SELECT DISTINCT t FROM toks WHERE t <> ''),
+hx AS (SELECT md5(t) AS h FROM d),
+rb AS (
+  SELECT (({b_hi}) * 16 + ({b_lo})) AS bucket,
+         length(regexp_extract(substr(h, 3, 12), '^0*')) AS z,
+         h
+  FROM hx
+),
+rho_t AS (
+  SELECT bucket,
+         CASE WHEN z = 12 THEN 49
+              ELSE 4 * z
+                 + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                         WHEN v >= 2 THEN 2 ELSE 3 END)
+                 + 1
+         END AS rho
+  FROM (SELECT bucket, z,
+               strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 AS v
+        FROM rb)
+),
+reg AS (SELECT bucket, MAX(rho) AS max_rho FROM rho_t GROUP BY bucket),
+s AS (
+  SELECT COUNT(*) AS n_buckets,
+         SUM(CAST(power(2.0, 49 - max_rho) AS BIGINT)) AS present_sum
+  FROM reg
+),
+tot AS (
+  SELECT n_buckets,
+         CAST(COALESCE(present_sum, 0)
+              + ({m} - n_buckets) * {_HLL_POW2MAX} AS BIGINT) AS scaled_sum
+  FROM s
+)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST({m} - n_buckets AS BIGINT) AS n_zero,
+       scaled_sum,
+       CAST(floor(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+                  * CAST({float(_HLL_POW2MAX)!r} AS DOUBLE)
+                  / CAST(scaled_sum AS DOUBLE)) AS BIGINT) AS ndv_estimate
+FROM tot"""
+
+
+QUERIES["q_hll_distinct"] = q_hll_distinct
+ORACLES["q_hll_distinct"] = sql_hll_distinct
+
+
+_SKU_K = 64
+
+
+def q_sketch_union(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Mergeable-sketch demonstration (operators/sketch.kmv_sketch /
+    kmv_merge / kmv_ndv): the corpus is split into two shards
+    (doc_id % 2), a KMV token sketch is built per shard, and the UNION
+    sketch is derived purely from the two shard sketches — the old
+    shards are never re-scanned, which is the property that lets a
+    100 TB corpus keep per-shard sketches and answer cross-corpus
+    cardinality questions from kilobytes. Four rows: shard_a, shard_b,
+    union, and the inclusion-exclusion intersection estimate."""
+    from ..functions.text import _tokens as _text_tokens
+    from ..operators.sketch import kmv_merge, kmv_ndv, kmv_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("shard"),
+        F.explode(_text_tokens(F.col("text"))).alias("t"),
+    ).filter(F.col("t") != "")
+    a = kmv_sketch(toks.where(F.col("shard") == 0), "t", k=_SKU_K)
+    b = kmv_sketch(toks.where(F.col("shard") == 1), "t", k=_SKU_K)
+    u = kmv_merge(a, b, k=_SKU_K)
+    ea = kmv_ndv(a, k=_SKU_K).select(
+        F.lit("shard_a").alias("side"), "n_seen", "ndv_estimate"
+    )
+    eb = kmv_ndv(b, k=_SKU_K).select(
+        F.lit("shard_b").alias("side"), "n_seen", "ndv_estimate"
+    )
+    eu = kmv_ndv(u, k=_SKU_K).select(
+        F.lit("union").alias("side"), "n_seen", "ndv_estimate"
+    )
+    inter = (
+        ea.select(F.col("ndv_estimate").alias("na"))
+        .crossJoin(eb.select(F.col("ndv_estimate").alias("nb")))
+        .crossJoin(eu.select(F.col("ndv_estimate").alias("nu")))
+        .select(
+            F.lit("intersection").alias("side"),
+            F.lit(0).cast("long").alias("n_seen"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("na") + F.col("nb") - F.col("nu")).cast("long"),
+            ).alias("ndv_estimate"),
+        )
+    )
+    return ea.unionByName(eb).unionByName(eu).unionByName(inter)
+
+
+def sql_sketch_union() -> str:
+    k = _SKU_K
+    frac = _sql_hexfrac12("kth")
+
+    def est_cte(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT COUNT(*) AS n_seen, MAX(h) AS kth FROM {src}
+),
+{name}_e AS (
+  SELECT CAST(n_seen AS BIGINT) AS n_seen,
+         CASE WHEN n_seen < {k} THEN CAST(n_seen AS BIGINT)
+              ELSE CAST(floor(({k - 1}) / {frac}) AS BIGINT)
+         END AS ndv_estimate
+  FROM {name}
+)"""
+
+    return f"""WITH toks AS (
+  SELECT doc_id % 2 AS shard, unnest({_TOKS.format(c="text")}) AS t
+  FROM documents
+),
+ha AS (SELECT DISTINCT md5(t) AS h FROM toks WHERE shard = 0 AND t <> ''),
+hb AS (SELECT DISTINCT md5(t) AS h FROM toks WHERE shard = 1 AND t <> ''),
+ta AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+tb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+tu AS (SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb)
+       ORDER BY h LIMIT {k}),
+{est_cte("sa", "ta")},
+{est_cte("sb", "tb")},
+{est_cte("su", "tu")}
+SELECT 'shard_a' AS side, n_seen, ndv_estimate FROM sa_e
+UNION ALL
+SELECT 'shard_b', n_seen, ndv_estimate FROM sb_e
+UNION ALL
+SELECT 'union', n_seen, ndv_estimate FROM su_e
+UNION ALL
+SELECT 'intersection', CAST(0 AS BIGINT),
+       GREATEST(CAST(0 AS BIGINT),
+                CAST((SELECT ndv_estimate FROM sa_e)
+                   + (SELECT ndv_estimate FROM sb_e)
+                   - (SELECT ndv_estimate FROM su_e) AS BIGINT))"""
+
+
+QUERIES["q_sketch_union"] = q_sketch_union
+ORACLES["q_sketch_union"] = sql_sketch_union
+
+
+_BPE_TOP = 50
+
+
+def q_bpe_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """BPE training round one (operators/bpe.bpe_pair_counts): corpus
+    collapses to its vocabulary FIRST (the 100 TB reduction), then
+    char-bigram pair counts weighted by word frequency, top-50 via
+    TakeOrderedAndProject with a deterministic tie-break."""
+    from ..operators.bpe import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, text_col="text", top_n=_BPE_TOP)
+
+
+def sql_bpe_pairs() -> str:
+    return f"""WITH toks AS (
+  SELECT unnest({_TOKS.format(c="text")}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS wc FROM toks WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i::INT, 2))) AS pair,
+         wc
+  FROM vocab WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT {_BPE_TOP}"""
+
+
+QUERIES["q_bpe_pairs"] = q_bpe_pairs
+ORACLES["q_bpe_pairs"] = sql_bpe_pairs
+
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 101
+
+
+def q_bfs_hops(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multi-source BFS link distance (operators/graph.bfs_hops) over
+    the same deterministic synthetic web graph as q_pagerank
+    (doc -> (31*doc+7) mod n, plus (17*doc+3) mod n for every third
+    doc), seeds = doc_id % 101 == 0, bounded at 4 hops. Fixed hop
+    count so the oracle unrolls the identical rounds as CTEs."""
+    from ..operators.graph import bfs_hops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("obj"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("obj"),
+    )
+    seeds = ids.where(F.pmod(F.col("doc_id"), F.lit(_BFS_SEED_MOD)) == 0)
+    out = bfs_hops(
+        e1.union(e2), seeds, id_col="doc_id", max_hops=_BFS_HOPS
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def sql_bfs_hops() -> str:
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS subj, (doc_id * 31 + 7) % (SELECT c FROM n) AS obj FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT c FROM n) FROM ids
+  WHERE doc_id % 3 = 0
+),
+d0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM ids
+  WHERE doc_id % {_BFS_SEED_MOD} = 0
+)"""
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT doc_id, MIN(dist) AS dist FROM (
+    SELECT doc_id, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.obj AS doc_id, d.dist + 1 FROM d{i - 1} d
+    JOIN e ON e.subj = d.doc_id
+  ) GROUP BY doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dist AS BIGINT) AS dist
+FROM d{_BFS_HOPS}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["q_bfs_hops"] = q_bfs_hops
+ORACLES["q_bfs_hops"] = sql_bfs_hops

@@ -1,0 +1,252 @@
+"""Unit tests for the round-3 fifth-wave operators: HyperLogLog,
+mergeable KMV sketches, BPE pair counting, and bounded multi-source
+BFS. Cross-engine exactness is covered by tests/test_oracles.py; these
+pin operator-level semantics on tiny hand-checked inputs.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _py_hll_register(value: str, p: int = 8):
+    """Pure-Python twin of hll_build's (bucket, rho) derivation."""
+    h = hashlib.md5(value.encode()).hexdigest()
+    bn = p // 4
+    bucket = int(h[:bn], 16)
+    w = h[bn : bn + 12]
+    bits = bin(int(w, 16))[2:].zfill(48)
+    rho = 49 if int(w, 16) == 0 else bits.index("1") + 1
+    return bucket, rho
+
+
+def _strings_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "t string")
+
+
+def test_hll_build_matches_python_reference(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import hll_build
+
+    vals = [f"tok{i}" for i in range(200)]
+    got = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_build(_strings_df(spark, vals), "t").collect()
+    }
+    want = {}
+    for v in vals:
+        b, rho = _py_hll_register(v)
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+
+
+def test_hll_build_dedups_input(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import hll_build
+
+    once = hll_build(_strings_df(spark, ["a", "b", "c"]), "t").collect()
+    thrice = hll_build(
+        _strings_df(spark, ["a", "b", "c"] * 3), "t"
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
+
+
+def test_hll_estimate_accuracy_and_fields(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 5000
+    vals = [f"v{i}" for i in range(n)]
+    row = hll_estimate(hll_build(_strings_df(spark, vals), "t")).collect()[0]
+    assert row["m"] == 256
+    assert row["n_zero"] == 0  # 5000 >> 256 registers
+    # standard error for m=256 is ~6.5%; allow 3 sigma
+    assert abs(row["ndv_estimate"] - n) < 0.2 * n
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability: registers of the union == per-bucket max of the
+    shard registers."""
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import hll_build
+
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(300)]
+    ra = {r["bucket"]: r["max_rho"] for r in hll_build(_strings_df(spark, a), "t").collect()}
+    rb = {r["bucket"]: r["max_rho"] for r in hll_build(_strings_df(spark, b), "t").collect()}
+    ru = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_build(_strings_df(spark, a + b), "t").collect()
+    }
+    merged = dict(ra)
+    for k, v in rb.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert ru == merged
+
+
+def test_hll_build_rejects_bad_p(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import hll_build
+
+    df = _strings_df(spark, ["x"])
+    for bad in (0, 3, 6, 20, -4):
+        with pytest.raises(ValueError):
+            hll_build(df, "t", p=bad)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches
+# ---------------------------------------------------------------------------
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a_vals = [f"a{i}" for i in range(100)]
+    b_vals = [f"b{i}" for i in range(100)] + a_vals[:50]  # overlap
+    a = kmv_sketch(_strings_df(spark, a_vals), "t", k=16)
+    b = kmv_sketch(_strings_df(spark, b_vals), "t", k=16)
+    merged = sorted(r["h"] for r in kmv_merge(a, b, k=16).collect())
+    direct = sorted(
+        r["h"]
+        for r in kmv_sketch(
+            _strings_df(spark, a_vals + b_vals), "t", k=16
+        ).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_ndv_exact_below_k(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        kmv_ndv,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(_strings_df(spark, ["x", "y", "z", "x"]), "t", k=16)
+    row = kmv_ndv(sk, k=16).collect()[0]
+    assert row["n_seen"] == 3 and row["ndv_estimate"] == 3
+
+
+def test_kmv_sketch_rejects_small_k(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(_strings_df(spark, ["x"]), "t", k=1)
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.bpe import (
+        bpe_pair_counts,
+    )
+
+    # corpus: "abab ab" and "ab" -> word counts: abab:1, ab:2
+    # pairs: abab -> ab, ba, ab (x1); ab -> ab (x2) => ab:4, ba:1
+    out = bpe_pair_counts(
+        _docs_df(spark, ["abab ab", "ab"]), top_n=10
+    ).collect()
+    got = [(r["pair"], r["cnt"]) for r in out]
+    assert got == [("ab", 4), ("ba", 1)]
+
+
+def test_bpe_pair_counts_tie_break_and_limit(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.bpe import (
+        bpe_pair_counts,
+    )
+
+    # "xy" and "ax" each appear once -> pairs xy:1, ax:1; tie breaks
+    # on pair asc so "ax" first; top_n=1 keeps only "ax"
+    out = bpe_pair_counts(_docs_df(spark, ["xy ax"]), top_n=1).collect()
+    assert [(r["pair"], r["cnt"]) for r in out] == [("ax", 1)]
+
+
+def test_bpe_pair_counts_skips_single_char_words(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.bpe import (
+        bpe_pair_counts,
+    )
+
+    out = bpe_pair_counts(_docs_df(spark, ["a b c ab"]), top_n=10).collect()
+    assert [(r["pair"], r["cnt"]) for r in out] == [("ab", 1)]
+
+
+def test_bpe_pair_counts_rejects_bad_top_n(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.bpe import (
+        bpe_pair_counts,
+    )
+
+    with pytest.raises(ValueError):
+        bpe_pair_counts(_docs_df(spark, ["ab"]), top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# BFS hops
+# ---------------------------------------------------------------------------
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "subj long, obj long")
+
+
+def _seeds_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_bfs_hops_hand_checked_distances(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3 -> 4, plus shortcut 0 -> 3; node 9 unreachable
+    edges = _edges_df(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (8, 9)]
+    )
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_hops(edges, _seeds_df(spark, [0]), max_hops=4).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_bfs_hops_multi_source_takes_nearest_seed(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import bfs_hops
+
+    edges = _edges_df(spark, [(0, 1), (1, 2), (5, 2)])
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_hops(edges, _seeds_df(spark, [0, 5]), max_hops=3).collect()
+    }
+    assert out == {0: 0, 5: 0, 1: 1, 2: 1}
+
+
+def test_bfs_hops_respects_bound(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import bfs_hops
+
+    edges = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_hops(edges, _seeds_df(spark, [0]), max_hops=2).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2}  # node 3 is 3 hops away: absent
+
+
+def test_bfs_hops_zero_hops_returns_seeds_only(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import bfs_hops
+
+    edges = _edges_df(spark, [(0, 1)])
+    out = bfs_hops(edges, _seeds_df(spark, [0]), max_hops=0).collect()
+    assert [(r["id"], r["dist"]) for r in out] == [(0, 0)]
+    with pytest.raises(ValueError):
+        bfs_hops(edges, _seeds_df(spark, [0]), max_hops=-1)
