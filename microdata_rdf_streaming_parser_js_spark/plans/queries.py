@@ -3455,20 +3455,28 @@ def q_winnow_fingerprints(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def sql_winnow_fingerprints() -> str:
+    from ..operators.dedup import _WIN_B, _WIN_M
+
     norm = _NORM.format(c="text")
     k, w = _WF_K, _WF_WINDOW
+    poly = " + ".join(
+        f"cp[CAST(i + {j} AS INT)] * {_WIN_B ** (k - 1 - j)}"
+        for j in range(k)
+    )
     return f"""WITH n AS (
   SELECT doc_id, {norm} AS txt FROM documents
 ),
-g AS (
-  SELECT doc_id, txt, length(txt) - {k - 1} AS ng FROM n
+cpt AS (
+  SELECT doc_id, length(txt) - {k - 1} AS ng,
+         list_transform(range(1, length(txt) + 1), i ->
+           CAST(ord(substr(txt, CAST(i AS INT), 1)) % 256 AS BIGINT)) AS cp
+  FROM n
 ),
 grams AS (
   SELECT doc_id, ng,
          list_transform(range(1, ng + 1), i ->
-           CAST('0x' || substr(md5(substr(txt, CAST(i AS INT), {k})), 1, 8)
-                AS BIGINT)) AS h
-  FROM g WHERE ng >= {w}
+           ({poly}) % {_WIN_M}) AS h
+  FROM cpt WHERE ng >= {w}
 ),
 mins AS (
   SELECT doc_id,
