@@ -629,19 +629,34 @@ def q_minhash_lsh_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def _minhash_cand_cte() -> str:
-    """Shared CTE chain toks -> mh_sh -> sigs -> bands -> cand
+    """Shared CTE chain toks -> mh_sh -> mh_x -> sigs -> bands -> cand
     mirroring operators/dedup.minhash_lsh_pairs exactly (docs with
-    fewer than _MH_K tokens produce no shingles and drop out). Used by
-    both sql_minhash_lsh_pairs and sql_ngram_jaccard_lsh so the
-    banding scheme lives in ONE place per engine."""
+    fewer than _MH_K tokens produce no shingles and drop out; the
+    universal-hash parameters are IMPORTED from operators/dedup._mh_ab
+    so both engines share one source of truth). Used by
+    sql_minhash_lsh_pairs, sql_ngram_jaccard_lsh, and the incremental/
+    cluster oracles so the banding scheme lives in ONE place per
+    engine."""
+    from ..operators.dedup import _MH_M, _mh_ab
+
     rows_per_band = _MH_HASHES // _MH_BANDS
+    # 48-bit md5-prefix integer, exact in BIGINT arithmetic
+    nib12 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
     sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS h{j}"
+        "list_min(list_transform(xs, x -> "
+        f"({_mh_ab(j)[0]} * x + {_mh_ab(j)[1]}) % {_MH_M})) AS h{j}"
         for j in range(_MH_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_id, md5("
-        + " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " || '|' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
         + ") AS band_key FROM sigs"
         for b in range(_MH_BANDS)
     )
@@ -654,10 +669,16 @@ mh_sh AS (
                         i -> array_to_string(t[i + 1 : i + {_MH_K}], ' ')) AS sh
   FROM toks WHERE len(t) >= {_MH_K}
 ),
+mh_x AS (
+  SELECT doc_id,
+         list_transform(list_transform(sh, s -> md5(s)),
+                        h -> {nib12}) AS xs
+  FROM mh_sh
+),
 sigs AS (
   SELECT doc_id,
     {sig_exprs}
-  FROM mh_sh
+  FROM mh_x
 ),
 bands AS (
 {band_rows}
