@@ -6311,3 +6311,104 @@ FROM d{_BFS_HOPS}"""
 
 QUERIES["q_bfs_hops"] = q_bfs_hops
 ORACLES["q_bfs_hops"] = sql_bfs_hops
+
+
+# ---------------------------------------------------------------------------
+# wave 6: KG class-property profiling, cohort retention
+# ---------------------------------------------------------------------------
+
+def q_type_property_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """KG class x property usage matrix: for every (itemtype class,
+    property) pair, how many typed items use the property and how many
+    triples it carries — the schema.org co-occurrence census that
+    tells a KG builder which class-scoped joins are dense. Shape:
+    rdf:type triples self-joined to property triples on the
+    (skolemized, globally unique) subject, then one groupBy with
+    partial aggregation. Complements q_triples_vocab, which profiles
+    predicates WITHOUT the class dimension."""
+    from ..operators.linking import RDF_TYPE
+
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    typed = triples.where(F.col("pred") == RDF_TYPE).select(
+        "subj", F.col("obj").alias("cls")
+    )
+    props = triples.where(F.col("pred") != RDF_TYPE).select("subj", "pred")
+    return (
+        typed.join(props, "subj")
+        .groupBy("cls", "pred")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_items"),
+        )
+    )
+
+
+def sql_type_property_matrix() -> str:
+    from ..operators.linking import RDF_TYPE
+
+    return f"""WITH {_golden_skolemized_cte()},
+typed AS (
+  SELECT subj, obj AS cls FROM golden WHERE pred = '{RDF_TYPE}'
+),
+props AS (
+  SELECT subj, pred FROM golden WHERE pred <> '{RDF_TYPE}'
+)
+SELECT t.cls, p.pred,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT t.subj) AS n_items
+FROM typed t JOIN props p ON t.subj = p.subj
+GROUP BY 1, 2"""
+
+
+QUERIES["q_type_property_matrix"] = q_type_property_matrix
+ORACLES["q_type_property_matrix"] = sql_type_property_matrix
+
+
+_WEEK_S = 604_800
+
+
+def q_cohort_retention(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cohort retention matrix over the events stream: users cohorted
+    by their first-seen epoch week, counted in every later week they
+    return — (cohort_week, week_offset, n_users). Weeks are integer
+    epoch buckets (unix div 604800), not calendar truncation, so both
+    engines bucket identically. Shape: distinct (user, week) -> min
+    window per user -> one groupBy; two map-side-combined shuffles on
+    user_id then (cohort, offset)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uw = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(_WEEK_S)).alias("week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def sql_cohort_retention() -> str:
+    return f"""WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / {_WEEK_S}) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       u.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM uw u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY 1, 2"""
+
+
+QUERIES["q_cohort_retention"] = q_cohort_retention
+ORACLES["q_cohort_retention"] = sql_cohort_retention

@@ -250,3 +250,48 @@ def test_bfs_hops_zero_hops_returns_seeds_only(spark):
     assert [(r["id"], r["dist"]) for r in out] == [(0, 0)]
     with pytest.raises(ValueError):
         bfs_hops(edges, _seeds_df(spark, [0]), max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# wave 6 queries: class-property matrix, cohort retention
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_type_property_matrix_invariants(spark):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_type_property_matrix,
+    )
+
+    rows = q_type_property_matrix(spark, SF).collect()
+    assert rows, "conformance corpus has typed items with properties"
+    for r in rows:
+        # classes are IRIs — vocabulary IRIs or skolemized blank nodes
+        assert r["cls"].startswith(("http", "urn:skolem:"))
+        assert 1 <= r["n_items"] <= r["n_triples"]
+
+
+def test_cohort_retention_invariants(spark):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_cohort_retention,
+    )
+    from pyspark.sql import functions as F
+
+    out = q_cohort_retention(spark, SF)
+    rows = out.collect()
+    assert rows
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # offset-0 cell of each cohort holds the full cohort: every user
+    # is active in their own first week
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    week0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    assert week0 == n_users
+    # retention can never exceed the cohort size
+    by_cohort = {}
+    for r in rows:
+        if r["week_offset"] == 0:
+            by_cohort[r["cohort_week"]] = r["n_users"]
+    for r in rows:
+        assert r["n_users"] <= by_cohort[r["cohort_week"]]
