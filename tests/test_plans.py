@@ -381,3 +381,47 @@ def test_cooccurrence_single_shuffle_no_join(spark, sf_dir):
     assert len(_shuffle_nodes(plan)) == 1, plan
     assert "Join" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_hll_build_single_shuffle_no_python(spark, sf_dir):
+    """The HLL register build must be one map-side-combined exchange
+    over <= 256 bucket rows after the distinct — nibble arithmetic is
+    pure codegen (no Python eval), and there is no join anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_hll_distinct,
+    )
+
+    plan = plan_str(q_hll_distinct(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    # distinct (1) + register groupBy (1) + single-row final agg (1)
+    assert len(_shuffle_nodes(plan)) <= 3, plan
+
+
+def test_bpe_pairs_two_aggregations_topk(spark, sf_dir):
+    """BPE pair counting is vocab groupBy + pair groupBy + top-N: two
+    shuffle aggregations, a TakeOrderedAndProject instead of a global
+    sort, and no join or Python eval."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bpe_pairs,
+    )
+
+    plan = plan_str(q_bpe_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert len(_shuffle_nodes(plan)) == 2, plan
+
+
+def test_winnow_fingerprints_zero_shuffle_scan_side(spark, sf_dir):
+    """Winnowing is pure scan-side array code: no exchange, no join,
+    no Python eval — the polynomial gram hash must not reintroduce
+    any of them."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_winnow_fingerprints,
+    )
+
+    plan = plan_str(q_winnow_fingerprints(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 0, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
