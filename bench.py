@@ -210,10 +210,23 @@ def main() -> None:
         "q_stream_static_join",
         "q_image_near_dup",
         "q_curation",
+        "q_hll_distinct",
+        "q_sketch_union",
+        "q_bpe_pairs",
+        "q_bfs_hops",
+        "q_type_property_matrix",
+        "q_cohort_retention",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
         raise SystemExit(f"bench list names unknown queries: {unknown}")
+    # registered-but-unbenched queries are allowed (conformance-corpus
+    # and streaming twins of benched shapes) but must be VISIBLE so a
+    # new query silently missing its bench row is caught in review
+    unbenched = sorted(set(QUERIES) - set(bench_queries))
+    if unbenched:
+        print(f"# unbenched registry queries ({len(unbenched)}): "
+              + " ".join(unbenched), file=sys.stderr)
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
     query_secs: dict[str, float] = {"pipeline_extract_skolem_dedup": round(wall, 3)}
     query_raw: dict[str, list[float]] = {}

@@ -202,9 +202,19 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_linear_table(m: int) -> list:
+    """Small-range linear-counting estimates ``round(m * ln(m / V))``
+    for V = 1..m, precomputed in Python and inlined as the SAME integer
+    literals on both engines — neither engine evaluates ln, so the
+    transcendental never threatens cross-engine exactness."""
+    import math
+
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
 def hll_estimate(registers: "DataFrame", p: int = 8) -> "DataFrame":
-    """One row ``(m, n_zero, scaled_sum, ndv_estimate)`` from an
-    ``hll_build`` register table.
+    """One row ``(m, n_zero, scaled_sum, raw_estimate, ndv_estimate)``
+    from an ``hll_build`` register table.
 
     Cross-engine determinism: the harmonic-mean denominator is kept as
     an exact BIGINT ``scaled_sum = sum(2**(RHO_MAX - max_rho))`` with
@@ -212,12 +222,14 @@ def hll_estimate(registers: "DataFrame", p: int = 8) -> "DataFrame":
     < 2**63, fold-order-free integer addition), and only the final
     ``alpha * m^2 * 2**RHO_MAX / scaled_sum`` runs in doubles — a fixed
     expression tree over identical operands, so IEEE correctly-rounded
-    ops give the identical floor on both engines. The small-range
-    linear-counting correction is deliberately omitted (it needs ln);
-    ``n_zero`` is emitted so callers can see when it would apply.
+    ops give the identical floor on both engines. The standard
+    small-range correction (linear counting when raw <= 2.5m and any
+    register is empty) is applied via :func:`hll_linear_table` — a
+    precomputed integer lookup, no engine-side ln.
     """
     m = 2**p
     alpha = hll_alpha(m)
+    lc = hll_linear_table(m)
     pow2max = float(2**_HLL_RHO_MAX)
     agg = registers.agg(
         F.count("*").alias("n_buckets"),
@@ -231,14 +243,25 @@ def hll_estimate(registers: "DataFrame", p: int = 8) -> "DataFrame":
     scaled_sum = (
         F.coalesce(F.col("present_sum"), F.lit(0)) + n_zero * F.lit(2**_HLL_RHO_MAX)
     ).cast("long")
-    est = F.floor(
+    raw = F.floor(
         F.lit(alpha) * F.lit(float(m * m)) * F.lit(pow2max)
         / scaled_sum.cast("double")
     ).cast("long")
+    lc_arr = F.array(*[F.lit(int(v)) for v in lc])
+    est = (
+        F.when(F.col("n_buckets") == 0, F.lit(0))
+        .when(
+            (n_zero > 0) & (raw <= F.lit(int(2.5 * m))),
+            F.element_at(lc_arr, n_zero.cast("int")),
+        )
+        .otherwise(raw)
+        .cast("long")
+    )
     return agg.select(
         F.lit(m).cast("long").alias("m"),
         n_zero.alias("n_zero"),
         scaled_sum.alias("scaled_sum"),
+        raw.alias("raw_estimate"),
         est.alias("ndv_estimate"),
     )
 

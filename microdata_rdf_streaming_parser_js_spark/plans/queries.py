@@ -6056,7 +6056,7 @@ def q_hll_distinct(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def sql_hll_distinct() -> str:
-    from ..operators.sketch import hll_alpha
+    from ..operators.sketch import hll_alpha, hll_linear_table
 
     m = 2 ** _HLL_P
     alpha = hll_alpha(m)
@@ -6096,14 +6096,27 @@ tot AS (
          CAST(COALESCE(present_sum, 0)
               + ({m} - n_buckets) * {_HLL_POW2MAX} AS BIGINT) AS scaled_sum
   FROM s
+),
+est AS (
+  SELECT n_buckets, scaled_sum,
+         CAST({m} - n_buckets AS BIGINT) AS n_zero,
+         CAST(floor(CAST({alpha!r} AS DOUBLE)
+              * CAST({float(m * m)!r} AS DOUBLE)
+              * CAST({float(_HLL_POW2MAX)!r} AS DOUBLE)
+              / CAST(scaled_sum AS DOUBLE)) AS BIGINT) AS raw_estimate
+  FROM tot
 )
 SELECT CAST({m} AS BIGINT) AS m,
-       CAST({m} - n_buckets AS BIGINT) AS n_zero,
+       n_zero,
        scaled_sum,
-       CAST(floor(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
-                  * CAST({float(_HLL_POW2MAX)!r} AS DOUBLE)
-                  / CAST(scaled_sum AS DOUBLE)) AS BIGINT) AS ndv_estimate
-FROM tot"""
+       raw_estimate,
+       CASE WHEN n_buckets = 0 THEN CAST(0 AS BIGINT)
+            WHEN n_zero > 0 AND raw_estimate <= {int(2.5 * m)}
+              THEN CAST(list_extract({hll_linear_table(m)!r},
+                                     CAST(n_zero AS INT)) AS BIGINT)
+            ELSE raw_estimate
+       END AS ndv_estimate
+FROM est"""
 
 
 QUERIES["q_hll_distinct"] = q_hll_distinct

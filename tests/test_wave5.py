@@ -295,3 +295,31 @@ def test_cohort_retention_invariants(spark):
             by_cohort[r["cohort_week"]] = r["n_users"]
     for r in rows:
         assert r["n_users"] <= by_cohort[r["cohort_week"]]
+
+
+def test_hll_estimate_empty_input_is_zero(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    empty = _strings_df(spark, []).filter("t is not null")
+    row = hll_estimate(hll_build(empty, "t")).collect()[0]
+    assert row["n_zero"] == 256 and row["ndv_estimate"] == 0
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """With most registers empty the estimator must switch to the
+    precomputed linear-counting table — the raw harmonic estimate
+    overshoots several-fold in this regime."""
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 30
+    vals = [f"s{i}" for i in range(n)]
+    row = hll_estimate(hll_build(_strings_df(spark, vals), "t")).collect()[0]
+    assert row["n_zero"] > 0
+    assert abs(row["ndv_estimate"] - n) <= 3  # LC is near-exact here
+    assert row["raw_estimate"] > row["ndv_estimate"]  # raw overshoots
