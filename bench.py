@@ -216,6 +216,7 @@ def main() -> None:
         "q_bfs_hops",
         "q_type_property_matrix",
         "q_cohort_retention",
+        "q_cdc_chunks",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -961,3 +961,105 @@ def containment_pairs(
         "doc_id_b",
         F.col("containment_u").cast("long").alias("containment_u"),
     )
+
+
+def cdc_chunks(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> "DataFrame":
+    """(doc_id, chunk_no, chunk_len, chunk_hash): content-defined
+    chunking (LBFS/rsync-style): cut the normalized text after every
+    position whose trailing ``window``-char Karp-Rabin hash is
+    divisible by ``divisor`` (expected chunk length ~= divisor chars).
+    Because boundaries depend only on LOCAL content, an insertion
+    early in a document shifts at most one chunk — every later chunk
+    re-aligns and deduplicates against the previous crawl of the same
+    page, which is what byte-offset chunking can never do. This is the
+    sub-document twin of span_dedup (word spans) at byte granularity —
+    the storage/dedup layer's chunk table.
+
+    Stateless variant (no min/max chunk clamp): the boundary rule is a
+    pure per-position predicate, so both engines replay it exactly and
+    the whole operator stays scan-side array code — zero shuffles, no
+    UDF. Reuses the winnowing polynomial (`_WIN_B`/`_WIN_M`, mirrored
+    in plans/queries.sql_cdc_dup_chunks — change both together).
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError("window and divisor must be >= 1")
+    if 255 * _WIN_B ** (window - 1) * window >= 2**63:
+        raise ValueError(f"window={window} overflows the polynomial hash")
+    txt = norm_text(F.col(text_col))
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("_txt"))),
+        lambda i: F.pmod(
+            F.ascii(F.substr(F.col("_txt"), i, F.lit(1))), F.lit(256)
+        ).cast("long"),
+    )
+    staged_cps = docs.select(
+        F.col(id_col).alias("doc_id"), txt.alias("_txt")
+    ).select("doc_id", "_txt", cps.alias("_cps"))
+    c = F.col("_cps")
+
+    def _gram(i):
+        expr = None
+        for j in range(window):
+            term = F.element_at(c, (i + F.lit(j)).cast("int")) * F.lit(
+                _WIN_B ** (window - 1 - j)
+            )
+            expr = term if expr is None else expr + term
+        return F.pmod(expr, F.lit(_WIN_M))
+
+    n_grams = F.size(c) - (window - 1)
+    grams = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), _gram)
+    ).otherwise(F.array().cast("array<long>"))
+    staged = staged_cps.select("doc_id", "_txt", grams.alias("_grams"))
+    g = F.col("_grams")
+    # cut AFTER text position (i + window - 1) when gram i hits 0 mod D
+    cuts = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size(g)),
+            lambda i: F.pmod(F.element_at(g, i.cast("int")), F.lit(divisor))
+            == 0,
+        ),
+        lambda i: (i + F.lit(window - 1)).cast("long"),
+    )
+    # drop a cut that coincides with the end of the text instead of
+    # array_distinct: keeps the bounds construction order-oblivious on
+    # both engines
+    txt_len = F.length(F.col("_txt")).cast("long")
+    bounds = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.when(
+            F.size(g) >= 1, F.filter(cuts, lambda c: c < txt_len)
+        ).otherwise(F.array().cast("array<long>")),
+        F.array(txt_len),
+    )
+    staged_b = staged.select("doc_id", "_txt", bounds.alias("_bounds"))
+    b = F.col("_bounds")
+    chunk = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_no"),
+            F.substr(
+                F.col("_txt"),
+                (F.element_at(b, j.cast("int")) + 1).cast("int"),
+                (
+                    F.element_at(b, (j + 1).cast("int"))
+                    - F.element_at(b, j.cast("int"))
+                ).cast("int"),
+            ).alias("chunk"),
+        ),
+    )
+    out = staged_b.select(
+        "doc_id", F.explode(chunk).alias("ch")
+    ).select(
+        "doc_id",
+        F.col("ch.chunk_no").alias("chunk_no"),
+        F.length("ch.chunk").cast("long").alias("chunk_len"),
+        F.md5("ch.chunk").alias("chunk_hash"),
+    )
+    return out.where(F.col("chunk_len") > 0)

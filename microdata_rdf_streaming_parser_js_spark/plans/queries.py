@@ -6425,3 +6425,91 @@ GROUP BY 1, 2"""
 
 QUERIES["q_cohort_retention"] = q_cohort_retention
 ORACLES["q_cohort_retention"] = sql_cohort_retention
+
+
+_CDC_W = 8
+_CDC_D = 64
+
+
+def q_cdc_chunks(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Content-defined chunk dedup (operators/dedup.cdc_chunks): cut
+    documents at local rolling-hash boundaries (LBFS/rsync scheme),
+    then count each chunk's corpus-wide reuse — the storage-layer
+    chunk table that makes re-crawled pages dedup against their
+    previous snapshot even after insertions shift every byte offset.
+    Output: duplicated chunks only (chunk_hash, chunk_len, n_docs,
+    n_occurrences). One shuffle after the scan-side chunking."""
+    from ..operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = cdc_chunks(docs, window=_CDC_W, divisor=_CDC_D)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def sql_cdc_dup_chunks() -> str:
+    from ..operators.dedup import _WIN_B, _WIN_M
+
+    norm = _NORM.format(c="text")
+    w, d = _CDC_W, _CDC_D
+    poly = " + ".join(
+        f"cp[CAST(i + {j} AS INT)] * {_WIN_B ** (w - 1 - j)}"
+        for j in range(w)
+    )
+    return f"""WITH n AS (
+  SELECT doc_id, {norm} AS txt FROM documents
+),
+cpt AS (
+  SELECT doc_id, txt, length(txt) - {w - 1} AS ng,
+         list_transform(range(1, length(txt) + 1), i ->
+           CAST(ord(substr(txt, CAST(i AS INT), 1)) % 256 AS BIGINT)) AS cp
+  FROM n
+),
+grams AS (
+  SELECT doc_id, txt,
+         CASE WHEN ng >= 1
+              THEN list_transform(range(1, ng + 1), i ->
+                     ({poly}) % {_WIN_M})
+              ELSE CAST([] AS BIGINT[])
+         END AS h
+  FROM cpt
+),
+bounds AS (
+  SELECT doc_id, txt,
+         list_concat(list_concat(
+           [CAST(0 AS BIGINT)],
+           list_transform(
+             list_filter(range(1, len(h) + 1),
+                         i -> h[CAST(i AS INT)] % {d} = 0
+                              AND i + {w - 1} < length(txt)),
+             i -> CAST(i + {w - 1} AS BIGINT))),
+           [CAST(length(txt) AS BIGINT)]) AS b
+  FROM grams
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(b)), j ->
+           substr(txt, CAST(b[CAST(j AS INT)] + 1 AS INT),
+                  CAST(b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)] AS INT))))
+           AS chunk
+  FROM bounds
+),
+nonempty AS (SELECT doc_id, chunk FROM chunks WHERE length(chunk) > 0)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM nonempty
+GROUP BY 1
+HAVING COUNT(*) > 1"""
+
+
+QUERIES["q_cdc_chunks"] = q_cdc_chunks
+ORACLES["q_cdc_chunks"] = sql_cdc_dup_chunks

@@ -323,3 +323,79 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert row["n_zero"] > 0
     assert abs(row["ndv_estimate"] - n) <= 3  # LC is near-exact here
     assert row["raw_estimate"] > row["ndv_estimate"]  # raw overshoots
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_text(n=600):
+    # deterministic varied text, no randomness
+    words = []
+    for i in range(n // 6):
+        words.append(f"w{(i * 7919) % 997:03d}")
+    return " ".join(words)
+
+
+def test_cdc_chunks_reassemble_to_normalized_text(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        cdc_chunks,
+        norm_text,
+    )
+
+    txt = _cdc_text()
+    df = _docs_df(spark, [txt])
+    rows = sorted(
+        cdc_chunks(df, window=8, divisor=32).collect(),
+        key=lambda r: r["chunk_no"],
+    )
+    assert rows
+    # chunk lengths tile the normalized text exactly
+    norm = df.select(norm_text(F.col("text")).alias("t")).collect()[0]["t"]
+    assert sum(r["chunk_len"] for r in rows) == len(norm)
+    assert [r["chunk_no"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property: prefixing text shifts every byte offset but
+    boundaries re-align, so most chunks still dedup against the
+    original — byte-offset chunking would share nothing."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    base = _cdc_text()
+    df = _docs_df(spark, [base, "inserted prefix " + base])
+    rows = cdc_chunks(df, window=8, divisor=32).collect()
+    a = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
+    b = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    assert len(a) >= 5
+    assert len(a & b) >= len(a) // 2
+
+
+def test_cdc_chunks_short_and_empty_docs(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    rows = cdc_chunks(
+        _docs_df(spark, ["", "tiny"]), window=8, divisor=32
+    ).collect()
+    # empty doc -> no chunks; short doc (< window) -> one whole-doc chunk
+    assert [(r["doc_id"], r["chunk_no"], r["chunk_len"]) for r in rows] == [
+        (1, 1, 4)
+    ]
+
+
+def test_cdc_chunks_rejects_bad_params(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    df = _docs_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, divisor=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=12)  # polynomial overflow
