@@ -143,7 +143,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), 1)).alias("term"),
     ).where(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the df derivation and the scoring join — pin the
+    # (doc, term) aggregate once; storage is O(index), same order as
+    # its own shuffle spill
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))

@@ -258,6 +258,14 @@ def phrase_pmi(
     from .dedup import shingles
 
     toks = df.select(F.explode(shingles(F.col(text_col), 1)).alias("w"))
+    # deliberately NOT localCheckpoint-pinned: the unigram aggregate is
+    # one cheap scan, and an interleaved A/B at sf0.1 measured the
+    # pinned variant ~1.9x SLOWER (7.6 vs 4.0 s) — checkpointing hides
+    # the aggregate's stats from the two downstream joins (costing the
+    # broadcast) and serializes subtrees that otherwise evaluate in
+    # parallel on idle cores. The redundant re-evaluation is the
+    # cheaper trade for scan-cheap subtrees; contrast ngram_jaccard_lsh,
+    # where the repeated subtree is a whole LSH derivation.
     uni = toks.groupBy("w").agg(F.count("*").alias("n_w"))
     total = toks.agg(F.count("*").alias("n_tokens"))
     bi = (
