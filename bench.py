@@ -217,6 +217,8 @@ def main() -> None:
         "q_type_property_matrix",
         "q_cohort_retention",
         "q_cdc_chunks",
+        "q_path_2hop",
+        "q_sameas_rewrite",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

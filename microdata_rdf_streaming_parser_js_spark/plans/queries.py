@@ -6513,3 +6513,211 @@ HAVING COUNT(*) > 1"""
 
 QUERIES["q_cdc_chunks"] = q_cdc_chunks
 ORACLES["q_cdc_chunks"] = sql_cdc_dup_chunks
+
+
+# ---------------------------------------------------------------------------
+# KG consumption: BGP path join + sameAs closure rewrite
+# ---------------------------------------------------------------------------
+
+_KG_ENT = "http://ex.org/e/"
+_KG_ORG = "http://ex.org/org/"
+_KG_KNOWS = "http://ex.org/knows"
+_KG_WORKSFOR = "http://ex.org/worksFor"
+
+
+def _kg_synth_base(spark: "SparkSession", sf_dir: str):
+    """(ids, base) frames for the deterministic synthetic KG: entity i
+    per document row, `n` broadcast-joined on so modular edge targets
+    are expressible scan-side (same shape as q_graph_triangles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("i"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    return ids, ids.crossJoin(F.broadcast(n_df))
+
+
+def _kg_ent(col):
+    return F.concat(F.lit(_KG_ENT), col.cast("string"))
+
+
+def q_path_2hop(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """2-hop basic-graph-pattern join — the canonical SPARQL shape
+    `?a knows ?b . ?b worksFor ?org` — over a deterministic synthetic
+    KG (knows: i -> (7i+3) mod n and i -> (i+13) mod n; worksFor:
+    i -> org(i mod 37)). Per org: path count + distinct start
+    entities.
+
+    Plan shape: the triple frame is a 3-branch union with
+    constant-literal predicates, so the `pred =` filters constant-fold
+    per branch and PruneFilters drops the non-matching branches before
+    the join — each hop reads only its own edges (the union is never
+    materialized). The hop join shuffles once on the shared entity
+    IRI; the count-distinct runs as Spark's two-phase expand. At crawl
+    scale this is the workload KG canonicalization exists to serve:
+    entity-key joins stay hash-partitionable, no driver state."""
+    ids, base = _kg_synth_base(spark, sf_dir)
+    k1 = F.pmod(F.col("i") * 7 + 3, F.col("n"))
+    k2 = F.pmod(F.col("i") + 13, F.col("n"))
+    knows1 = base.where(k1 != F.col("i")).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_KNOWS).alias("pred"),
+        _kg_ent(k1).alias("obj"),
+    )
+    knows2 = base.where(k2 != F.col("i")).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_KNOWS).alias("pred"),
+        _kg_ent(k2).alias("obj"),
+    )
+    works = ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_WORKSFOR).alias("pred"),
+        F.concat(
+            F.lit(_KG_ORG), (F.col("i") % 37).cast("string")
+        ).alias("obj"),
+    )
+    triples = knows1.unionByName(knows2).unionByName(works)
+    hop1 = triples.where(F.col("pred") == _KG_KNOWS).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
+    hop2 = triples.where(F.col("pred") == _KG_WORKSFOR).select(
+        F.col("subj").alias("b"), F.col("obj").alias("org")
+    )
+    return (
+        hop1.join(hop2, "b")
+        .groupBy("org")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("a").alias("n_people"),
+        )
+    )
+
+
+def sql_path_2hop() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+knows AS (
+  SELECT '{_KG_ENT}' || i AS a,
+         '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n)) AS b
+  FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_ENT}' || ((i + 13) % (SELECT c FROM n))
+  FROM ids WHERE (i + 13) % (SELECT c FROM n) <> i
+),
+works AS (
+  SELECT '{_KG_ENT}' || i AS b, '{_KG_ORG}' || (i % 37) AS org FROM ids
+)
+SELECT w.org AS org, COUNT(*) AS n_paths,
+       COUNT(DISTINCT k.a) AS n_people
+FROM knows k JOIN works w ON w.b = k.b
+GROUP BY w.org"""
+
+
+QUERIES["q_path_2hop"] = q_path_2hop
+ORACLES["q_path_2hop"] = sql_path_2hop
+
+
+def q_sameas_rewrite(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """owl:sameAs-style entity canonicalization: transitive closure of
+    an equivalence edge set (connected_components, large-star/
+    small-star — the same operator the dedup family uses), then every
+    fact triple is rewritten subj/obj -> component minimum and the
+    collapsed duplicates are counted. This is the KG-construction step
+    that merges per-page entity nodes into one canonical node after
+    cross-page linking.
+
+    Synthetic equivalences need a genuinely TRANSITIVE case so a
+    one-hop rewrite would be wrong: triads {3k, 3k+1, 3k+2} (i sameAs
+    i - i mod 3) plus a bridge 30k sameAs 30k+3 merging two adjacent
+    triads — entity 30k+5 reaches its canonical 30k only through two
+    hops. Scale shape: closure is O(log n) component rounds (two
+    shuffles per round), the rewrite is two hash joins against the
+    (entity -> canonical) map, and nothing touches the driver beyond
+    the components fixpoint checksum."""
+    from ..operators.graph import connected_components
+
+    ids, base = _kg_synth_base(spark, sf_dir)
+    nodes = ids.select(_kg_ent(F.col("i")).alias("iri"))
+    sa1 = ids.where(F.col("i") % 3 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        _kg_ent(F.col("i") - F.col("i") % 3).alias("obj"),
+    )
+    sa2 = base.where(
+        (F.col("i") % 30 == 0) & (F.col("i") + 3 < F.col("n"))
+    ).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        _kg_ent(F.col("i") + 3).alias("obj"),
+    )
+    comp = connected_components(nodes, sa1.unionByName(sa2))
+    works = ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_WORKSFOR).alias("pred"),
+        F.concat(
+            F.lit(_KG_ORG), (F.col("i") % 37).cast("string")
+        ).alias("obj"),
+    )
+    kt = F.pmod(F.col("i") * 7 + 3, F.col("n"))
+    knows = base.where(kt != F.col("i")).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_KNOWS).alias("pred"),
+        _kg_ent(kt).alias("obj"),
+    )
+    facts = works.unionByName(knows)
+    cs = comp.select(
+        F.col("iri").alias("subj"), F.col("comp").alias("subj_c")
+    )
+    co = comp.select(
+        F.col("iri").alias("obj"), F.col("comp").alias("obj_c")
+    )
+    rewritten = (
+        facts.join(cs, "subj", "left")
+        .join(co, "obj", "left")
+        .select(
+            F.coalesce("subj_c", F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_c", F.col("obj")).alias("obj"),
+        )
+    )
+    return rewritten.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_sources")
+    )
+
+
+def sql_sameas_rewrite() -> str:
+    return f"""WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+ent AS (SELECT '{_KG_ENT}' || i AS iri, i FROM ids),
+sa AS (
+  SELECT '{_KG_ENT}' || i AS a, '{_KG_ENT}' || (i - i % 3) AS b
+  FROM ids WHERE i % 3 <> 0
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_ENT}' || (i + 3)
+  FROM ids WHERE i % 30 = 0 AND i + 3 < (SELECT c FROM n)
+),
+und AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+reach(a, b) AS (
+  SELECT iri, iri FROM ent
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS iri, MIN(b) AS comp FROM reach GROUP BY a),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj
+  FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_KNOWS}',
+         '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n))
+  FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+),
+rw AS (
+  SELECT COALESCE(cs.comp, f.subj) AS subj, f.pred,
+         COALESCE(co.comp, f.obj) AS obj
+  FROM facts f
+  LEFT JOIN comp cs ON cs.iri = f.subj
+  LEFT JOIN comp co ON co.iri = f.obj
+)
+SELECT subj, pred, obj, COUNT(*) AS n_sources
+FROM rw GROUP BY subj, pred, obj"""
+
+
+QUERIES["q_sameas_rewrite"] = q_sameas_rewrite
+ORACLES["q_sameas_rewrite"] = sql_sameas_rewrite

@@ -425,3 +425,20 @@ def test_winnow_fingerprints_zero_shuffle_scan_side(spark, sf_dir):
     assert len(_shuffle_nodes(plan)) == 0, plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_path_2hop_prunes_constant_pred_branches(spark, sf_dir):
+    """The BGP hop filters (`pred = knows` / `pred = worksFor`) are
+    constant literals per union branch, so Catalyst constant-folds
+    them and PruneFilters drops every non-matching branch: exactly 5
+    parquet scans remain (2 knows branches x (ids + n) + 1 works
+    branch), the pred column never materializes, and no Python eval
+    appears anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_path_2hop,
+    )
+
+    plan = plan_str(q_path_2hop(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 5, plan
+    assert "pred#" not in plan, plan
+    assert "EvalPython" not in plan
