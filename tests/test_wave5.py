@@ -399,3 +399,83 @@ def test_cdc_chunks_rejects_bad_params(spark):
         cdc_chunks(df, divisor=0)
     with pytest.raises(ValueError):
         cdc_chunks(df, window=12)  # polynomial overflow
+
+
+# ---------------------------------------------------------------------------
+# BGP path join + sameAs closure rewrite
+# ---------------------------------------------------------------------------
+
+def test_path_2hop_invariants(spark):
+    """Every path count is consistent with the synthetic KG's known
+    out-degrees: each entity has <= 2 knows edges and exactly 1
+    worksFor edge, so total paths == number of (a knows b) edges and
+    n_people <= n_paths per org."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_path_2hop,
+    )
+
+    rows = q_path_2hop(spark, SF).collect()
+    assert rows
+    n = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    total_paths = sum(r["n_paths"] for r in rows)
+    # knows edges: 2 per entity minus self-loop exclusions; every b
+    # has exactly one worksFor, so paths == knows edges
+    self_k1 = sum(1 for i in range(n) if (i * 7 + 3) % n == i)
+    self_k2 = sum(1 for i in range(n) if (i + 13) % n == i)
+    assert total_paths == 2 * n - self_k1 - self_k2
+    for r in rows:
+        assert 1 <= r["n_people"] <= r["n_paths"]
+
+
+def test_sameas_rewrite_conserves_and_is_transitive(spark):
+    """(1) Conservation: collapsing duplicates never drops facts —
+    sum(n_sources) equals the pre-rewrite fact count. (2) Transitive
+    closure is load-bearing: the bridge 30k sameAs 30k+3 means entity
+    30k+5 (two hops from its canonical) must never survive as a
+    subject. (3) Idempotence: every surviving subject is its own
+    canonical (a component minimum)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_sameas_rewrite,
+    )
+
+    rows = q_sameas_rewrite(spark, SF).collect()
+    assert rows
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    self_k = sum(1 for i in range(n) if (i * 7 + 3) % n == i)
+    assert sum(r["n_sources"] for r in rows) == 2 * n - self_k
+    # Python union-find twin of the sameAs closure; canonical = the
+    # LEXICOGRAPHIC min IRI in the component (both engines compare
+    # the IRI strings, so 'e/100' beats 'e/99')
+    pref = "http://ex.org/e/"
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for i in range(n):
+        if i % 3 != 0:
+            union(i, i - i % 3)
+        if i % 30 == 0 and i + 3 < n:
+            union(i, i + 3)
+    canon = {}
+    for i in range(n):
+        r = find(i)
+        cur = canon.get(r)
+        iri = pref + str(i)
+        canon[r] = iri if cur is None or iri < cur else cur
+    expected_subjects = set(canon.values())
+    subjects = {r["subj"] for r in rows}
+    assert subjects == expected_subjects
+    # transitive bridge is load-bearing: 30k's triad and 30k+3's triad
+    # share ONE canonical (entity 30k+5 is two hops from it)
+    if n > 35:
+        assert canon[find(35)] == canon[find(30)]
+        assert canon[find(33)] == canon[find(30)]
