@@ -219,6 +219,12 @@ def main() -> None:
         "q_cdc_chunks",
         "q_path_2hop",
         "q_sameas_rewrite",
+        "q_star_bgp_pivot",
+        "q_rdfs_subclass_infer",
+        "q_domain_range_infer",
+        "q_functional_conflicts",
+        "q_shacl_mincount",
+        "q_entity_cards",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -574,3 +574,60 @@ def bfs_hops(
         if (i + 1) % max(1, checkpoint_every) == 0:
             dist = dist.localCheckpoint(eager=False)
     return dist.select(F.col("node").alias(id_col), "dist")
+
+
+def transitive_closure(
+    edges: "DataFrame",
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    max_depth: int = 16,
+    reflexive: bool = True,
+) -> "DataFrame":
+    """All-pairs reachability (src, dst) over a directed edge set,
+    bounded at path length ``max_depth`` — the ontology-closure
+    operator (rdfs:subClassOf*, skos:broader*, SPARQL `p+`/`p*`
+    property paths). ``reflexive=True`` includes the `p*` identity
+    pairs; False gives `p+` semantics (depth-1.. paths only).
+
+    Doubling construction: R_0 = I ∪ E, R_{k+1} = R_k ∘ R_k (distinct),
+    so ``ceil(log2(max_depth))`` join+distinct rounds cover every path
+    up to 2^rounds edges — O(log depth) shuffles instead of O(depth)
+    for the naive frontier loop. Intended for SCHEMA-sized relations
+    (ontologies, vocabulary hierarchies: thousands of rows that then
+    broadcast onto billion-row instance tables), not for the web graph
+    itself — all-pairs closure of a large cyclic graph is quadratic
+    output by definition; use connected_components / bfs_hops there.
+
+    Reference scope note: microdata-rdf-streaming-parser.js emits
+    rdf:type triples from @itemtype (MicrodataRdfParser.ts ~L233) but
+    leaves schema inference to downstream consumers; this operator is
+    that downstream step re-expressed for Spark.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    ident = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    )
+    paths = ident.unionByName(e).distinct()
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = (
+            paths.alias("a")
+            .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        paths = paths.unionByName(hop).distinct().localCheckpoint(eager=False)
+    if not reflexive:
+        # DAG assumption: dropping src == dst removes exactly the
+        # injected identity pairs (a cyclic graph would also lose real
+        # length>=1 self-paths; ontology hierarchies are acyclic).
+        paths = paths.where(F.col("src") != F.col("dst"))
+    return paths.select(
+        F.col("src").alias(src_col), F.col("dst").alias(dst_col)
+    )

@@ -6721,3 +6721,366 @@ FROM rw GROUP BY subj, pred, obj"""
 
 QUERIES["q_sameas_rewrite"] = q_sameas_rewrite
 ORACLES["q_sameas_rewrite"] = sql_sameas_rewrite
+
+
+# ---------------------------------------------------------------------------
+# KG schema inference & validation (wave 7): star BGP pivot, RDFS
+# closure/inference, functional-property conflicts, SHACL minCount,
+# entity cards. Downstream consumers of the parser's rdf:type output
+# (MicrodataRdfParser.ts itemtype emission) run exactly these shapes.
+# ---------------------------------------------------------------------------
+
+_KG_NAME = "http://ex.org/name"
+_KG_LOCATEDIN = "http://ex.org/locatedIn"
+_KG_CITY = "http://ex.org/city/"
+_KG_CLS = "http://ex.org/c/"
+_KG_PERSON = "http://ex.org/c/Person"
+_KG_ORGCLS = "http://ex.org/c/Organization"
+_KG_CITYCLS = "http://ex.org/c/City"
+_KG_BIRTHYEAR = "http://ex.org/birthYear"
+
+
+def _kg_works(ids):
+    return ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_WORKSFOR).alias("pred"),
+        F.concat(F.lit(_KG_ORG), (F.col("i") % 37).cast("string")).alias(
+            "obj"
+        ),
+    )
+
+
+def _kg_knows(base):
+    kt = F.pmod(F.col("i") * 7 + 3, F.col("n"))
+    return base.where(kt != F.col("i")).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_KNOWS).alias("pred"),
+        _kg_ent(kt).alias("obj"),
+    )
+
+
+def q_star_bgp_pivot(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Star-shaped BGP `?e worksFor ?o . ?e name ?nm . ?e knows ?f`
+    evaluated as ONE pivot aggregation instead of k-1 self-joins: the
+    triple table is grouped once on subject and each pattern arm
+    becomes max(when(pred = p, obj)). At crawl scale this is the
+    decisive plan choice — a k-arm star as self-joins shuffles the
+    full fact table k-1 times and re-skews on every popular entity,
+    while the pivot is a single partially-aggregated shuffle (the
+    max(when) combiners collapse per-partition before exchange).
+    `name` is missing for i % 11 == 0 and `knows` for the rare
+    (7i+3) % n == i fixpoint, so the completeness filter (SPARQL's
+    implicit join semantics) is exercised, not vacuous."""
+    ids, base = _kg_synth_base(spark, sf_dir)
+    names = ids.where(F.col("i") % 11 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_NAME).alias("pred"),
+        F.concat(F.lit("n"), F.col("i").cast("string")).alias("obj"),
+    )
+    facts = _kg_works(ids).unionByName(names).unionByName(_kg_knows(base))
+    star = facts.groupBy("subj").agg(
+        F.max(F.when(F.col("pred") == _KG_WORKSFOR, F.col("obj"))).alias(
+            "org"
+        ),
+        F.max(F.when(F.col("pred") == _KG_NAME, F.col("obj"))).alias("nm"),
+        F.max(F.when(F.col("pred") == _KG_KNOWS, F.col("obj"))).alias(
+            "friend"
+        ),
+    )
+    return star.where(
+        F.col("org").isNotNull()
+        & F.col("nm").isNotNull()
+        & F.col("friend").isNotNull()
+    )
+
+
+def sql_star_bgp_pivot() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_NAME}', 'n' || i
+  FROM ids WHERE i % 11 <> 0
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_KNOWS}',
+         '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n))
+  FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+)
+SELECT subj,
+       MAX(CASE WHEN pred = '{_KG_WORKSFOR}' THEN obj END) AS org,
+       MAX(CASE WHEN pred = '{_KG_NAME}' THEN obj END) AS nm,
+       MAX(CASE WHEN pred = '{_KG_KNOWS}' THEN obj END) AS friend
+FROM facts GROUP BY subj
+HAVING MAX(CASE WHEN pred = '{_KG_WORKSFOR}' THEN obj END) IS NOT NULL
+   AND MAX(CASE WHEN pred = '{_KG_NAME}' THEN obj END) IS NOT NULL
+   AND MAX(CASE WHEN pred = '{_KG_KNOWS}' THEN obj END) IS NOT NULL"""
+
+
+QUERIES["q_star_bgp_pivot"] = q_star_bgp_pivot
+ORACLES["q_star_bgp_pivot"] = sql_star_bgp_pivot
+
+
+def q_rdfs_subclass_infer(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """RDFS entailment rule rdfs9/rdfs11 (type propagation through a
+    subClassOf hierarchy): a 64-class binary-tree ontology
+    (parent(c) = (c-1) div 2) is transitively closed with
+    operators/graph.transitive_closure (O(log depth) doubling rounds
+    on the SCHEMA-sized relation), then the closure — thousands of
+    rows at most, here 64 classes — broadcasts onto the instance-type
+    table (direct type = (i mod 63) + 1, never the root, so every
+    inference is non-trivial). Per class: distinct inferred instances.
+    The 100 TB shape: the expensive fixpoint runs on the tiny ontology
+    side; the billion-row instance table is touched by exactly one
+    broadcast join + one aggregation shuffle."""
+    from ..operators.graph import transitive_closure
+
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    cls = spark.range(64).select(F.col("id").alias("c"))
+    edges = cls.where(F.col("c") >= 1).select(
+        F.col("c").alias("subj"),
+        F.expr("CAST((c - 1) DIV 2 AS BIGINT)").alias("obj"),
+    )
+    closure = transitive_closure(edges, max_depth=6, reflexive=True)
+    types = ids.select(
+        F.col("i"), ((F.col("i") % 63) + 1).alias("c")
+    )
+    inferred = types.join(
+        F.broadcast(closure.withColumnRenamed("subj", "c")), "c"
+    )
+    return inferred.groupBy(
+        F.concat(F.lit(_KG_CLS), F.col("obj").cast("string")).alias("cls")
+    ).agg(F.countDistinct("i").alias("n_inst"))
+
+
+def sql_rdfs_subclass_infer() -> str:
+    return f"""WITH RECURSIVE
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+cls AS (SELECT range AS c FROM range(64)),
+anc(c, a) AS (
+  SELECT c, c FROM cls
+  UNION
+  SELECT r.c, (r.a - 1) // 2 FROM anc r WHERE r.a >= 1
+),
+types AS (SELECT i, (i % 63) + 1 AS c FROM ids)
+SELECT '{_KG_CLS}' || a.a AS cls, COUNT(DISTINCT t.i) AS n_inst
+FROM types t JOIN anc a ON a.c = t.c
+GROUP BY a.a"""
+
+
+QUERIES["q_rdfs_subclass_infer"] = q_rdfs_subclass_infer
+ORACLES["q_rdfs_subclass_infer"] = sql_rdfs_subclass_infer
+
+
+def q_domain_range_infer(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """RDFS entailment rules rdfs2/rdfs3 (domain/range type
+    inference): each fact predicate carries (domain, range) class
+    declarations in a 3-row ontology; subjects acquire the domain
+    class, IRI objects the range class. Evidence counts per
+    (entity, class) keep the output integer-exact. Plan: the ontology
+    is a literal broadcast (joins constant-fold scan-side); the fact
+    table is scanned once per side of the union and aggregated with
+    map-side combine — no fact-table self-join, no driver state."""
+    ids, base = _kg_synth_base(spark, sf_dir)
+    located = ids.select(
+        F.concat(F.lit(_KG_ORG), (F.col("i") % 37).cast("string")).alias(
+            "subj"
+        ),
+        F.lit(_KG_LOCATEDIN).alias("pred"),
+        F.concat(F.lit(_KG_CITY), (F.col("i") % 11).cast("string")).alias(
+            "obj"
+        ),
+    )
+    facts = _kg_works(ids).unionByName(_kg_knows(base)).unionByName(located)
+    ont = spark.createDataFrame(
+        [
+            (_KG_KNOWS, _KG_PERSON, _KG_PERSON),
+            (_KG_WORKSFOR, _KG_PERSON, _KG_ORGCLS),
+            (_KG_LOCATEDIN, _KG_ORGCLS, _KG_CITYCLS),
+        ],
+        "pred string, dom string, rng string",
+    )
+    joined = facts.join(F.broadcast(ont), "pred")
+    inferred = joined.select(
+        F.col("subj").alias("ent"), F.col("dom").alias("cls")
+    ).unionByName(
+        joined.select(F.col("obj").alias("ent"), F.col("rng").alias("cls"))
+    )
+    return inferred.groupBy("ent", "cls").agg(
+        F.count("*").alias("n_evidence")
+    )
+
+
+def sql_domain_range_infer() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_KNOWS}',
+         '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n))
+  FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+  UNION ALL
+  SELECT '{_KG_ORG}' || (i % 37), '{_KG_LOCATEDIN}',
+         '{_KG_CITY}' || (i % 11) FROM ids
+),
+ont(pred, dom, rng) AS (VALUES
+  ('{_KG_KNOWS}', '{_KG_PERSON}', '{_KG_PERSON}'),
+  ('{_KG_WORKSFOR}', '{_KG_PERSON}', '{_KG_ORGCLS}'),
+  ('{_KG_LOCATEDIN}', '{_KG_ORGCLS}', '{_KG_CITYCLS}')
+),
+inf AS (
+  SELECT f.subj AS ent, o.dom AS cls
+  FROM facts f JOIN ont o ON o.pred = f.pred
+  UNION ALL
+  SELECT f.obj, o.rng FROM facts f JOIN ont o ON o.pred = f.pred
+)
+SELECT ent, cls, COUNT(*) AS n_evidence FROM inf GROUP BY ent, cls"""
+
+
+QUERIES["q_domain_range_infer"] = q_domain_range_infer
+ORACLES["q_domain_range_infer"] = sql_domain_range_infer
+
+
+def q_functional_conflicts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """owl:FunctionalProperty violation detection — the KG-QA step
+    after cross-page merging: a functional predicate (birthYear) must
+    have exactly one object per subject, but every 97th entity carries
+    a second, conflicting assertion (as merged crawl snapshots do).
+    One groupBy (subj, pred) with two-phase count-distinct; only
+    violators survive the HAVING. The conflict report carries
+    min/max objects so a resolution policy (first-wins, newest-wins)
+    can be applied downstream without rescanning."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    by1 = ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_BIRTHYEAR).alias("pred"),
+        (F.lit(1900) + F.col("i") % 100).cast("string").alias("obj"),
+    )
+    by2 = ids.where(F.col("i") % 97 == 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_BIRTHYEAR).alias("pred"),
+        (F.lit(1900) + (F.col("i") + 3) % 100).cast("string").alias("obj"),
+    )
+    facts = by1.unionByName(by2)
+    return (
+        facts.groupBy("subj", "pred")
+        .agg(
+            F.countDistinct("obj").alias("n_values"),
+            F.min("obj").alias("lo"),
+            F.max("obj").alias("hi"),
+        )
+        .where(F.col("n_values") > 1)
+    )
+
+
+def sql_functional_conflicts() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_BIRTHYEAR}' AS pred,
+         CAST(1900 + i % 100 AS VARCHAR) AS obj FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_BIRTHYEAR}',
+         CAST(1900 + (i + 3) % 100 AS VARCHAR)
+  FROM ids WHERE i % 97 = 0
+)
+SELECT subj, pred, COUNT(DISTINCT obj) AS n_values,
+       MIN(obj) AS lo, MAX(obj) AS hi
+FROM facts GROUP BY subj, pred
+HAVING COUNT(DISTINCT obj) > 1"""
+
+
+QUERIES["q_functional_conflicts"] = q_functional_conflicts
+ORACLES["q_functional_conflicts"] = sql_functional_conflicts
+
+
+def q_shacl_mincount(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SHACL sh:minCount 1 validation report: every entity must carry
+    `name` (absent for i % 11 == 0) and `worksFor` (absent for
+    i % 13 == 0); output is the (focusNode, missing-predicate) rows a
+    SHACL engine would emit. Plan: present-predicate flags are built
+    with ONE aggregation over the fact table (max(when) per required
+    pred — adding a pred adds a column, not a join), the entity
+    universe left-joins the flags, and the missing array is exploded
+    scan-side. The left join keeps entities with NO facts at all
+    (i % 143 == 0 yields both rows) — an anti-join per predicate
+    would rescan facts k times instead. The oracle derives the report
+    independently from the generation rule, not from the Spark
+    mechanism."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    names = ids.where(F.col("i") % 11 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"), F.lit(_KG_NAME).alias("pred")
+    )
+    works = ids.where(F.col("i") % 13 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"), F.lit(_KG_WORKSFOR).alias("pred")
+    )
+    flags = (
+        names.unionByName(works)
+        .groupBy("subj")
+        .agg(
+            F.max(F.when(F.col("pred") == _KG_NAME, 1)).alias("has_nm"),
+            F.max(F.when(F.col("pred") == _KG_WORKSFOR, 1)).alias("has_wk"),
+        )
+    )
+    ents = ids.select(_kg_ent(F.col("i")).alias("subj"))
+    return (
+        ents.join(flags, "subj", "left")
+        .select(
+            "subj",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(F.col("has_nm").isNull(), F.lit(_KG_NAME)),
+                        F.when(F.col("has_wk").isNull(), F.lit(_KG_WORKSFOR)),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("missing"),
+        )
+    )
+
+
+def sql_shacl_mincount() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT '{_KG_ENT}' || i AS subj, '{_KG_NAME}' AS missing
+FROM ids WHERE i % 11 = 0
+UNION ALL
+SELECT '{_KG_ENT}' || i, '{_KG_WORKSFOR}' FROM ids WHERE i % 13 = 0"""
+
+
+QUERIES["q_shacl_mincount"] = q_shacl_mincount
+ORACLES["q_shacl_mincount"] = sql_shacl_mincount
+
+
+def q_entity_cards(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Entity-card materialization over the REAL extracted graph
+    (D2+D3+D5 pipeline on the golden corpus): all properties of each
+    (page, subject) collapsed into one deterministic sorted
+    'pred=obj|pred=obj' card — the serialization step that turns a
+    triple store into LLM-training documents / entity summaries.
+    Determinism contract: set-semantics dedup first, then
+    array_sort on the concatenated strings (binary UTF-8 order ==
+    DuckDB's string_agg ORDER BY under default binary collation).
+    One shuffle on (url, subj); collect_list is bounded by
+    per-entity property counts, never by corpus size."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    prop = F.concat(F.col("pred"), F.lit("="), F.col("obj"))
+    return triples.groupBy("url", "subj").agg(
+        F.count("*").alias("n_props"),
+        F.array_join(F.array_sort(F.collect_list(prop)), "|").alias("card"),
+    )
+
+
+def sql_entity_cards() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT url, subj, COUNT(*) AS n_props,
+       string_agg(pred || '=' || obj, '|' ORDER BY pred || '=' || obj)
+         AS card
+FROM golden GROUP BY url, subj"""
+
+
+QUERIES["q_entity_cards"] = q_entity_cards
+ORACLES["q_entity_cards"] = sql_entity_cards

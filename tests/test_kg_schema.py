@@ -1,0 +1,134 @@
+"""Wave-7 KG schema/validation invariants: transitive_closure
+semantics, the star-BGP pivot's no-self-join plan, the subclass
+inference broadcast, and SHACL report coverage of fact-less entities.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _closure_pairs(spark, edges, **kw):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    e = spark.createDataFrame(edges, "subj long, obj long")
+    return {
+        (r.subj, r.obj) for r in transitive_closure(e, **kw).collect()
+    }
+
+
+def test_closure_path_graph_reflexive(spark):
+    # 0->1->...->5: p* gives every i <= j pair
+    edges = [(i, i + 1) for i in range(5)]
+    got = _closure_pairs(spark, edges, max_depth=6)
+    want = {(i, j) for i in range(6) for j in range(6) if i <= j}
+    assert got == want
+
+
+def test_closure_path_graph_nonreflexive(spark):
+    # p+ semantics: strict i < j pairs only
+    edges = [(i, i + 1) for i in range(5)]
+    got = _closure_pairs(spark, edges, max_depth=6, reflexive=False)
+    want = {(i, j) for i in range(6) for j in range(6) if i < j}
+    assert got == want
+
+
+def test_closure_depth_bound_covers_requested_depth(spark):
+    # chain of 9 edges, max_depth=9 -> rounds=ceil(log2(9))=4 covers
+    # paths up to 2^4=16 edges; the full chain must be present
+    edges = [(i, i + 1) for i in range(9)]
+    got = _closure_pairs(spark, edges, max_depth=9)
+    assert (0, 9) in got
+    assert len(got) == sum(range(11))  # 55 pairs incl. reflexive
+
+
+def test_closure_binary_tree_ancestors(spark):
+    # the q_rdfs_subclass_infer ontology: parent(c) = (c-1) div 2
+    edges = [(c, (c - 1) // 2) for c in range(1, 64)]
+    got = _closure_pairs(spark, edges, max_depth=6)
+    # ancestors of 63: 63,31,15,7,3,1,0
+    assert {(63, a) for a in (63, 31, 15, 7, 3, 1, 0)} <= got
+    # no sideways reachability
+    assert (2, 1) not in got and (5, 6) not in got
+
+
+def test_closure_rejects_bad_depth(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    e = spark.createDataFrame([(0, 1)], "subj long, obj long")
+    with pytest.raises(ValueError):
+        transitive_closure(e, max_depth=0)
+
+
+def test_star_bgp_pivot_has_no_fact_self_join(spark, sf_dir):
+    # the star is ONE pivot aggregation: no SortMergeJoin anywhere and
+    # exactly one shuffle (the final agg exchange); the only join is
+    # the broadcast of the 1-row count frame from _kg_synth_base
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_star_bgp_pivot,
+    )
+
+    plan = plan_str(q_star_bgp_pivot(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # exactly one hash-partitioned (fact-table) shuffle: the final agg.
+    # the other exchanges are the 1-row count frame (SinglePartition +
+    # BroadcastExchange), not data movement.
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_max" in plan  # map-side combine before the exchange
+
+
+def test_subclass_infer_broadcasts_closure(spark, sf_dir):
+    # the ontology closure must broadcast onto the instance table —
+    # the instance side may shuffle only for the final aggregation
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_rdfs_subclass_infer,
+    )
+
+    plan = plan_str(q_rdfs_subclass_infer(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shacl_report_includes_factless_entities(spark, sf_dir):
+    # i = 0 has neither name nor worksFor (0 % 11 == 0 % 13 == 0): it
+    # appears in NO fact row, yet must yield BOTH violation rows
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KG_ENT,
+        q_shacl_mincount,
+    )
+
+    rows = q_shacl_mincount(spark, sf_dir).collect()
+    zero = sorted(r.missing for r in rows if r.subj == f"{_KG_ENT}0")
+    assert zero == [
+        "http://ex.org/name",
+        "http://ex.org/worksFor",
+    ]
+
+
+def test_functional_conflicts_planted_count(spark, sf_dir):
+    # exactly the i % 97 == 0 entities conflict, each with 2 values
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_functional_conflicts,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = q_functional_conflicts(spark, sf_dir).collect()
+    assert len(rows) == len(range(0, n, 97))
+    assert all(r.n_values == 2 for r in rows)
