@@ -225,6 +225,12 @@ def main() -> None:
         "q_functional_conflicts",
         "q_shacl_mincount",
         "q_entity_cards",
+        "q_kg_delta",
+        "q_symmetric_gap",
+        "q_cardinality_histogram",
+        "q_namespace_census",
+        "q_label_collisions",
+        "q_vocab_coverage",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -7084,3 +7084,361 @@ FROM golden GROUP BY url, subj"""
 
 QUERIES["q_entity_cards"] = q_entity_cards
 ORACLES["q_entity_cards"] = sql_entity_cards
+
+
+# ---------------------------------------------------------------------------
+# KG lifecycle & census (wave 8): snapshot diff, symmetric-property
+# gap, property-cardinality histogram, namespace census, entity-label
+# collisions, vocabulary coverage.
+# ---------------------------------------------------------------------------
+
+
+def q_kg_delta(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Triple-level KG snapshot diff — the incremental-crawl question
+    one level below q_crawl_delta's page ledgers: between two graph
+    snapshots of single-valued facts, which (subj, pred) slots were
+    added / removed / changed / unchanged? Old snapshot: worksFor for
+    every entity, birthYear for i % 5 != 0. New snapshot: worksFor
+    dropped for i % 13 == 0 and re-assigned (org+1) for i % 7 == 0;
+    birthYear now universal (added for i % 5 == 0). ONE full-outer
+    shuffle join on (subj, pred) classifies every slot; the report
+    aggregates per (pred, status) so a 10^11-triple diff still returns
+    a constant-size answer."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    old = _kg_works(ids).unionByName(
+        ids.where(F.col("i") % 5 != 0).select(
+            _kg_ent(F.col("i")).alias("subj"),
+            F.lit(_KG_BIRTHYEAR).alias("pred"),
+            (F.lit(1900) + F.col("i") % 100).cast("string").alias("obj"),
+        )
+    )
+    new_works = ids.where(F.col("i") % 13 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_WORKSFOR).alias("pred"),
+        F.concat(
+            F.lit(_KG_ORG),
+            F.when(
+                F.col("i") % 7 == 0, ((F.col("i") % 37) + 1) % 37
+            ).otherwise(F.col("i") % 37).cast("string"),
+        ).alias("obj"),
+    )
+    new = new_works.unionByName(
+        ids.select(
+            _kg_ent(F.col("i")).alias("subj"),
+            F.lit(_KG_BIRTHYEAR).alias("pred"),
+            (F.lit(1900) + F.col("i") % 100).cast("string").alias("obj"),
+        )
+    )
+    o = old.select("subj", "pred", F.col("obj").alias("obj_old"))
+    n = new.select("subj", "pred", F.col("obj").alias("obj_new"))
+    joined = o.join(n, ["subj", "pred"], "full_outer")
+    status = (
+        F.when(F.col("obj_old").isNull(), F.lit("added"))
+        .when(F.col("obj_new").isNull(), F.lit("removed"))
+        .when(F.col("obj_old") != F.col("obj_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy("pred", status.alias("status")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def sql_kg_delta() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+old AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_BIRTHYEAR}',
+         CAST(1900 + i % 100 AS VARCHAR) FROM ids WHERE i % 5 <> 0
+),
+new AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (CASE WHEN i % 7 = 0 THEN ((i % 37) + 1) % 37
+                              ELSE i % 37 END) AS obj
+  FROM ids WHERE i % 13 <> 0
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_BIRTHYEAR}',
+         CAST(1900 + i % 100 AS VARCHAR) FROM ids
+),
+j AS (
+  SELECT COALESCE(o.pred, n.pred) AS pred, o.obj AS obj_old,
+         n.obj AS obj_new
+  FROM old o FULL OUTER JOIN new n
+    ON o.subj = n.subj AND o.pred = n.pred
+)
+SELECT pred,
+       CASE WHEN obj_old IS NULL THEN 'added'
+            WHEN obj_new IS NULL THEN 'removed'
+            WHEN obj_old <> obj_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n
+FROM j GROUP BY 1, 2"""
+
+
+QUERIES["q_kg_delta"] = q_kg_delta
+ORACLES["q_kg_delta"] = sql_kg_delta
+
+
+def q_symmetric_gap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """owl:SymmetricProperty completeness QA: `knows` should hold in
+    both directions, so every directed edge without its reciprocal is
+    a repair candidate (the KG-completion counterpart of the
+    functional-conflict check). Edge set: the two q_path_2hop
+    generators, distinct. Plan: one self anti-join of the edge set
+    against its own reversal — hash-partitioned on (subj, obj), no
+    driver state; output is the missing-edge worklist itself."""
+    ids, base = _kg_synth_base(spark, sf_dir)
+    k2 = F.pmod(F.col("i") + 13, F.col("n"))
+    knows = (
+        _kg_knows(base)
+        .select("subj", "obj")
+        .unionByName(
+            base.where(k2 != F.col("i")).select(
+                _kg_ent(F.col("i")).alias("subj"), _kg_ent(k2).alias("obj")
+            )
+        )
+        .distinct()
+    )
+    rev = knows.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    return knows.join(rev, ["subj", "obj"], "left_anti")
+
+
+def sql_symmetric_gap() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+knows AS (
+  SELECT DISTINCT subj, obj FROM (
+    SELECT '{_KG_ENT}' || i AS subj,
+           '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n)) AS obj
+    FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+    UNION ALL
+    SELECT '{_KG_ENT}' || i, '{_KG_ENT}' || ((i + 13) % (SELECT c FROM n))
+    FROM ids WHERE (i + 13) % (SELECT c FROM n) <> i
+  )
+)
+SELECT a.subj, a.obj FROM knows a
+WHERE NOT EXISTS (
+  SELECT 1 FROM knows b WHERE b.subj = a.obj AND b.obj = a.subj
+)"""
+
+
+QUERIES["q_symmetric_gap"] = q_symmetric_gap
+ORACLES["q_symmetric_gap"] = sql_symmetric_gap
+
+
+def q_cardinality_histogram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Property-cardinality histogram (per predicate: how many
+    subjects carry exactly k distinct objects) — the VoID-style census
+    that decides which predicates can be stored single-valued, which
+    need arrays, and where a groupBy will skew. Facts mix known
+    cardinalities: worksFor 1, knows 1-2 (two generators that may
+    coincide), birthYear 1-2 (the q_functional_conflicts plant). Two
+    map-side-combined shuffles: (subj, pred) count-distinct, then
+    (pred, k) count."""
+    ids, base = _kg_synth_base(spark, sf_dir)
+    k2 = F.pmod(F.col("i") + 13, F.col("n"))
+    knows2 = base.where(k2 != F.col("i")).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_KNOWS).alias("pred"),
+        _kg_ent(k2).alias("obj"),
+    )
+    by2 = ids.where(F.col("i") % 97 == 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_BIRTHYEAR).alias("pred"),
+        (F.lit(1900) + (F.col("i") + 3) % 100).cast("string").alias("obj"),
+    )
+    by1 = ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_BIRTHYEAR).alias("pred"),
+        (F.lit(1900) + F.col("i") % 100).cast("string").alias("obj"),
+    )
+    facts = (
+        _kg_works(ids)
+        .unionByName(_kg_knows(base))
+        .unionByName(knows2)
+        .unionByName(by1)
+        .unionByName(by2)
+    )
+    per_subj = facts.groupBy("subj", "pred").agg(
+        F.countDistinct("obj").alias("k")
+    )
+    return per_subj.groupBy("pred", "k").agg(
+        F.count("*").alias("n_subjects")
+    )
+
+
+def sql_cardinality_histogram() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_KNOWS}',
+         '{_KG_ENT}' || ((i * 7 + 3) % (SELECT c FROM n))
+  FROM ids WHERE (i * 7 + 3) % (SELECT c FROM n) <> i
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_KNOWS}',
+         '{_KG_ENT}' || ((i + 13) % (SELECT c FROM n))
+  FROM ids WHERE (i + 13) % (SELECT c FROM n) <> i
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_BIRTHYEAR}',
+         CAST(1900 + i % 100 AS VARCHAR) FROM ids
+  UNION ALL
+  SELECT '{_KG_ENT}' || i, '{_KG_BIRTHYEAR}',
+         CAST(1900 + (i + 3) % 100 AS VARCHAR)
+  FROM ids WHERE i % 97 = 0
+),
+per_subj AS (
+  SELECT subj, pred, COUNT(DISTINCT obj) AS k
+  FROM facts GROUP BY subj, pred
+)
+SELECT pred, k, COUNT(*) AS n_subjects FROM per_subj GROUP BY pred, k"""
+
+
+QUERIES["q_cardinality_histogram"] = q_cardinality_histogram
+ORACLES["q_cardinality_histogram"] = sql_cardinality_histogram
+
+
+def q_namespace_census(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Vocabulary-namespace census over the REAL extracted graph: each
+    predicate's namespace (greedy prefix through the last '/' or '#' —
+    the inverse of the reference's vocab derivation, Util.deriveVocab
+    lib/Util.ts:123-147) with triple / distinct-predicate / page
+    counts. This is the which-vocabularies-does-the-crawl-actually-use
+    report that drives registry configuration. Scan-side
+    regexp_extract (identical greedy semantics in Java regex and
+    DuckDB RE2 for this anchor-prefix pattern), one aggregation."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    ns = F.regexp_extract(F.col("pred"), r"^(.*[/#])", 1)
+    return triples.groupBy(ns.alias("ns")).agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("pred").alias("n_preds"),
+        F.countDistinct("url").alias("n_pages"),
+    )
+
+
+def sql_namespace_census() -> str:
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT regexp_extract(pred, '^(.*[/#])', 1) AS ns,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT pred) AS n_preds,
+       COUNT(DISTINCT url) AS n_pages
+FROM golden GROUP BY 1"""
+
+
+QUERIES["q_namespace_census"] = q_namespace_census
+ORACLES["q_namespace_census"] = sql_namespace_census
+
+
+def q_label_collisions(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cross-page entity-duplicate candidates by label collision: two
+    different subjects asserting the same normalized literal for the
+    same predicate are merge candidates for the sameAs pipeline (the
+    blocking key the scored linker consumes). Over the REAL extracted
+    graph: literal objects only, whitespace-collapsed lowercase
+    normalization (the corpus-wide _NORM convention), one aggregation
+    on (pred, label); only colliding labels survive."""
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    lits = triples.where(F.col("obj_kind") == "literal")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("obj"))), r"\s+", " ")
+    return (
+        lits.groupBy("pred", norm.alias("label"))
+        .agg(
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("url").alias("n_pages"),
+        )
+        .where(F.col("n_subjects") > 1)
+    )
+
+
+def sql_label_collisions() -> str:
+    norm = _NORM.format(c="obj")
+    return f"""WITH {_golden_skolemized_cte()}
+SELECT pred, {norm} AS label,
+       COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT url) AS n_pages
+FROM golden WHERE obj_kind = 'literal'
+GROUP BY 1, 2 HAVING COUNT(DISTINCT subj) > 1"""
+
+
+QUERIES["q_label_collisions"] = q_label_collisions
+ORACLES["q_label_collisions"] = sql_label_collisions
+
+
+_VC_TOPK = 256
+
+
+def q_vocab_coverage(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Tokenizer-vocabulary coverage: fix the vocabulary to the
+    corpus's top-256 tokens (count desc, token asc — the deterministic
+    tie-break both engines replay) and report each document's
+    out-of-vocabulary rate in integer ppm — the coverage check run
+    before committing a tokenizer to a training corpus. Plan: unigram
+    table (one map-side-combined shuffle), top-k via
+    TakeOrderedAndProject (never a global sort), vocabulary broadcast
+    back onto the token stream, per-doc integer aggregation. Zero-token
+    documents score 0 via the left join against the full corpus."""
+    from ..functions.text import _tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(_tokens(F.col("text"))).alias("t"),
+    ).filter(F.col("t") != "")
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t"))
+        .limit(_VC_TOPK)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("in_vocab").isNull(), True)).alias("oov"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce(
+                F.expr("(oov * 1000000) div n"), F.lit(0)
+            ).cast("long").alias("oov_ppm"),
+        )
+    )
+
+
+def sql_vocab_coverage() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+vocab AS (
+  SELECT t FROM (SELECT t, COUNT(*) AS cnt FROM tt GROUP BY t)
+  ORDER BY cnt DESC, t LIMIT {_VC_TOPK}
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n,
+         COUNT(CASE WHEN v.t IS NULL THEN TRUE END) AS oov
+  FROM tt LEFT JOIN vocab v ON v.t = tt.t GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE((s.oov * 1000000) // s.n, 0) AS BIGINT) AS oov_ppm
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
+QUERIES["q_vocab_coverage"] = q_vocab_coverage
+ORACLES["q_vocab_coverage"] = sql_vocab_coverage

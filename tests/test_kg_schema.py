@@ -132,3 +132,99 @@ def test_functional_conflicts_planted_count(spark, sf_dir):
     rows = q_functional_conflicts(spark, sf_dir).collect()
     assert len(rows) == len(range(0, n, 97))
     assert all(r.n_values == 2 for r in rows)
+
+
+# --- wave 8: KG lifecycle & census ---
+
+
+def test_kg_delta_status_counts(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KG_BIRTHYEAR,
+        _KG_WORKSFOR,
+        q_kg_delta,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    got = {
+        (r.pred, r.status): r.n
+        for r in q_kg_delta(spark, sf_dir).collect()
+    }
+    ids = range(n)
+    assert got[(_KG_BIRTHYEAR, "added")] == sum(1 for i in ids if i % 5 == 0)
+    assert got[(_KG_WORKSFOR, "removed")] == sum(
+        1 for i in ids if i % 13 == 0
+    )
+    assert got[(_KG_WORKSFOR, "changed")] == sum(
+        1 for i in ids if i % 7 == 0 and i % 13 != 0
+    )
+    # every (subj, pred) slot is classified exactly once
+    assert sum(got.values()) == 2 * n
+
+
+def test_symmetric_gap_is_antisymmetric(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_symmetric_gap,
+    )
+
+    pairs = {
+        (r.subj, r.obj) for r in q_symmetric_gap(spark, sf_dir).collect()
+    }
+    assert pairs  # the synthetic edge set is mostly asymmetric
+    # a missing-reciprocal edge's reversal is not in the edge set at
+    # all, so it can never be reported too
+    assert not any((b, a) in pairs for (a, b) in pairs)
+
+
+def test_cardinality_histogram_mass_conservation(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KG_WORKSFOR,
+        q_cardinality_histogram,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = q_cardinality_histogram(spark, sf_dir).collect()
+    works = {r.k: r.n_subjects for r in rows if r.pred == _KG_WORKSFOR}
+    assert works == {1: n}  # worksFor is strictly single-valued
+
+
+def test_vocab_coverage_plan_topk_and_broadcast(spark, sf_dir):
+    # vocabulary selection must be TakeOrderedAndProject (no global
+    # sort materialization) and must broadcast onto the token stream
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_vocab_coverage,
+    )
+
+    plan = plan_str(q_vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _VC_TOPK,
+        q_vocab_coverage,
+    )
+
+    rows = q_vocab_coverage(spark, sf_dir).collect()
+    assert all(0 <= r.oov_ppm <= 1_000_000 for r in rows)
+    # OOV tokens exist only if the corpus vocabulary exceeds the top-k
+    # cut (at sf0.001 it may not — everything is then in-vocabulary)
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    distinct = {
+        t
+        for s in texts.column("text").to_pylist()
+        for t in re.sub(r"\s+", " ", s.strip().lower()).split(" ")
+        if t
+    }
+    if len(distinct) > _VC_TOPK:
+        assert any(r.oov_ppm > 0 for r in rows)
+    else:
+        assert all(r.oov_ppm == 0 for r in rows)
