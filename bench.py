@@ -231,6 +231,8 @@ def main() -> None:
         "q_namespace_census",
         "q_label_collisions",
         "q_vocab_coverage",
+        "q_interval_join",
+        "q_group_topk",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -157,3 +157,54 @@ def funnel_stages(
     )
     cols.append(reached.cast("long").alias("stage_reached"))
     return out.select(*cols)
+
+
+def interval_join(
+    events: "DataFrame",
+    intervals: "DataFrame",
+    ts_col: str = "ts_s",
+    start_col: str = "s",
+    end_col: str = "e",
+    bucket_s: int = 1800,
+) -> "DataFrame":
+    """Point-in-interval join (event.ts in [start, end)) as an
+    EQUI-join on coarse time buckets plus an exact residual filter —
+    the range-join strategy Spark lacks natively. A naive inequality
+    join degenerates to BroadcastNestedLoopJoin (O(|events| x
+    |intervals|) comparisons); here each interval is exploded to the
+    ``ceil(len / bucket_s) + 1`` buckets it overlaps, events key on
+    floor(ts / bucket_s), and the join is hash-partitionable on the
+    bucket id. Pick ``bucket_s`` >= the typical interval length so the
+    explosion factor stays ~2; skewed hot buckets fall to AQE skew
+    handling like any equi-join.
+
+    Requires ``end > start`` (enforced; an empty interval matches
+    nothing and would break the bucket sequence). Returns the joined
+    rows with both sides' columns, residual-filtered exactly — callers
+    aggregate. All arithmetic is integer (epoch seconds), so the
+    DuckDB oracle can replay the same containment with a plain
+    inequality join.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    iv = intervals.where(F.col(end_col) > F.col(start_col))
+    iv = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_s).cast("long"),
+                F.floor((F.col(end_col) - 1) / bucket_s).cast("long"),
+            )
+        ),
+    )
+    ev = events.withColumn(
+        "_bucket", F.floor(F.col(ts_col) / bucket_s).cast("long")
+    )
+    return (
+        ev.join(iv, "_bucket")
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -7442,3 +7442,123 @@ FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 QUERIES["q_vocab_coverage"] = q_vocab_coverage
 ORACLES["q_vocab_coverage"] = sql_vocab_coverage
+
+
+# ---------------------------------------------------------------------------
+# wave 9: range-join strategy + grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def q_interval_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Point-in-interval aggregation (events falling inside synthetic
+    maintenance windows) via operators/temporal.interval_join — the
+    bucketed equi-join range strategy: intervals explode to the <= 2
+    coarse buckets they overlap, events key on floor(ts / bucket), and
+    the residual containment filter runs after a hash join instead of
+    a BroadcastNestedLoopJoin. Windows are derived deterministically
+    from doc ids over the observed event time range (start =
+    tmin + (977 j) mod span, length 60..1500 s < the 1800 s bucket).
+    Per window: event count + micro-unit value sum. The oracle
+    replays the containment as a plain inequality join — viable at
+    oracle scale, quadratic at crawl scale."""
+    from ..operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    bounds = ev.agg(
+        F.min("ts_s").alias("tmin"),
+        F.greatest(
+            F.max("ts_s") - F.min("ts_s"), F.lit(1).cast("long")
+        ).alias("span"),
+    )
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    iv = ids.crossJoin(F.broadcast(bounds)).select(
+        F.col("i").alias("interval_id"),
+        (F.col("tmin") + (F.col("i") * 977) % F.col("span")).alias("s"),
+    )
+    iv = iv.withColumn(
+        "e", F.col("s") + 60 + (F.col("interval_id") % 7) * 240
+    )
+    joined = interval_join(ev, iv, bucket_s=1800)
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_u").cast("long").alias("sum_value_u"),
+    )
+
+
+def sql_interval_join() -> str:
+    return """WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_u
+  FROM events
+),
+b AS (
+  SELECT MIN(ts_s) AS tmin,
+         GREATEST(MAX(ts_s) - MIN(ts_s), 1) AS span
+  FROM ev
+),
+iv AS (
+  SELECT CAST(doc_id AS BIGINT) AS interval_id,
+         tmin + (CAST(doc_id AS BIGINT) * 977) % span AS s
+  FROM documents, b
+),
+iv2 AS (
+  SELECT interval_id, s, s + 60 + (interval_id % 7) * 240 AS e FROM iv
+)
+SELECT v.interval_id, COUNT(*) AS n_events,
+       CAST(SUM(e.value_u) AS BIGINT) AS sum_value_u
+FROM iv2 v JOIN ev e ON e.ts_s >= v.s AND e.ts_s < v.e
+GROUP BY v.interval_id"""
+
+
+QUERIES["q_interval_join"] = q_interval_join
+ORACLES["q_interval_join"] = sql_interval_join
+
+
+_GT_K = 3
+
+
+def q_group_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-group top-k (each event type's 3 most active users,
+    count desc then user_id asc — a total order both engines replay):
+    the per-host-top-pages / per-domain-top-entities shape. Plan: the
+    count aggregation REDUCES the table to |type x user| before the
+    rank window repartitions it on event_type — the window never sees
+    raw events, and k filters immediately after row_number, so only
+    k rows per group survive the stage."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _GT_K)
+        .select("event_type", "user_id", "n_events", F.col("rk").cast("long"))
+    )
+
+
+def sql_group_topk() -> str:
+    return f"""WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY n_events DESC, user_id
+         ) AS BIGINT) AS rk
+  FROM counts
+)
+SELECT event_type, user_id, n_events, rk
+FROM ranked WHERE rk <= {_GT_K}"""
+
+
+QUERIES["q_group_topk"] = q_group_topk
+ORACLES["q_group_topk"] = sql_group_topk

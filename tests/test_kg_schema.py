@@ -228,3 +228,74 @@ def test_vocab_coverage_bounds(spark, sf_dir):
         assert any(r.oov_ppm > 0 for r in rows)
     else:
         assert all(r.oov_ppm == 0 for r in rows)
+
+
+# --- wave 9: range-join strategy + grouped top-k ---
+
+
+def test_interval_join_exact_membership(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        interval_join,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 100), (2, 1799), (3, 1800), (4, 3599), (5, 5000)],
+        "event_id long, ts_s long",
+    )
+    # window B spans the 1800s bucket boundary; C is zero-length
+    iv = spark.createDataFrame(
+        [("A", 50, 150), ("B", 1700, 1900), ("C", 5000, 5000)],
+        "interval_id string, s long, e long",
+    )
+    got = {
+        (r.interval_id, r.event_id)
+        for r in interval_join(ev, iv, bucket_s=1800).collect()
+    }
+    assert got == {("A", 1), ("B", 2), ("B", 3)}
+
+
+def test_interval_join_rejects_bad_bucket(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        interval_join,
+    )
+
+    ev = spark.createDataFrame([(1, 0)], "event_id long, ts_s long")
+    iv = spark.createDataFrame([("A", 0, 1)], "interval_id string, s long, e long")
+    with pytest.raises(ValueError):
+        interval_join(ev, iv, bucket_s=0)
+
+
+def test_interval_join_plan_is_equi_join(spark, sf_dir):
+    # the events x intervals join must be a hash equi-join on the
+    # bucket key; the ONLY nested-loop join allowed is the 1-row
+    # bounds broadcast (crossJoin of tmin/span)
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_interval_join,
+    )
+
+    import re
+
+    plan = plan_str(q_interval_join(spark, sf_dir))
+    # formatted explain prints each node in the tree AND as a detail
+    # header — count the detail headers
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) == 1
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_group_topk_k_rows_per_group(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _GT_K,
+        q_group_topk,
+    )
+
+    rows = q_group_topk(spark, sf_dir).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, []).append(r)
+    for g, rs in by_g.items():
+        assert len(rs) <= _GT_K
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+        # rank order follows (count desc, user_id asc)
+        srt = sorted(rs, key=lambda r: (-r.n_events, r.user_id))
+        assert [r.rk for r in srt] == list(range(1, len(rs) + 1))
