@@ -233,6 +233,9 @@ def main() -> None:
         "q_vocab_coverage",
         "q_interval_join",
         "q_group_topk",
+        "q_kg_negatives",
+        "q_markov_transitions",
+        "q_type_cooccurrence",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -7562,3 +7562,151 @@ FROM ranked WHERE rk <= {_GT_K}"""
 
 QUERIES["q_group_topk"] = q_group_topk
 ORACLES["q_group_topk"] = sql_group_topk
+
+
+# ---------------------------------------------------------------------------
+# wave 10: KG-embedding negatives, behavioral transitions, co-typing
+# ---------------------------------------------------------------------------
+
+
+def q_kg_negatives(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Negative sampling for KG-embedding training (TransE-style):
+    every worksFor fact spawns two deterministically corrupted tail
+    candidates (org((13i+5) mod 37), org((17i+11) mod 37)), and an
+    anti-join against the true fact set removes accidental positives —
+    the filtered-negatives construction. Shape: candidates are
+    scan-side expressions (no lattice needed — corruption is modular
+    arithmetic both engines replay), the set-dedup is one shuffle, and
+    the anti-join hash-partitions on the full (subj, pred, obj) key.
+    At 10^11 facts this is exactly the join the embedding-training
+    data loader runs per epoch."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    facts = _kg_works(ids)
+    cands = ids.select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.lit(_KG_WORKSFOR).alias("pred"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit(_KG_ORG),
+                    ((F.col("i") * 13 + 5) % 37).cast("string"),
+                ),
+                F.concat(
+                    F.lit(_KG_ORG),
+                    ((F.col("i") * 17 + 11) % 37).cast("string"),
+                ),
+            )
+        ).alias("obj"),
+    ).distinct()
+    return cands.join(facts, ["subj", "pred", "obj"], "left_anti")
+
+
+def sql_kg_negatives() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+facts AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || (i % 37) AS obj FROM ids
+),
+cands AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_WORKSFOR}' AS pred,
+         '{_KG_ORG}' || ((i * 13 + 5) % 37) AS obj FROM ids
+  UNION
+  SELECT '{_KG_ENT}' || i, '{_KG_WORKSFOR}',
+         '{_KG_ORG}' || ((i * 17 + 11) % 37) FROM ids
+)
+SELECT c.subj, c.pred, c.obj FROM cands c
+WHERE NOT EXISTS (
+  SELECT 1 FROM facts f
+  WHERE f.subj = c.subj AND f.pred = c.pred AND f.obj = c.obj
+)"""
+
+
+QUERIES["q_kg_negatives"] = q_kg_negatives
+ORACLES["q_kg_negatives"] = sql_kg_negatives
+
+
+def q_markov_transitions(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user behavioral transition matrix (the first-order Markov
+    census behind next-event prediction and bot detection): each
+    user's event stream ordered by the total order (epoch second,
+    event_id), lag(1) pairs every event with its predecessor type,
+    and one aggregation counts (src, dst) transitions. Shape: ONE
+    shuffle on user_id for the window (ordering is within-partition),
+    then a map-side-combined count — no self-join on the event table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    with_prev = ev.withColumn("src", F.lag("event_type").over(w))
+    return (
+        with_prev.where(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_markov_transitions() -> str:
+    return """WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM events
+),
+lagged AS (
+  SELECT event_type AS dst,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_s, event_id
+         ) AS src
+  FROM ev
+)
+SELECT src, dst, COUNT(*) AS n
+FROM lagged WHERE src IS NOT NULL GROUP BY src, dst"""
+
+
+QUERIES["q_markov_transitions"] = q_markov_transitions
+ORACLES["q_markov_transitions"] = sql_markov_transitions
+
+
+def q_type_cooccurrence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Class co-typing census over the REAL extracted graph: subjects
+    carrying two rdf:type assertions (the parser emits one per
+    itemtype token, MicrodataRdfParser.ts multi-type handling) yield
+    ordered (cls_a < cls_b) pairs with distinct-subject counts — the
+    schema-overlap signal that drives class-merge decisions in
+    ontology alignment. Shape: the type table is tiny relative to the
+    graph (one row per rdf:type triple), the self-join keys on the
+    skolemized subject, and the < predicate halves the pair space."""
+    from ..operators.linking import RDF_TYPE
+
+    pages = synthesize_oracle_pages(spark)
+    triples = dedup_triples(skolemize(extract_triples(pages)), per_graph=True)
+    typed = triples.where(F.col("pred") == RDF_TYPE).select(
+        "subj", F.col("obj").alias("cls")
+    )
+    a = typed.select("subj", F.col("cls").alias("cls_a"))
+    b = typed.select("subj", F.col("cls").alias("cls_b"))
+    return (
+        a.join(b, "subj")
+        .where(F.col("cls_a") < F.col("cls_b"))
+        .groupBy("cls_a", "cls_b")
+        .agg(F.countDistinct("subj").alias("n_subjects"))
+    )
+
+
+def sql_type_cooccurrence() -> str:
+    from ..operators.linking import RDF_TYPE
+
+    return f"""WITH {_golden_skolemized_cte()},
+typed AS (
+  SELECT subj, obj AS cls FROM golden WHERE pred = '{RDF_TYPE}'
+)
+SELECT a.cls AS cls_a, b.cls AS cls_b,
+       COUNT(DISTINCT a.subj) AS n_subjects
+FROM typed a JOIN typed b ON a.subj = b.subj AND a.cls < b.cls
+GROUP BY 1, 2"""
+
+
+QUERIES["q_type_cooccurrence"] = q_type_cooccurrence
+ORACLES["q_type_cooccurrence"] = sql_type_cooccurrence

@@ -299,3 +299,50 @@ def test_group_topk_k_rows_per_group(spark, sf_dir):
         # rank order follows (count desc, user_id asc)
         srt = sorted(rs, key=lambda r: (-r.n_events, r.user_id))
         assert [r.rk for r in srt] == list(range(1, len(rs) + 1))
+
+
+# --- wave 10: negatives, transitions, co-typing ---
+
+
+def test_kg_negatives_exclude_true_facts(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KG_ENT,
+        _KG_ORG,
+        q_kg_negatives,
+    )
+
+    rows = q_kg_negatives(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        i = int(r.subj[len(_KG_ENT):])
+        true_obj = f"{_KG_ORG}{i % 37}"
+        assert r.obj != true_obj  # anti-join removed accidental positives
+        # candidates come only from the two corruption generators
+        assert r.obj in {
+            f"{_KG_ORG}{(i * 13 + 5) % 37}",
+            f"{_KG_ORG}{(i * 17 + 11) % 37}",
+        }
+
+
+def test_markov_transitions_mass(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_markov_transitions,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    rows = q_markov_transitions(spark, sf_dir).collect()
+    # each user's first event has no predecessor; everything else
+    # contributes exactly one transition
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_type_cooccurrence_ordered_pairs(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_type_cooccurrence,
+    )
+
+    rows = q_type_cooccurrence(spark, sf_dir).collect()
+    assert rows  # multi-typed fixtures exist in the golden corpus
+    assert all(r.cls_a < r.cls_b and r.n_subjects >= 1 for r in rows)
