@@ -236,6 +236,9 @@ def main() -> None:
         "q_kg_negatives",
         "q_markov_transitions",
         "q_type_cooccurrence",
+        "q_json_props",
+        "q_events_cube",
+        "q_running_total",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -7710,3 +7710,132 @@ GROUP BY 1, 2"""
 
 QUERIES["q_type_cooccurrence"] = q_type_cooccurrence
 ORACLES["q_type_cooccurrence"] = sql_type_cooccurrence
+
+
+# ---------------------------------------------------------------------------
+# wave 11: semi-structured payloads, CUBE grouping sets, running totals
+# ---------------------------------------------------------------------------
+
+
+def q_json_props(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Semi-structured payload extraction: the events table carries a
+    JSON props column ('{"k": N}' — the schemaless sidecar every
+    telemetry pipeline accumulates); get_json_object pulls the field
+    JVM-side (codegen, no Python), and one aggregation profiles it per
+    event type. The scan reads only (event_type, props) — the JSON
+    path never blocks column pruning."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+def sql_json_props() -> str:
+    return """WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM ev GROUP BY event_type"""
+
+
+QUERIES["q_json_props"] = q_json_props
+ORACLES["q_json_props"] = sql_json_props
+
+
+def q_events_cube(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Event-type x epoch-day CUBE (all four grouping sets in one
+    pass: cell, per-type, per-day, grand total) — the OLAP companion
+    to q_sales_rollup's ROLLUP, over the behavioral table instead of
+    the TPC-H dims. GROUPING flags disambiguate subtotal NULLs from
+    data NULLs; value mass is micro-unit integer so every grouping
+    set is fold-order exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("day").cast("long").alias("g_day"),
+            F.count("*").alias("n"),
+            F.sum("value_u").cast("long").alias("sum_value_u"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "sum_value_u")
+    )
+
+
+def sql_events_cube() -> str:
+    return """WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT event_type, day,
+       CAST(CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS BIGINT)
+         AS g_type,
+       CAST(CASE WHEN GROUPING(day) THEN 1 ELSE 0 END AS BIGINT) AS g_day,
+       COUNT(*) AS n,
+       CAST(SUM(value_u) AS BIGINT) AS sum_value_u
+FROM ev GROUP BY CUBE (event_type, day)"""
+
+
+QUERIES["q_events_cube"] = q_events_cube
+ORACLES["q_events_cube"] = sql_events_cube
+
+
+def q_running_total(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user running value total (unbounded-preceding window over
+    the (epoch second, event_id) total order) — the cumulative-spend /
+    session-budget shape. One shuffle on user_id; within-partition
+    sort only; micro-unit longs keep the prefix sums exact under any
+    partitioning."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.sum("value_u").over(w).cast("long").alias("cum_value_u"),
+    )
+
+
+def sql_running_total() -> str:
+    return """WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_u
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       CAST(SUM(value_u) OVER (
+         PARTITION BY user_id ORDER BY ts_s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_value_u
+FROM ev"""
+
+
+QUERIES["q_running_total"] = q_running_total
+ORACLES["q_running_total"] = sql_running_total

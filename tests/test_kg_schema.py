@@ -346,3 +346,78 @@ def test_type_cooccurrence_ordered_pairs(spark, sf_dir):
     rows = q_type_cooccurrence(spark, sf_dir).collect()
     assert rows  # multi-typed fixtures exist in the golden corpus
     assert all(r.cls_a < r.cls_b and r.n_subjects >= 1 for r in rows)
+
+
+# --- wave 11: JSON payloads, CUBE, running totals ---
+
+
+def test_json_props_prunes_scan(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_json_props,
+    )
+
+    df = q_json_props(spark, sf_dir)
+    plan = plan_str(df)
+    # the JSON path must not defeat column pruning
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+    rows = df.collect()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n for r in rows) == total
+
+
+def test_events_cube_grouping_set_mass(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_events_cube,
+    )
+
+    rows = q_events_cube(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    grand = [r for r in rows if r.g_type == 1 and r.g_day == 1]
+    assert len(grand) == 1 and grand[0].n == total
+    cells = [r for r in rows if r.g_type == 0 and r.g_day == 0]
+    assert sum(r.n for r in cells) == total
+    # every marginal also conserves mass
+    assert sum(r.n for r in rows if r.g_type == 1 and r.g_day == 0) == total
+    assert sum(r.n for r in rows if r.g_type == 0 and r.g_day == 1) == total
+
+
+def test_running_total_matches_user_sums(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_running_total,
+    )
+
+    rt = q_running_total(spark, sf_dir)
+    finals = {
+        r.user_id: r.cum_value_u
+        for r in rt.groupBy("user_id")
+        .agg(F.max("cum_value_u").alias("cum_value_u"))
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.floor(F.col("value") * 1e6).cast("long").alias("v")
+    )
+    # cum total is monotone within a user only if values are >= 0;
+    # compare the true per-user sum against the LAST row instead
+    last = {
+        r.user_id: r.cum
+        for r in rt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts_s").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("cum_value_u").alias("cum"))
+        .collect()
+    }
+    sums = {
+        r.user_id: r.s
+        for r in ev.groupBy("user_id").agg(F.sum("v").alias("s")).collect()
+    }
+    assert last == sums
+    assert set(finals) == set(sums)
