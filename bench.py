@@ -239,6 +239,7 @@ def main() -> None:
         "q_json_props",
         "q_events_cube",
         "q_running_total",
+        "q_ann_recall",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -7839,3 +7839,41 @@ FROM ev"""
 
 QUERIES["q_running_total"] = q_running_total
 ORACLES["q_running_total"] = sql_running_total
+
+
+def q_ann_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ANN quality evaluation — recall@k of the hyperplane-LSH path
+    against the exact brute-force top-k, per query point: the metric
+    that decides whether an approximate index is shippable. Both
+    sides reuse the registered pipelines unchanged (one shared
+    implementation, same md5 hyperplane lattice), joined on
+    (query_id, vec_id); n_hits / n_exact is the recall. The oracle
+    composes the two EXISTING verified oracle texts as subqueries —
+    no third implementation to drift. Ties at the k boundary resolve
+    by the same (cos desc, vec_id) total order on both engines, so
+    the intersection is well-defined."""
+    exact = q_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_lsh_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+
+
+def sql_ann_recall() -> str:
+    return f"""SELECT ex.query_id, COUNT(*) AS n_exact,
+       COUNT(an.vec_id) AS n_hits
+FROM ({sql_topk_cosine()}) ex
+LEFT JOIN ({sql_lsh_topk()}) an
+  ON an.query_id = ex.query_id AND an.vec_id = ex.vec_id
+GROUP BY ex.query_id"""
+
+
+QUERIES["q_ann_recall"] = q_ann_recall
+ORACLES["q_ann_recall"] = sql_ann_recall

@@ -421,3 +421,18 @@ def test_running_total_matches_user_sums(spark, sf_dir):
     }
     assert last == sums
     assert set(finals) == set(sums)
+
+
+def test_ann_recall_bounds_and_nonzero(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _TOPK_K,
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact <= _TOPK_K
+    # LSH must find at least the query point itself (cos=1 with itself
+    # always shares every band bucket)
+    assert all(r.n_hits >= 1 for r in rows)
