@@ -66,6 +66,22 @@ _QUERY_NAMES = [
     "q_script_mix",
     "q_hits",
     "q_personalized_pagerank",
+    # round-3 wave-7..12 KG additions: pure doc_id modular-arithmetic
+    # graphs, so tiny corpora hit the degenerate cases the sf gate
+    # cannot (n=1 makes every knows edge a dropped self-loop, n<k
+    # empties the star/negative sets)
+    "q_path_2hop",
+    "q_sameas_rewrite",
+    "q_star_bgp_pivot",
+    "q_rdfs_subclass_infer",
+    "q_domain_range_infer",
+    "q_functional_conflicts",
+    "q_shacl_mincount",
+    "q_kg_delta",
+    "q_symmetric_gap",
+    "q_cardinality_histogram",
+    "q_kg_negatives",
+    "q_vocab_coverage",
 ]
 
 
@@ -186,6 +202,15 @@ _EVENTS_QUERY_NAMES = [
     "q_range_histogram",
     "q_event_pivot",
     "q_zorder_layout",
+    # round-3 wave-9..11 additions: lag/window/cube/range-join shapes
+    # under tie-heavy timestamps; props is '{}' here so the JSON path
+    # must agree on all-NULL extraction
+    "q_markov_transitions",
+    "q_events_cube",
+    "q_running_total",
+    "q_group_topk",
+    "q_json_props",
+    "q_interval_join",
 ]
 
 
@@ -248,10 +273,22 @@ def test_events_queries_match_oracle_on_random_events(
         .write.mode("overwrite")
         .parquet(f"{sf_dir}/events.parquet")
     )
+    # q_interval_join derives its synthetic windows from documents
+    # doc_ids, so the events family ships a small companion corpus
+    n_docs = 1 + (n % 7)
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n_docs)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"'{sf_dir}/events.parquet/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
     )
     qs, oracles = queries(), oracle_sql()
     for name in _EVENTS_QUERY_NAMES:
