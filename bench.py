@@ -240,6 +240,8 @@ def main() -> None:
         "q_events_cube",
         "q_running_total",
         "q_ann_recall",
+        "q_bgp_optional",
+        "q_construct_inverse",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

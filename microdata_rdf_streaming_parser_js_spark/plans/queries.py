@@ -7877,3 +7877,85 @@ GROUP BY ex.query_id"""
 
 QUERIES["q_ann_recall"] = q_ann_recall
 ORACLES["q_ann_recall"] = sql_ann_recall
+
+
+# ---------------------------------------------------------------------------
+# wave 13: SPARQL algebra completions — OPTIONAL and CONSTRUCT
+# ---------------------------------------------------------------------------
+
+
+def q_bgp_optional(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SPARQL OPTIONAL — `?e worksFor ?org OPTIONAL { ?e name ?nm }` —
+    as a left outer join: every employed entity appears, name-less
+    ones (i % 11 == 0) with a NULL nm. Together with the inner-join
+    star (q_star_bgp_pivot), the anti-join (q_shacl_mincount /
+    q_kg_negatives: FILTER NOT EXISTS), the path join (q_path_2hop)
+    and the closure (q_rdfs_subclass_infer: p*), this completes the
+    BGP algebra surface. One hash join on the entity key; the
+    optional side is the smaller filtered branch."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    works = _kg_works(ids).select("subj", F.col("obj").alias("org"))
+    names = ids.where(F.col("i") % 11 != 0).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.concat(F.lit("n"), F.col("i").cast("string")).alias("nm"),
+    )
+    return works.join(names, "subj", "left")
+
+
+def sql_bgp_optional() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+works AS (
+  SELECT '{_KG_ENT}' || i AS subj, '{_KG_ORG}' || (i % 37) AS org FROM ids
+),
+names AS (
+  SELECT '{_KG_ENT}' || i AS subj, 'n' || i AS nm
+  FROM ids WHERE i % 11 <> 0
+)
+SELECT w.subj, w.org, n.nm
+FROM works w LEFT JOIN names n ON n.subj = w.subj"""
+
+
+QUERIES["q_bgp_optional"] = q_bgp_optional
+ORACLES["q_bgp_optional"] = sql_bgp_optional
+
+
+def q_construct_inverse(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SPARQL CONSTRUCT — reshaping matched patterns into NEW triples:
+    every `?p worksFor ?o` yields `?o employs ?p` (inverse edge) plus
+    `?o rdf:type Organization` (deduplicated), the materialized-view
+    step that turns a subject-oriented graph into an object-oriented
+    one before a reverse-traversal workload. Pure scan-side projection
+    for the inverse branch; one distinct shuffle for the type branch —
+    no joins at all."""
+    from ..operators.linking import RDF_TYPE
+
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    works = _kg_works(ids)
+    inverse = works.select(
+        F.col("obj").alias("subj"),
+        F.lit("http://ex.org/employs").alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    types = works.select(
+        F.col("obj").alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(_KG_ORGCLS).alias("obj"),
+    ).distinct()
+    return inverse.unionByName(types)
+
+
+def sql_construct_inverse() -> str:
+    from ..operators.linking import RDF_TYPE
+
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+works AS (
+  SELECT '{_KG_ENT}' || i AS person, '{_KG_ORG}' || (i % 37) AS org FROM ids
+)
+SELECT org AS subj, 'http://ex.org/employs' AS pred, person AS obj
+FROM works
+UNION ALL
+SELECT DISTINCT org, '{RDF_TYPE}', '{_KG_ORGCLS}' FROM works"""
+
+
+QUERIES["q_construct_inverse"] = q_construct_inverse
+ORACLES["q_construct_inverse"] = sql_construct_inverse

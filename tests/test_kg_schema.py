@@ -436,3 +436,37 @@ def test_ann_recall_bounds_and_nonzero(spark, sf_dir):
     # LSH must find at least the query point itself (cos=1 with itself
     # always shares every band bucket)
     assert all(r.n_hits >= 1 for r in rows)
+
+
+# --- wave 13: SPARQL algebra completions ---
+
+
+def test_bgp_optional_keeps_nameless_entities(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bgp_optional,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = q_bgp_optional(spark, sf_dir).collect()
+    assert len(rows) == n  # OPTIONAL never drops the required side
+    nameless = [r for r in rows if r.nm is None]
+    assert len(nameless) == sum(1 for i in range(n) if i % 11 == 0)
+
+
+def test_construct_inverse_shape(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KG_ORG,
+        q_construct_inverse,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = q_construct_inverse(spark, sf_dir).collect()
+    inv = [r for r in rows if r.pred == "http://ex.org/employs"]
+    typ = [r for r in rows if r.pred != "http://ex.org/employs"]
+    assert len(inv) == n  # one inverse edge per worksFor fact
+    assert len(typ) == len({i % 37 for i in range(n)})  # distinct orgs
+    assert all(r.subj.startswith(_KG_ORG) for r in rows)
