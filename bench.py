@@ -242,6 +242,8 @@ def main() -> None:
         "q_ann_recall",
         "q_bgp_optional",
         "q_construct_inverse",
+        "q_scd2_islands",
+        "q_table_fingerprint",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -7959,3 +7959,117 @@ SELECT DISTINCT org, '{RDF_TYPE}', '{_KG_ORGCLS}' FROM works"""
 
 QUERIES["q_construct_inverse"] = q_construct_inverse
 ORACLES["q_construct_inverse"] = sql_construct_inverse
+
+
+# ---------------------------------------------------------------------------
+# wave 14: SCD2 gaps-and-islands, table fingerprint (anti-entropy)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_islands(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Slowly-changing-dimension (SCD type 2) interval construction —
+    the gaps-and-islands shape: four crawl snapshots (v = 0..3) of
+    each entity's worksFor value are collapsed into validity intervals
+    (subj, org, valid_from, valid_to) by the canonical lag-flag +
+    running-sum island id. The synthetic rule
+    org_v(i) = (i + 7 * ((v + i) div 3)) mod 37 breaks each entity's
+    history at a position that varies with i mod 3, so islands of
+    length 1..4 all occur. ONE shuffle on subj for the window; the
+    island groupBy reuses the same partitioning (no second exchange
+    needed by the key)."""
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    snaps = ids.withColumn(
+        "v", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).select(
+        _kg_ent(F.col("i")).alias("subj"),
+        F.col("v").cast("long").alias("v"),
+        F.concat(
+            F.lit(_KG_ORG),
+            F.expr("(i + 7 * ((v + i) DIV 3)) % 37").cast("string"),
+        ).alias("org"),
+    )
+    w = Window.partitionBy("subj").orderBy("v")
+    flagged = snaps.withColumn(
+        "chg",
+        F.when(
+            F.lag("org").over(w).isNull()
+            | (F.lag("org").over(w) != F.col("org")),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("chg").over(w))
+    return flagged.groupBy("subj", "island").agg(
+        F.min("org").alias("org"),
+        F.min("v").alias("valid_from"),
+        F.max("v").alias("valid_to"),
+    ).select("subj", "org", "valid_from", "valid_to")
+
+
+def sql_scd2_islands() -> str:
+    return f"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+snaps AS (
+  SELECT '{_KG_ENT}' || i AS subj, CAST(v AS BIGINT) AS v,
+         '{_KG_ORG}' || ((i + 7 * ((v + i) // 3)) % 37) AS org
+  FROM ids, (SELECT unnest([0, 1, 2, 3]) AS v)
+),
+flagged AS (
+  SELECT subj, v, org,
+         CASE WHEN LAG(org) OVER w IS NULL
+                OR LAG(org) OVER w <> org THEN 1 ELSE 0 END AS chg
+  FROM snaps WINDOW w AS (PARTITION BY subj ORDER BY v)
+),
+islands AS (
+  SELECT subj, v, org,
+         SUM(chg) OVER (PARTITION BY subj ORDER BY v) AS island
+  FROM flagged
+)
+SELECT subj, MIN(org) AS org, MIN(v) AS valid_from, MAX(v) AS valid_to
+FROM islands GROUP BY subj, island"""
+
+
+QUERIES["q_scd2_islands"] = q_scd2_islands
+ORACLES["q_scd2_islands"] = sql_scd2_islands
+
+
+def q_table_fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Whole-table anti-entropy fingerprint: every documents row is
+    hashed (md5 over a \\x1f-joined, NULL-coalesced column tuple) to a
+    48-bit-safe integer, and the table collapses to ONE row of
+    order-independent aggregates (count, sum, min, max of the row
+    hashes) — the replica-comparison / post-migration integrity check
+    for a 100 TB table: one scan, zero data movement beyond the
+    constant-size partial aggregates, mergeable across any partition
+    layout by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return docs.select(v.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+    )
+
+
+def sql_table_fingerprint() -> str:
+    h8 = _sql_hex8(
+        "md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
+        "COALESCE(text, ''), COALESCE(lang, ''), COALESCE(source, ''), "
+        "CAST(n_chars AS VARCHAR)))"
+    )
+    return f"""WITH hashed AS (
+  SELECT {h8} AS h FROM documents
+)
+SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS sum_h,
+       CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
+FROM hashed"""
+
+
+QUERIES["q_table_fingerprint"] = q_table_fingerprint
+ORACLES["q_table_fingerprint"] = sql_table_fingerprint

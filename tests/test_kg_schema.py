@@ -470,3 +470,58 @@ def test_construct_inverse_shape(spark, sf_dir):
     assert len(inv) == n  # one inverse edge per worksFor fact
     assert len(typ) == len({i % 37 for i in range(n)})  # distinct orgs
     assert all(r.subj.startswith(_KG_ORG) for r in rows)
+
+
+# --- wave 14: SCD2 islands, table fingerprint ---
+
+
+def test_scd2_islands_partition_versions(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_scd2_islands,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = q_scd2_islands(spark, sf_dir).collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r.subj, []).append(r)
+    assert len(by_subj) == n
+    for subj, ivs in by_subj.items():
+        ivs = sorted(ivs, key=lambda r: r.valid_from)
+        # intervals tile [0, 3] exactly: contiguous, non-overlapping
+        assert ivs[0].valid_from == 0 and ivs[-1].valid_to == 3
+        for a, b in zip(ivs, ivs[1:]):
+            assert b.valid_from == a.valid_to + 1
+            assert b.org != a.org  # adjacent islands really differ
+
+
+def test_table_fingerprint_detects_any_row_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_table_fingerprint,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    src.write.parquet(f"{a}/documents.parquet")
+    src.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    ).write.parquet(f"{b}/documents.parquet")
+    fa = q_table_fingerprint(spark, a).collect()[0]
+    fb = q_table_fingerprint(spark, b).collect()[0]
+    assert fa.n_rows == fb.n_rows
+    assert fa.sum_h != fb.sum_h  # a single-byte change flips the sum
+    # and the fingerprint is partition-layout invariant
+    spark.read.parquet(f"{a}/documents.parquet").repartition(7).write.parquet(
+        f"{b}/redistributed/documents.parquet"
+    )
+    fc = q_table_fingerprint(spark, f"{b}/redistributed").collect()[0]
+    assert (fa.n_rows, fa.sum_h, fa.min_h, fa.max_h) == (
+        fc.n_rows, fc.sum_h, fc.min_h, fc.max_h,
+    )
