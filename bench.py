@@ -244,6 +244,7 @@ def main() -> None:
         "q_construct_inverse",
         "q_scd2_islands",
         "q_table_fingerprint",
+        "q_hypertable_rollup",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -8073,3 +8073,82 @@ FROM hashed"""
 
 QUERIES["q_table_fingerprint"] = q_table_fingerprint
 ORACLES["q_table_fingerprint"] = sql_table_fingerprint
+
+
+def q_hypertable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hypertable continuous-aggregate rollup (TimescaleDB-style):
+    events collapse to minute buckets, hours re-aggregate FROM the
+    minute aggregates, days FROM the hours — never from raw rows
+    again. Every statistic is chosen mergeable (count-sum, sum-sum,
+    min-min, max-max) so each level is a pure combine of the level
+    below: the property that makes continuous aggregates incremental
+    at 100 TB (a late minute touches one hour row, one day row). The
+    three levels are returned unioned with a level tag; the minute
+    frame is the only scan of the raw table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    minute = (
+        ev.groupBy((F.floor(F.col("ts_s") / 60) * 60).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_u").cast("long").alias("sum_value_u"),
+            F.min("value_u").alias("min_value_u"),
+            F.max("value_u").alias("max_value_u"),
+        )
+    )
+    def _up(df, width):
+        return (
+            df.groupBy(
+                (F.floor(F.col("bucket") / width) * width).alias("bucket")
+            )
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value_u").cast("long").alias("sum_value_u"),
+                F.min("min_value_u").alias("min_value_u"),
+                F.max("max_value_u").alias("max_value_u"),
+            )
+        )
+    hour = _up(minute, 3600)
+    day = _up(hour, 86400)
+    return (
+        minute.select(F.lit("minute").alias("level"), "*")
+        .unionByName(hour.select(F.lit("hour").alias("level"), "*"))
+        .unionByName(day.select(F.lit("day").alias("level"), "*"))
+    )
+
+
+def sql_hypertable_rollup() -> str:
+    return """WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_u
+  FROM events
+),
+minute AS (
+  SELECT (ts_s // 60) * 60 AS bucket, COUNT(*) AS n,
+         CAST(SUM(value_u) AS BIGINT) AS sum_value_u,
+         MIN(value_u) AS min_value_u, MAX(value_u) AS max_value_u
+  FROM ev GROUP BY 1
+),
+hour AS (
+  SELECT (bucket // 3600) * 3600 AS bucket,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sum_value_u) AS BIGINT) AS sum_value_u,
+         MIN(min_value_u) AS min_value_u, MAX(max_value_u) AS max_value_u
+  FROM minute GROUP BY 1
+),
+day AS (
+  SELECT (bucket // 86400) * 86400 AS bucket,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sum_value_u) AS BIGINT) AS sum_value_u,
+         MIN(min_value_u) AS min_value_u, MAX(max_value_u) AS max_value_u
+  FROM hour GROUP BY 1
+)
+SELECT 'minute' AS level, * FROM minute
+UNION ALL SELECT 'hour', * FROM hour
+UNION ALL SELECT 'day', * FROM day"""
+
+
+QUERIES["q_hypertable_rollup"] = q_hypertable_rollup
+ORACLES["q_hypertable_rollup"] = sql_hypertable_rollup

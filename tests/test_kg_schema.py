@@ -525,3 +525,28 @@ def test_table_fingerprint_detects_any_row_change(spark, tmp_path):
     assert (fa.n_rows, fa.sum_h, fa.min_h, fa.max_h) == (
         fc.n_rows, fc.sum_h, fc.min_h, fc.max_h,
     )
+
+
+def test_hypertable_rollup_levels_merge_exactly(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_hypertable_rollup,
+    )
+
+    rows = q_hypertable_rollup(spark, sf_dir).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, []).append(r)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for level in ("minute", "hour", "day"):
+        lv = by_level[level]
+        assert sum(r.n for r in lv) == total  # every level conserves mass
+        assert {r.bucket % {"minute": 60, "hour": 3600, "day": 86400}[level]
+                for r in lv} == {0}
+    # each hour row is exactly the combine of its minute rows
+    mins = by_level["minute"]
+    for h in by_level["hour"]:
+        kids = [m for m in mins if m.bucket // 3600 * 3600 == h.bucket]
+        assert h.n == sum(m.n for m in kids)
+        assert h.sum_value_u == sum(m.sum_value_u for m in kids)
+        assert h.min_value_u == min(m.min_value_u for m in kids)
+        assert h.max_value_u == max(m.max_value_u for m in kids)
