@@ -7723,9 +7723,18 @@ def q_json_props(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     telemetry pipeline accumulates); get_json_object pulls the field
     JVM-side (codegen, no Python), and one aggregation profiles it per
     event type. The scan reads only (event_type, props) — the JSON
-    path never blocks column pruning."""
+    path never blocks column pruning.
+
+    Malformed-payload contract (real telemetry is dirty): a field
+    counts only when its lexical form is a strict integer
+    (^-?[0-9]+$); everything else — malformed JSON, missing key,
+    quoted non-numeric, fractional, boolean — is NULL on BOTH
+    engines. Without the guard the engines genuinely diverge:
+    Spark's ANSI cast throws on 'x' where DuckDB TRY_CAST rounds
+    '1.5' to 2."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.count("k").alias("n_with_k"),
@@ -7737,10 +7746,17 @@ def q_json_props(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 def sql_json_props() -> str:
-    return """WITH ev AS (
+    return """WITH raw AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS ks
   FROM events
+),
+ev AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+              THEN CAST(ks AS BIGINT) END AS k
+  FROM raw
 )
 SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
        CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -214,11 +214,29 @@ _EVENTS_QUERY_NAMES = [
 ]
 
 
+_PROPS_POOL = [
+    "{}",                # valid, key missing
+    '{"k": 7}',          # valid integer
+    '{"k": -3}',         # valid negative
+    '{"k": "12"}',       # quoted integer — still counts
+    '{"k": "x"}',        # quoted non-numeric -> NULL (Spark ANSI cast
+                         # would throw; DuckDB TRY_CAST would pass)
+    '{"k": 1.5}',        # fractional -> NULL (DuckDB TRY_CAST rounds!)
+    '{"k": null}',       # explicit null
+    "not json",          # malformed -> NULL (DuckDB json_* would throw)
+    "",                  # empty string -> NULL
+    None,                # NULL column
+    "[1,2]",             # valid JSON, wrong shape
+]
+
+
 def _seeded_events(seed: int, n: int) -> list[tuple]:
     """n events from a drawn seed: clustered timestamps (tie-heavy),
     few users, click/purchase-heavy types, values incl. negatives and
-    exact integers. NaN/inf are out of contract (the micro-unit floor
-    is undefined there)."""
+    exact integers, and adversarial JSON props (malformed / quoted /
+    fractional / NULL — the q_json_props integer-strict contract).
+    NaN/inf are out of contract (the micro-unit floor is undefined
+    there)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -232,7 +250,8 @@ def _seeded_events(seed: int, n: int) -> list[tuple]:
         value = float(np.float64(rng.choice(
             [0.0, -1.5, 2.0, float(np.round(rng.uniform(-5, 5), 3))]
         )))
-        rows.append((i, ts, user, etype, value))
+        props = _PROPS_POOL[int(rng.randint(0, len(_PROPS_POOL)))]
+        rows.append((i, ts, user, etype, value, props))
     return rows
 
 
@@ -259,7 +278,7 @@ def test_events_queries_match_oracle_on_random_events(
     (
         spark.createDataFrame(
             rows, "event_id bigint, ep bigint, user_id bigint, "
-                  "event_type string, value double"
+                  "event_type string, value double, props string"
         )
         .select(
             "event_id",
@@ -267,7 +286,7 @@ def test_events_queries_match_oracle_on_random_events(
             "user_id",
             "event_type",
             "value",
-            F.lit("{}").alias("props"),
+            "props",
         )
         .coalesce(1)
         .write.mode("overwrite")
