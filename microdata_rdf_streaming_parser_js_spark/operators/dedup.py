@@ -309,6 +309,27 @@ def ngram_jaccard_pairs(
                 "(LSH survivors), set max_shingle_df, or explicitly "
                 "disable the guard with max_docs_uncapped=None."
             )
+    if candidates is not None:
+        # pin the candidate pair list FIRST: it fans out (doc-filter
+        # broadcast below, final pair semi-join) and is usually a full
+        # MinHash-LSH derivation — without the checkpoint each consumer
+        # would re-run that pipeline.
+        candidates = candidates.localCheckpoint(eager=False)
+    if candidates is not None and max_shingle_df is None:
+        # verify-only mode: every downstream consumer of the index —
+        # intersection join AND the exact denominators (per-doc
+        # shingle-set sizes) — only ever reads candidate docs, so the
+        # corpus never needs shingling at all. At 10^9 docs with 10^5
+        # survivors this is the difference between re-tokenizing the
+        # crawl and touching 0.01% of it. (With max_shingle_df the
+        # document frequencies are corpus-wide by definition, so the
+        # full index must be built — that path is unchanged.)
+        _cd = (
+            candidates.select(F.col("doc_id_a").alias(id_col))
+            .union(candidates.select(F.col("doc_id_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(F.broadcast(_cd), id_col, "left_semi")
     inv = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
@@ -321,11 +342,6 @@ def ngram_jaccard_pairs(
     # Storage is O(index) — same order as the self-join's own shuffle
     # spill.
     inv = inv.localCheckpoint(eager=False)
-    if candidates is not None:
-        # the candidate pair list (usually a full MinHash-LSH
-        # derivation) also fans out — doc semi-join + final pair
-        # semi-join — so pin it too; pair rows only, tiny
-        candidates = candidates.localCheckpoint(eager=False)
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
