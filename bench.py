@@ -245,6 +245,10 @@ def main() -> None:
         "q_scd2_islands",
         "q_table_fingerprint",
         "q_hypertable_rollup",
+        "q_bloom_prune",
+        "q_rp_embed",
+        "q_epoch_shuffle",
+        "q_compaction_plan",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -111,4 +112,87 @@ def bloom_build(
         df.select(F.explode(F.array(*hashes)).alias("pos"))
         .distinct()
         .select(F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def bloom_mask_words(positions: list[int], m: int = 4096) -> list[int]:
+    """Pack Bloom bit positions into 32-bit words (m/32 longs, each
+    < 2^32 so the literal array is sign-safe in both engines). The
+    packed mask is what actually ships to the probe job — a few
+    hundred bytes of plan-time literals instead of a join."""
+    if m % 32 != 0:
+        raise ValueError("m must be a multiple of 32")
+    words = [0] * (m // 32)
+    for p in positions:
+        if not 0 <= p < m:
+            raise ValueError(f"position {p} outside [0, {m})")
+        words[p >> 5] |= 1 << (p & 31)
+    return words
+
+
+def bloom_member(key: "Column", mask_words: list[int], m: int = 4096, k: int = 3) -> "Column":
+    """True iff all k md5 positions of ``key`` are set in the packed
+    mask — the scan-side Bloom membership test (same hash family as
+    :func:`bloom_build`, so a filter built by one job prunes another
+    job's probe side with zero shuffle and zero joins: the mask is a
+    literal array and the test is pure bit codegen)."""
+    mask = F.array(*[F.lit(int(w)).cast("long") for w in mask_words])
+    cond = None
+    for i in range(k):
+        pos = (
+            F.conv(
+                F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        word = F.element_at(mask, F.shiftright(pos, 5).cast("int") + 1)
+        bit = (
+            F.call_function(
+                "shiftright", word, pos.bitwiseAND(F.lit(31)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def compaction_plan(
+    files: "DataFrame",
+    part_col: str,
+    size_col: str,
+    id_col: str,
+    target_bytes: int,
+) -> "DataFrame":
+    """(part, bin_id, n_files, bin_bytes): the small-file compaction
+    plan a lakehouse OPTIMIZE pass executes — within each table
+    partition, files sorted (size desc, id) are filled into bins by
+    running byte count, bin = (cumsum - size) div target, so every bin
+    except possibly the last holds >= target bytes once it overflows
+    and no bin is split across partitions.
+
+    Deterministic (total sort order both engines replay), one shuffle
+    on the partition key; the per-partition window never sees more
+    rows than that partition's file count — exactly the metadata
+    scale a real OPTIMIZE planner works at (files, not data)."""
+    size = F.col(size_col).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.select(
+        F.col(part_col).alias("part"),
+        size.alias("_sz"),
+        F.floor((F.sum(size).over(w) - size) / target_bytes)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        binned.groupBy("part", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("_sz").alias("bin_bytes"),
+        )
     )

@@ -550,3 +550,48 @@ def semantic_dedup(
         .cast("long")
         .alias("keep"),
     )
+
+
+def random_projection(
+    embeddings: "DataFrame",
+    out_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp-v1",
+    scale: int = 1_000,
+) -> "DataFrame":
+    """(vec_id, dim_id, proj_u): Johnson-Lindenstrauss-style random
+    projection of a ``dim``-dimensional embedding down to ``out_dim``
+    components — the cheap dimensionality-reduction front of an ANN /
+    clustering stage (sign-random projections preserve angles, JL
+    preserves distances up to (1±eps) for out_dim = O(log n / eps^2)).
+
+    The projection matrix is the SAME deterministic md5 integer
+    lattice the LSH family uses (functions/lattice.py) so both engines
+    embed identical plan-time literals; each output component is the
+    sequential-fold dot product (Spark ``aggregate`` init 0.0 ==
+    DuckDB ``list_reduce``, exact since 0.0 + x == x) floored to
+    micro-ish units (``floor(dot * scale)``) so there is no rounding
+    ambiguity. Entirely scan-side codegen + one higher-order function
+    per component: zero shuffles, zero joins, zero UDFs — at 100 TB
+    this runs at scan speed and the output is ``out_dim/dim`` of the
+    input width.
+    """
+    from ..functions.lattice import plane_weights
+
+    planes = plane_weights(dim, out_dim, seed=seed)
+    e = F.col(vec_col).cast("array<double>")
+    comps = []
+    for j, row in enumerate(planes):
+        w = F.array(*[F.lit(float(x)) for x in row])
+        d = dot(e, w)
+        comps.append(
+            F.struct(
+                F.lit(j).cast("long").alias("dim_id"),
+                F.floor(d * scale).cast("long").alias("proj_u"),
+            )
+        )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*comps)).alias("c")
+    ).select("vec_id", F.col("c.dim_id").alias("dim_id"), F.col("c.proj_u").alias("proj_u"))

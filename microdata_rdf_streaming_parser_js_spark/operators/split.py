@@ -135,3 +135,49 @@ def per_group_quota(
     return df.withColumn(
         rank_col, F.row_number().over(w).cast("long")
     ).where(F.col(rank_col) <= cap)
+
+
+def epoch_shuffle(
+    df: "DataFrame",
+    id_col: str,
+    n_epochs: int = 2,
+    n_blocks: int = 8,
+    salt: str = "epoch-v1",
+) -> "DataFrame":
+    """(epoch, block, pos, id): deterministic per-epoch training-order
+    shuffle — the data-ordering job in front of an LLM training run.
+
+    A true global permutation would need a global sort; instead the
+    corpus is hash-scattered into ``n_blocks`` blocks per epoch
+    (block = md5(salt:epoch:id) mod n_blocks — a different draw every
+    epoch) and ordered within each block by the same digest. Readers
+    stream blocks in id order and rows in ``pos`` order, giving a
+    reshuffled-every-epoch, fully-reproducible order with ONE shuffle
+    whose parallelism is n_blocks x epochs — the block-shuffled
+    loading shape (Megatron/ Pile style) that scales to any corpus
+    because no single ordering task ever sees more than one block.
+    """
+    if n_epochs < 1 or n_blocks < 1:
+        raise ValueError("n_epochs and n_blocks must be >= 1")
+    epochs = F.explode(
+        F.array(*[F.lit(e).cast("long") for e in range(n_epochs)])
+    ).alias("epoch")
+    base = df.select(F.col(id_col).cast("string").alias("_id"), epochs)
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col("epoch").cast("string"), F.lit(":"), F.col("_id"))
+    )
+    keyed = base.select(
+        "epoch",
+        "_id",
+        h.alias("_h"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_blocks)
+        ).alias("block"),
+    )
+    w = Window.partitionBy("epoch", "block").orderBy("_h", "_id")
+    return keyed.select(
+        "epoch",
+        "block",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.col("_id").alias(id_col),
+    )

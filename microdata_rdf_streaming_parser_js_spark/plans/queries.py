@@ -8168,3 +8168,195 @@ UNION ALL SELECT 'day', * FROM day"""
 
 QUERIES["q_hypertable_rollup"] = q_hypertable_rollup
 ORACLES["q_hypertable_rollup"] = sql_hypertable_rollup
+
+
+# ---------------------------------------------------------------------------
+# wave 13: applied bloom pruning, random projection, epoch shuffle,
+# compaction planning
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384
+_BLOOM_K = 3
+_RP_OUT_DIM = 8
+_RP_SCALE = 1_000
+_RP_SEED = "rp-v1"
+_ES_EPOCHS = 2
+_ES_BLOCKS = 8
+_CP_TARGET = 20_000
+
+
+def q_rp_embed(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims over the
+    embeddings table (operators/similarity.random_projection): the
+    dimensionality-reduction front of ANN / clustering at 100 TB —
+    zero shuffles, zero joins, one scan; the md5 lattice projection
+    matrix is embedded as plan-time literals on BOTH engines."""
+    from ..operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(
+        emb, out_dim=_RP_OUT_DIM, dim=_LSH_DIM, seed=_RP_SEED, scale=_RP_SCALE
+    )
+
+
+def sql_rp_embed() -> str:
+    from ..functions.lattice import plane_weights
+
+    planes = plane_weights(_LSH_DIM, _RP_OUT_DIM, seed=_RP_SEED)
+    vals = ",\n   ".join(
+        f"({j}, [" + ", ".join(str(w) for w in row) + "]::DOUBLE[])"
+        for j, row in enumerate(planes)
+    )
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+planes(dim_id, w) AS (VALUES
+   {vals}
+)
+SELECT v.vec_id, CAST(p.dim_id AS BIGINT) AS dim_id,
+       CAST(floor(list_reduce(
+         list_transform(range(1, {_LSH_DIM} + 1), i -> v.e[i] * p.w[i]),
+         (a, b) -> a + b) * {_RP_SCALE}) AS BIGINT) AS proj_u
+FROM vecs v CROSS JOIN planes p"""
+
+
+QUERIES["q_rp_embed"] = q_rp_embed
+ORACLES["q_rp_embed"] = sql_rp_embed
+
+
+def q_bloom_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The Bloom pruning filter APPLIED (q_bloom_build only builds the
+    artifact): custkeys of one market segment -> packed bit mask ->
+    scan-side membership test pruning the orders probe BEFORE the real
+    join. The mask is a bounded driver collect (<= m positions — plan
+    metadata, like the k-means centroids) shipped as ~m/32 literal
+    longs; the probe filter is pure bit codegen with zero shuffle, the
+    residual exact join broadcasts the small build side. Output keeps
+    ``n_bloom_candidates`` so the oracle replays the identical md5
+    bloom math — false-positive behavior is cross-checked, not
+    assumed."""
+    from ..operators.layout import bloom_build, bloom_mask_words, bloom_member
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    positions = [
+        r.pos for r in bloom_build(build, "key", m=_BLOOM_M, k=_BLOOM_K).collect()
+    ]
+    mask = bloom_mask_words(positions, m=_BLOOM_M)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cand = orders.where(
+        bloom_member(F.col("o_custkey"), mask, m=_BLOOM_M, k=_BLOOM_K)
+    )
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_bloom_candidates"))
+    exact = (
+        cand.join(F.broadcast(build), cand.o_custkey == F.col("key"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(n_cand))
+
+
+def sql_bloom_prune() -> str:
+    probe = (
+        "(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#{i}'), 1, 8) "
+        f"AS BIGINT) % {_BLOOM_M}) IN (SELECT pos FROM pos)"
+    )
+    conds = " AND ".join(probe.replace("{i}", str(i)) for i in range(_BLOOM_K))
+    idx_vals = ", ".join(f"({i})" for i in range(_BLOOM_K))
+    return f"""WITH build AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+pos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || i), 1, 8) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM build CROSS JOIN (VALUES {idx_vals}) t(i)
+),
+cand AS (
+  SELECT * FROM orders WHERE {conds}
+),
+n_cand AS (SELECT COUNT(*) AS n_bloom_candidates FROM cand)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custkeys,
+       (SELECT n_bloom_candidates FROM n_cand) AS n_bloom_candidates
+FROM cand JOIN build ON cand.o_custkey = build.key
+GROUP BY o_orderpriority"""
+
+
+QUERIES["q_bloom_prune"] = q_bloom_prune
+ORACLES["q_bloom_prune"] = sql_bloom_prune
+
+
+def q_epoch_shuffle(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic per-epoch training-order shuffle
+    (operators/split.epoch_shuffle): every epoch re-scatters the
+    corpus into md5 blocks and orders within blocks by the digest —
+    reproducible, one shuffle, no global sort."""
+    from ..operators.split import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shuffle(
+        docs, "doc_id", n_epochs=_ES_EPOCHS, n_blocks=_ES_BLOCKS
+    )
+
+
+def sql_epoch_shuffle() -> str:
+    ep_vals = ", ".join(f"({e})" for e in range(_ES_EPOCHS))
+    return f"""WITH ids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+),
+keyed AS (
+  SELECT e.epoch, ids.id,
+         md5('epoch-v1:' || e.epoch || ':' || ids.id) AS h
+  FROM ids CROSS JOIN (VALUES {ep_vals}) e(epoch)
+),
+blocked AS (
+  SELECT CAST(epoch AS BIGINT) AS epoch,
+         CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_ES_BLOCKS} AS block,
+         h, id
+  FROM keyed
+)
+SELECT epoch, block,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, block ORDER BY h, id) AS BIGINT) AS pos,
+       id AS doc_id
+FROM blocked"""
+
+
+QUERIES["q_epoch_shuffle"] = q_epoch_shuffle
+ORACLES["q_epoch_shuffle"] = sql_epoch_shuffle
+
+
+def q_compaction_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Small-file compaction planning (operators/layout.compaction_plan):
+    per table partition (source), files sorted (size desc, id) fill
+    bins by running byte count — the OPTIMIZE planner shape that works
+    on file METADATA, so the window scale is file counts, not data."""
+    from ..operators.layout import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compaction_plan(docs, "source", "n_chars", "doc_id", _CP_TARGET)
+
+
+def sql_compaction_plan() -> str:
+    return f"""WITH binned AS (
+  SELECT source AS part, n_chars AS sz,
+         CAST(floor((SUM(n_chars) OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) - n_chars) / {_CP_TARGET}) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT part, bin_id, COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bin_bytes
+FROM binned GROUP BY part, bin_id"""
+
+
+QUERIES["q_compaction_plan"] = q_compaction_plan
+ORACLES["q_compaction_plan"] = sql_compaction_plan
