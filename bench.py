@@ -249,6 +249,10 @@ def main() -> None:
         "q_rp_embed",
         "q_epoch_shuffle",
         "q_compaction_plan",
+        "q_bpe_train",
+        "q_label_prop",
+        "q_weighted_sample",
+        "q_stream_dedup_watermark",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

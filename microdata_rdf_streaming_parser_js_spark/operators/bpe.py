@@ -70,3 +70,93 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def _apply_merge(tok: "F.Column", a: str, b: str):  # type: ignore[name-defined]
+    """Merge every adjacent (a, b) token pair in a space-separated
+    token string, leftmost-non-overlapping (the BPE greedy rule).
+
+    Token separators are doubled first so neighboring occurrences
+    never share a boundary space ('a b a b' merges BOTH pairs), then
+    collapsed back. Identical literal-replace semantics in DuckDB:
+      trim(regexp_replace(replace(' ' || replace(tok,' ','  ') || ' ',
+           ' a  b ', ' ab '), ' +', ' ', 'g'))
+    """
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(tok, " ", "  "), F.lit(" ")
+    )
+    merged = F.replace(
+        padded, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+    )
+    return F.trim(F.regexp_replace(merged, " +", " "))
+
+
+def bpe_train(
+    docs: "DataFrame",
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> "DataFrame":
+    """(round, pair, cnt): the first ``n_merges`` BPE merge decisions
+    (Sennrich et al. 2016) — the actual iterative tokenizer-training
+    loop, not just round one's statistic.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    shuffle; the 100 TB -> ~10M-row reduction), then every merge round
+    runs entirely on the vocabulary table: adjacent-pair explode ->
+    weighted count (map-side combined shuffle) -> argmax via a
+    single-row TakeOrderedAndProject collect (the k-means-centroid
+    class of driver collect: one decision row per round, never data)
+    -> literal-replace merge applied scan-side. The vocabulary is
+    localCheckpointed once so rounds don't recompute the corpus scan.
+
+    Determinism: counts are exact integers; the argmax tie-breaks
+    (cnt desc, pair asc) — a total order both engines replay. The
+    vocabulary is restricted to ^[a-z]+$ words (post-_NORM) so
+    char-splitting semantics can't diverge on multibyte code points.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from ..functions.text import _tokens
+
+    words = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("tok"),
+        "freq",
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, n_merges + 1):
+        arr = F.split(F.col("tok"), " ")
+        pairs = vocab.where(F.size(arr) > 1).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(tok, ' ')) - 1), "
+                    "i -> concat(element_at(split(tok, ' '), i), ' ', "
+                    "element_at(split(tok, ' '), i + 1)))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].cnt
+        merges.append((r, pair, cnt))
+        a, b = pair.split(" ")
+        vocab = vocab.select(
+            _apply_merge(F.col("tok"), a, b).alias("tok"), "freq"
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "round long, pair string, cnt long"
+    )

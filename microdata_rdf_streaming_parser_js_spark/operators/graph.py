@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -631,3 +632,58 @@ def transitive_closure(
     return paths.select(
         F.col("src").alias(src_col), F.col("dst").alias(dst_col)
     )
+
+
+def label_propagation(
+    edges: "DataFrame",
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "DataFrame":
+    """(node, label): community detection by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) with a deterministic total
+    tie-break — the cheap community pass run over web/host graphs
+    before per-community processing.
+
+    Every node starts labeled with itself; each round every node
+    adopts the most frequent label among its (undirected, deduped)
+    neighbors, ties broken label-ascending, isolated nodes keep their
+    label. The classic algorithm breaks ties randomly and iterates to
+    convergence; fixing the rounds and the tie-break makes the result
+    a pure function of the graph — reproducible across reruns AND
+    replayable by the DuckDB oracle as unrolled CTEs (the PageRank
+    contract).
+
+    Scale shape: 2 map-side-combinable shuffles per round (neighbor-
+    label count on dst, argmax window on node), never a collect; the
+    round count bounds total work at rounds x O(|E|). Self-loops are
+    kept (a node is then its own neighbor) — same rule both engines.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "_n"), F.col("b") == F.col("_n")
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        new = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = labels.join(new, "node", "left").select(
+            "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+    return labels

@@ -181,3 +181,45 @@ def epoch_shuffle(
         F.row_number().over(w).cast("long").alias("pos"),
         F.col("_id").alias(id_col),
     )
+
+
+def weighted_sample(
+    df: "DataFrame",
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample-v1",
+) -> "DataFrame":
+    """(key, weight, priority): deterministic weighted sampling
+    without replacement — the k rows with the smallest
+    ``priority = md5_u60(key|salt) div weight`` (integer division;
+    weights clamped to >= 1), ties broken on key.
+
+    This is an integer surrogate of the A-ES exponential-jumps scheme
+    (Efraimidis-Spirtakis: priority u^(1/w)): a doubled weight halves
+    a key's priority, so selection probability grows with weight,
+    while the draw stays a pure function of (key, salt) — stable
+    across reruns, partition layouts, and engines (no float pow, no
+    engine-native RNG). One TakeOrderedAndProject reduction: no
+    shuffle of the corpus, no global sort — each partition keeps its
+    local top-k and the driver merges k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col).cast("string")
+    h = F.md5(F.concat(key, F.lit(f"|{salt}")))
+    u60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    weight = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    # integer `div`, NOT `/`: u60 reaches 2^60, beyond double's 2^53
+    # exact-integer range, so float division would drift vs the
+    # oracle's `//` (both operands non-negative: floor == trunc)
+    return (
+        df.select(key.alias("key"), weight.alias("weight"), u60.alias("_u"))
+        .select(
+            "key",
+            "weight",
+            F.expr("_u div weight").cast("long").alias("priority"),
+        )
+        .orderBy("priority", "key")
+        .limit(k)
+    )

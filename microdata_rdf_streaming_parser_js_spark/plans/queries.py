@@ -8360,3 +8360,220 @@ FROM binned GROUP BY part, bin_id"""
 
 QUERIES["q_compaction_plan"] = q_compaction_plan
 ORACLES["q_compaction_plan"] = sql_compaction_plan
+
+
+# ---------------------------------------------------------------------------
+# wave 14: iterative BPE training, label-propagation communities,
+# weighted sampling, native streaming dedup-within-watermark
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+_LP_ROUNDS = 3
+_WS_K = 25
+_WS_SALT = "wsample-v1"
+
+
+def q_bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The actual iterative BPE merge loop (operators/bpe.bpe_train):
+    corpus collapses to its vocabulary once, then each round is pair
+    counts over the vocab + a one-row argmax collect + a scan-side
+    literal-replace merge. The oracle unrolls the identical rounds."""
+    from ..operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, n_merges=_BPE_MERGES)
+
+
+def sql_bpe_train() -> str:
+    toks = _TOKS.format(c="text")
+    parts = [
+        f"""WITH toks AS (
+  SELECT unnest({toks}) AS w FROM documents
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+),
+v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS tok, freq FROM words
+)"""
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(a)),
+                  i -> a[i] || ' ' || a[i + 1])) AS pr, freq
+    FROM (SELECT string_split(tok, ' ') AS a, freq FROM v{r - 1})
+    WHERE len(a) > 1
+  ) GROUP BY pr
+),
+m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, pr AS pair, cnt
+  FROM p{r} ORDER BY cnt DESC, pr LIMIT 1
+),
+v{r} AS (
+  SELECT trim(regexp_replace(
+    replace(' ' || replace(tok, ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM m{r}), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' '),
+    ' +', ' ', 'g')) AS tok, freq
+  FROM v{r - 1}
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGES + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+QUERIES["q_bpe_train"] = q_bpe_train
+ORACLES["q_bpe_train"] = sql_bpe_train
+
+
+def q_label_prop(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Synchronous label-propagation communities
+    (operators/graph.label_propagation, deterministic tie-break) over
+    the same arithmetic synthetic web graph as q_pagerank/q_hits —
+    fixed rounds so the oracle unrolls them exactly."""
+    from ..operators.graph import label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    out = label_propagation(e1.union(e2), rounds=_LP_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def sql_label_prop() -> str:
+    parts = [
+        """WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e_raw UNION ALL SELECT b AS a, a AS b FROM e_raw
+  )
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)"""
+    ]
+    for r in range(1, _LP_ROUNDS + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT u.a AS node, l.lbl, COUNT(*) AS c
+  FROM und u JOIN l{r - 1} l ON u.b = l.node GROUP BY u.a, l.lbl
+),
+n{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+    FROM c{r}
+  ) WHERE rk = 1
+),
+l{r} AS (
+  SELECT l.node, COALESCE(n.lbl, l.lbl) AS lbl
+  FROM l{r - 1} l LEFT JOIN n{r} n ON l.node = n.node
+)""")
+    parts.append(
+        f"\nSELECT node, lbl AS label FROM l{_LP_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+QUERIES["q_label_prop"] = q_label_prop
+ORACLES["q_label_prop"] = sql_label_prop
+
+
+def q_weighted_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic weighted sampling without replacement
+    (operators/split.weighted_sample): integer A-ES surrogate,
+    priority = md5_u60(key|salt) div weight, one
+    TakeOrderedAndProject reduction."""
+    from ..operators.split import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, "doc_id", "n_chars", k=_WS_K, salt=_WS_SALT)
+
+
+def sql_weighted_sample() -> str:
+    return f"""WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         GREATEST(CAST(n_chars AS BIGINT), 1) AS weight,
+         CAST('0x' || substr(
+           md5(CAST(doc_id AS VARCHAR) || '|{_WS_SALT}'), 1, 15) AS BIGINT)
+           AS u60
+  FROM documents
+)
+SELECT key, weight, CAST(u60 // weight AS BIGINT) AS priority
+FROM w ORDER BY priority, key LIMIT {_WS_K}"""
+
+
+QUERIES["q_weighted_sample"] = q_weighted_sample
+ORACLES["q_weighted_sample"] = sql_weighted_sample
+
+
+def q_stream_dedup_watermark(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """NATIVE streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) under an event-time watermark — the built-in
+    twin of the applyInPandasWithState first-seen operator
+    (q_first_seen_dedup_stream). Arrival order decides WHICH row
+    survives, so the checked projection is the distinct key set, which
+    is deterministic; the whole corpus drains as one availableNow
+    batch so no state is evicted mid-run."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_events_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    # parquet micros land as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    dd = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"dedup_watermark_stream_{_STREAM_SEQ[0]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
+
+
+def sql_stream_dedup_watermark() -> str:
+    return "SELECT DISTINCT user_id, event_type FROM events"
+
+
+QUERIES["q_stream_dedup_watermark"] = q_stream_dedup_watermark
+ORACLES["q_stream_dedup_watermark"] = sql_stream_dedup_watermark
