@@ -253,6 +253,8 @@ def main() -> None:
         "q_label_prop",
         "q_weighted_sample",
         "q_stream_dedup_watermark",
+        "q_bpe_encode",
+        "q_random_walks",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -160,3 +160,41 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "round long, pair string, cnt long"
     )
+
+
+def bpe_encode(
+    docs: "DataFrame",
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_n: int = 50,
+) -> "DataFrame":
+    """(token, cnt): corpus token frequencies after applying a trained
+    BPE merge list IN ORDER — the encode step that pairs with
+    :func:`bpe_train` (train on one corpus, tokenize any other).
+
+    Same scale shape as training: the corpus collapses to its
+    vocabulary first, every merge is a scan-side literal replace over
+    the vocab table, and the final token histogram is one map-side-
+    combined shuffle + TakeOrderedAndProject. Deterministic total
+    order (cnt desc, token asc) at the top-N cut.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from ..functions.text import _tokens
+
+    words = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    tok = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b in merges:
+        tok = _apply_merge(tok, a, b)
+    return (
+        words.select(F.explode(F.split(tok, " ")).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )

@@ -687,3 +687,78 @@ def label_propagation(
             "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
         )
     return labels
+
+
+def random_walks(
+    edges: "DataFrame",
+    steps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "walk-v1",
+) -> "DataFrame":
+    """(walk_id, step, node): one deterministic uniform random walk
+    per start node — the corpus-generation stage of DeepWalk/node2vec
+    KG-embedding training (walks become 'sentences' for a skip-gram
+    model).
+
+    Step t from node v picks the neighbor at index
+    ``md5(salt:walk_id:t) mod outdeg(v)`` of v's dst-ascending-ranked
+    adjacency — an engine-portable draw (no RNG, no engine hash), so
+    the whole trajectory is a pure function of (graph, salt) and the
+    DuckDB oracle replays it exactly. Walks stop early at sink nodes
+    (no out-edges).
+
+    Scale shape: per step, ONE equi-join of the frontier against the
+    ranked adjacency on (node, rank) plus a broadcastable outdeg
+    lookup; state is one row per live walk. ``steps`` is fixed, so
+    total work is steps x O(|walks| + |E| probe) — the standard
+    distributed walk-table construction.
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    w = Window.partitionBy("a").orderBy("b")
+    adj = fwd.select("a", "b", F.row_number().over(w).alias("rk"))
+    deg = fwd.groupBy("a").agg(F.count("*").alias("deg"))
+    cur = fwd.select(F.col("a").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("node")
+    )
+    out = cur.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, steps + 1):
+        h = F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}"),
+            )
+        )
+        picked = (
+            cur.join(deg, cur.node == deg.a)
+            .select(
+                "walk_id",
+                "node",
+                (
+                    F.pmod(
+                        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                        F.col("deg"),
+                    )
+                    + 1
+                ).alias("_pick"),
+            )
+            .join(
+                adj,
+                (F.col("node") == adj.a) & (F.col("_pick") == adj.rk),
+            )
+            .select("walk_id", F.col("b").alias("node"))
+        )
+        out = out.unionByName(
+            picked.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+        cur = picked
+    return out

@@ -8384,7 +8384,11 @@ def q_bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
-def sql_bpe_train() -> str:
+def _sql_bpe_chain() -> str:
+    """Shared unrolled BPE CTE chain: words -> v0, then per round
+    pair counts p{r}, argmax m{r}, merged vocab v{r} — used by both
+    the train oracle (reads m1..mN) and the encode oracle (reads
+    v{_BPE_MERGES})."""
     toks = _TOKS.format(c="text")
     parts = [
         f"""WITH toks AS (
@@ -8420,11 +8424,14 @@ v{r} AS (
     ' +', ' ', 'g')) AS tok, freq
   FROM v{r - 1}
 )""")
+    return "".join(parts)
+
+
+def sql_bpe_train() -> str:
     union = "\nUNION ALL ".join(
         f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGES + 1)
     )
-    parts.append("\n" + union)
-    return "".join(parts)
+    return _sql_bpe_chain() + "\n" + union
 
 
 QUERIES["q_bpe_train"] = q_bpe_train
@@ -8577,3 +8584,108 @@ def sql_stream_dedup_watermark() -> str:
 
 QUERIES["q_stream_dedup_watermark"] = q_stream_dedup_watermark
 ORACLES["q_stream_dedup_watermark"] = sql_stream_dedup_watermark
+
+
+# ---------------------------------------------------------------------------
+# wave 15: BPE encode (train -> apply), deterministic random walks
+# ---------------------------------------------------------------------------
+
+_BPE_TOPN = 50
+_RW_STEPS = 4
+
+
+def q_bpe_encode(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The full tokenizer train -> APPLY loop: bpe_train's merge list
+    fed to operators/bpe.bpe_encode, returning the corpus token
+    histogram under the trained vocabulary — what a tokenization job
+    ships. The oracle replays the identical unrolled merge chain and
+    reads the final vocab CTE."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        tuple(r.pair.split(" "))
+        for r in bpe_train(docs, n_merges=_BPE_MERGES).collect()
+    ]
+    return bpe_encode(docs, merges, top_n=_BPE_TOPN)
+
+
+def sql_bpe_encode() -> str:
+    return (
+        _sql_bpe_chain()
+        + f"""
+SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split(tok, ' ')) AS token, freq
+  FROM v{_BPE_MERGES}
+)
+GROUP BY token ORDER BY cnt DESC, token LIMIT {_BPE_TOPN}"""
+    )
+
+
+QUERIES["q_bpe_encode"] = q_bpe_encode
+ORACLES["q_bpe_encode"] = sql_bpe_encode
+
+
+def q_random_walks(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic uniform random walks (operators/graph.
+    random_walks) over the synthetic arithmetic web graph — the
+    DeepWalk/node2vec corpus-generation stage for KG embeddings; the
+    md5 step draw is replayed exactly by the oracle's unrolled hops."""
+    from ..operators.graph import random_walks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    out = random_walks(e1.union(e2), steps=_RW_STEPS)
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
+def sql_random_walks() -> str:
+    parts = [
+        """WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+),
+e AS (SELECT DISTINCT a, b FROM e_raw),
+adj AS (SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rk FROM e),
+deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
+w0 AS (SELECT DISTINCT a AS walk_id, a AS node FROM e)"""
+    ]
+    for t in range(1, _RW_STEPS + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT w.walk_id, adj.b AS node
+  FROM w{t - 1} w
+  JOIN deg ON w.node = deg.a
+  JOIN adj ON adj.a = w.node
+   AND adj.rk = (CAST('0x' || substr(
+       md5('walk-v1:' || CAST(w.walk_id AS VARCHAR) || ':{t}'),
+       1, 8) AS BIGINT) % deg.deg) + 1
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(0, _RW_STEPS + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+QUERIES["q_random_walks"] = q_random_walks
+ORACLES["q_random_walks"] = sql_random_walks
