@@ -8417,10 +8417,15 @@ m{r} AS (
   FROM p{r} ORDER BY cnt DESC, pr LIMIT 1
 ),
 v{r} AS (
+  -- COALESCE sentinel '0 0': when round {r} found no pair (m{r}
+  -- empty -> scalar subquery NULL), the pattern ' 0  0 ' can never
+  -- match a vocabulary token (tokens are ^[a-z]+$ fragments), so the
+  -- vocab passes through unchanged — mirroring the Spark loop break
+  -- instead of NULLing every token
   SELECT trim(regexp_replace(
     replace(' ' || replace(tok, ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM m{r}), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' '),
+            ' ' || replace(COALESCE((SELECT pair FROM m{r}), '0 0'), ' ', '  ') || ' ',
+            ' ' || replace(COALESCE((SELECT pair FROM m{r}), '0 0'), ' ', '') || ' '),
     ' +', ' ', 'g')) AS tok, freq
   FROM v{r - 1}
 )""")

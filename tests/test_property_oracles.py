@@ -82,6 +82,16 @@ _QUERY_NAMES = [
     "q_cardinality_histogram",
     "q_kg_negatives",
     "q_vocab_coverage",
+    # wave 13-15: layout/ordering + iterative tokenizer/graph ops;
+    # tiny corpora hit empty-merge-round (BPE sentinel), self-loop
+    # (n=1 modular graphs), and single-file-bin edges
+    "q_epoch_shuffle",
+    "q_weighted_sample",
+    "q_compaction_plan",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_label_prop",
+    "q_random_walks",
 ]
 
 
@@ -104,6 +114,7 @@ _EMB_QUERY_NAMES = [
     "q_ivf_topk",
     "q_embedding_near_dup",
     "q_semantic_dedup",
+    "q_rp_embed",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
@@ -165,8 +176,17 @@ def test_documents_queries_match_oracle_on_random_corpora(spark, tmp_path_factor
     from __spark_entry__ import oracle_sql, queries
 
     sf_dir = str(tmp_path_factory.mktemp("prop"))
-    rows = [(i, t) for i, t in enumerate(texts)]
-    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+    # source/n_chars mirror the real table's shape for the layout
+    # queries (compaction partitions on source, weights on n_chars);
+    # n_chars is kept non-NULL — the real generator never emits NULL
+    # sizes and NULL ordering under DESC differs across engines
+    rows = [
+        (i, t, f"s{i % 3}", len(t) if t is not None else 0)
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint"
+    ).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{sf_dir}/documents.parquet")
 
