@@ -255,6 +255,8 @@ def main() -> None:
         "q_stream_dedup_watermark",
         "q_bpe_encode",
         "q_random_walks",
+        "q_quantile_sketch",
+        "q_max_order_per_cust",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

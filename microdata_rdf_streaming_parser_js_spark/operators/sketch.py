@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -305,4 +306,83 @@ def kmv_ndv(sketch: "DataFrame", k: int = 64) -> "DataFrame":
     return agg.select(
         F.col("n_seen").cast("long").alias("n_seen"),
         est.alias("ndv_estimate"),
+    )
+
+
+def quantile_sketch(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    n_shards: int = 16,
+    k_per_shard: int = 32,
+    k_merged: int = 64,
+    qs_u: tuple = (250_000, 500_000, 750_000),
+    scale: int = 1_000_000,
+    salt: str = "qsketch-v1",
+) -> "DataFrame":
+    """(q_u, est_u, sample_n): approximate quantiles from MERGEABLE
+    bounded per-shard samples — the deterministic stand-in for a
+    t-digest/KLL pipeline: each shard keeps its k_per_shard rows with
+    the smallest md5(id|salt) (a uniform sample whose membership is a
+    pure function of the row id, not of partition layout), shard
+    sketches merge by keeping the k_merged hash-smallest rows of the
+    union, and quantiles are exact ceil-ranks over the merged sample.
+
+    Scale shape: shards are EXPLICIT (id mod n_shards), so the sketch
+    is identical on any cluster layout; per-shard state is bounded at
+    k rows (a window over shard touches only that shard's rows), the
+    merge is one TakeOrderedAndProject of <= n_shards * k rows, and
+    the corpus is never globally sorted. Mergeability means yesterday's
+    shard sketches combine with today's without rescanning — the same
+    continuous-crawl contract as the KMV/HLL sketches. NULL and NaN
+    values are excluded (the portable contract, see
+    stats.group_quantiles_u).
+    """
+    if not qs_u:
+        raise ValueError("qs_u must be non-empty")
+    if n_shards < 1 or k_per_shard < 1 or k_merged < 1:
+        raise ValueError("n_shards, k_per_shard, k_merged must be >= 1")
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).alias("shard"),
+        F.floor(v * scale).cast("long").alias("v_u"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+        ).alias("h"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "rid")
+    shard_sample = (
+        rows.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_per_shard)
+        .select("v_u", "h", "rid")
+    )
+    merged = shard_sample.orderBy("h", "rid").limit(k_merged)
+    ranked = merged.select(
+        "v_u",
+        F.row_number()
+        .over(Window.orderBy("v_u", "rid"))
+        .alias("vrk"),
+    ).crossJoin(
+        merged.agg(F.count("*").cast("long").alias("sample_n"))
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(int(qu)).cast("long").alias("q_u"),
+                F.expr(
+                    f"({int(qu)} * sample_n + {scale - 1}) div {scale}"
+                ).alias("r"),
+            )
+            for qu in qs_u
+        ]
+    )
+    return (
+        ranked.select("v_u", "vrk", "sample_n", F.explode(targets).alias("t"))
+        .where(F.col("vrk") == F.col("t.r"))
+        .select(
+            F.col("t.q_u").alias("q_u"),
+            F.col("v_u").alias("est_u"),
+            "sample_n",
+        )
     )

@@ -8694,3 +8694,104 @@ w{t} AS (
 
 QUERIES["q_random_walks"] = q_random_walks
 ORACLES["q_random_walks"] = sql_random_walks
+
+
+# ---------------------------------------------------------------------------
+# wave 16: mergeable quantile sketch, correlated-subquery decorrelation
+# ---------------------------------------------------------------------------
+
+_QS_SHARDS = 16
+_QS_K_SHARD = 32
+_QS_K_MERGED = 64
+_QS_QS = (250_000, 500_000, 750_000)
+_QS_SALT = "qsketch-v1"
+
+
+def q_quantile_sketch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Approximate quantiles from mergeable bounded per-shard samples
+    (operators/sketch.quantile_sketch) — the deterministic t-digest/KLL
+    stand-in: explicit md5-uniform shard samples, hash-smallest merge,
+    exact ceil-ranks over the merged sample. Bounded state per shard,
+    no global sort of the corpus."""
+    from ..operators.sketch import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quantile_sketch(
+        ev,
+        "value",
+        "event_id",
+        n_shards=_QS_SHARDS,
+        k_per_shard=_QS_K_SHARD,
+        k_merged=_QS_K_MERGED,
+        qs_u=_QS_QS,
+        salt=_QS_SALT,
+    )
+
+
+def sql_quantile_sketch() -> str:
+    scale = 1_000_000
+    q_vals = ", ".join(f"({q})" for q in _QS_QS)
+    return f"""WITH rows AS (
+  SELECT CAST(event_id AS BIGINT) % {_QS_SHARDS} AS shard,
+         CAST(floor(CAST(value AS DOUBLE) * {scale}) AS BIGINT) AS v_u,
+         md5(CAST(event_id AS VARCHAR) || '|{_QS_SALT}') AS h,
+         CAST(event_id AS BIGINT) AS rid
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+shard_sample AS (
+  SELECT v_u, h, rid FROM (
+    SELECT v_u, h, rid,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, rid) AS rk
+    FROM rows
+  ) WHERE rk <= {_QS_K_SHARD}
+),
+merged AS (
+  SELECT v_u, rid FROM shard_sample ORDER BY h, rid LIMIT {_QS_K_MERGED}
+),
+ranked AS (
+  SELECT v_u,
+         CAST(ROW_NUMBER() OVER (ORDER BY v_u, rid) AS BIGINT) AS vrk,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS sample_n
+  FROM merged
+)
+SELECT q.q_u, r.v_u AS est_u, r.sample_n
+FROM ranked r
+JOIN (SELECT CAST(q_u AS BIGINT) AS q_u FROM (VALUES {q_vals}) t(q_u)) q
+  ON r.vrk = (q.q_u * r.sample_n + {scale - 1}) // {scale}"""
+
+
+QUERIES["q_quantile_sketch"] = q_quantile_sketch
+ORACLES["q_quantile_sketch"] = sql_quantile_sketch
+
+
+def q_max_order_per_cust(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Correlated-subquery decorrelation showcase: the query is
+    SUBMITTED to Spark as the correlated SQL form ('orders whose price
+    equals their customer's max') and Catalyst rewrites it into an
+    aggregate + join — the plan contains no per-row subquery (pinned
+    by test). The DuckDB oracle runs the same correlated SQL. Ties at
+    the per-customer max keep every tied order on both engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("_orders_w16")
+    return spark.sql(
+        """SELECT o_custkey, o_orderkey,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM _orders_w16 o
+           WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                                 FROM _orders_w16 o2
+                                 WHERE o2.o_custkey = o.o_custkey)"""
+    )
+
+
+def sql_max_order_per_cust() -> str:
+    return """SELECT o_custkey, o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)"""
+
+
+QUERIES["q_max_order_per_cust"] = q_max_order_per_cust
+ORACLES["q_max_order_per_cust"] = sql_max_order_per_cust
