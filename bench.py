@@ -257,6 +257,8 @@ def main() -> None:
         "q_random_walks",
         "q_quantile_sketch",
         "q_max_order_per_cust",
+        "q_scene_changes",
+        "q_audio_segments",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -668,3 +668,244 @@ def media_rows_with_image_dups(
             (mid + id_offset, url + "?v=2", kind, dup, ctype, len(dup))
         )
     return rows
+
+
+def scene_changes(
+    frames: "DataFrame",
+    threshold: int = 13,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    phash_col: str = "frame_phash",
+) -> "DataFrame":
+    """(media_id, prev_idx, frame_idx, hamming): shot-boundary
+    detection — consecutive SAMPLED frames whose Y-plane perceptual
+    hashes sit >= ``threshold`` Hamming bits apart (the same 64-bit
+    split-half XOR-popcount arithmetic as :func:`phash_pairs`, so the
+    image near-dup calibration — <= 7 perturbed copy, >= 13 unrelated —
+    carries over: a cut looks like an 'unrelated image' jump).
+
+    One window shuffle on media_id; distances are pure bit codegen on
+    the (already tiny) frame-metadata table, never the video bytes —
+    the decode cost was paid once in :func:`decode_video_frames`.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    h = frames.select(
+        F.col(id_col).alias("media_id"),
+        F.col(idx_col).alias("frame_idx"),
+        F.conv(F.substring(F.col(phash_col), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.col(phash_col), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
+    cur = h.select(
+        "media_id",
+        "frame_idx",
+        "hi",
+        "lo",
+        F.lag("frame_idx").over(
+            Window.partitionBy("media_id").orderBy("frame_idx")
+        ).alias("prev_idx"),
+        F.lag("hi").over(
+            Window.partitionBy("media_id").orderBy("frame_idx")
+        ).alias("phi"),
+        F.lag("lo").over(
+            Window.partitionBy("media_id").orderBy("frame_idx")
+        ).alias("plo"),
+    ).where(F.col("prev_idx").isNotNull())
+    ham = (
+        F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+        + F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+    )
+    return (
+        cur.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") >= threshold)
+        .select(
+            "media_id",
+            F.col("prev_idx").cast("long").alias("prev_idx"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "hamming",
+        )
+    )
+
+
+def audio_block_energies(content: bytes, n_blocks: int = _FP_BLOCKS) -> list[int]:
+    """Integer per-block |sample| energy sums over a WAV payload — the
+    contour :func:`audio_features_kernel` fingerprints, exposed as raw
+    blocks for segmentation."""
+    _rate, _ch, _bits, samples = parse_wav(content)
+    out = []
+    for b in range(n_blocks):
+        lo = (b * len(samples)) // n_blocks
+        hi = ((b + 1) * len(samples)) // n_blocks
+        out.append(sum(abs(s) for s in samples[lo:hi]))
+    return out
+
+
+def decode_audio_blocks(
+    media: "DataFrame", n_blocks: int = _FP_BLOCKS
+) -> "DataFrame":
+    """audio rows -> (media_id, block_idx, energy) via mapInPandas over
+    the real WAV kernel (1->n_blocks expansion inside the Arrow
+    batch)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "block_idx": [], "energy": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    energies = audio_block_energies(raw, n_blocks)
+                except Exception:  # noqa: BLE001 — undecodable: skip row
+                    continue
+                for i, e in enumerate(energies):
+                    out["media_id"].append(mid)
+                    out["block_idx"].append(i)
+                    out["energy"].append(e)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(
+            fn, schema="media_id long, block_idx long, energy long"
+        )
+    )
+
+
+def active_segments(
+    blocks: "DataFrame",
+    num: int = 1,
+    den: int = 2,
+) -> "DataFrame":
+    """(media_id, seg_id, start_block, end_block, n_blocks): voice/
+    music activity segmentation — maximal runs of consecutive blocks
+    whose energy exceeds ``num/den`` of the track's mean block energy
+    (exact integer test: energy * den * n > sum(energies) * num), via
+    the gaps-and-islands window (block_idx - row_number over active
+    blocks).
+
+    Two window passes partitioned on media_id over the block-metadata
+    table (n_blocks rows per track, never samples); the threshold is
+    per-track, so a loud corpus member can't mask a quiet one.
+    """
+    if den < 1 or num < 0:
+        raise ValueError("num must be >= 0 and den >= 1")
+    from pyspark.sql import Window
+
+    tot = blocks.groupBy("media_id").agg(
+        F.sum("energy").alias("_sum"), F.count("*").alias("_n")
+    )
+    active = blocks.join(tot, "media_id").where(
+        F.col("energy") * den * F.col("_n") > F.col("_sum") * num
+    )
+    w = Window.partitionBy("media_id").orderBy("block_idx")
+    isl = active.select(
+        "media_id",
+        "block_idx",
+        (F.col("block_idx") - F.row_number().over(w)).alias("_grp"),
+    )
+    return (
+        isl.groupBy("media_id", "_grp")
+        .agg(
+            F.min("block_idx").alias("start_block"),
+            F.max("block_idx").alias("end_block"),
+            F.count("*").alias("n_blocks"),
+        )
+        .select(
+            "media_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("media_id").orderBy("start_block")
+            )
+            .cast("long")
+            .alias("seg_id"),
+            "start_block",
+            "end_block",
+            "n_blocks",
+        )
+    )
+
+
+_SCENE_FRAMES = 4   # frames per scene
+_SCENE_COUNT = 3    # scenes per video
+
+
+def scene_video_rows(n: int = 12) -> list[tuple]:
+    """(media_id, url, kind, payload, content_type, n_bytes): Y4M
+    videos with PLANTED scene structure — within a scene every frame
+    is the scene's base gradient plus a tiny per-frame jitter (one
+    pixel row nudged), across scenes the gradient parameters jump.
+    Consecutive-frame phash distance is therefore ~0 within scenes and
+    'unrelated-image' large at the two cut points, which is the
+    calibration :func:`scene_changes` detects. Pure integer formulas —
+    the oracle re-derives byte-identical payloads."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+        fps_num, fps_den = _Y4M_FPS[i % len(_Y4M_FPS)]
+        frames = []
+        for s in range(_SCENE_COUNT):
+            base = bytes(
+                ((x * (5 + 2 * s) + y * (17 + 7 * s) + i * 13 + s * 101 + p * 59)
+                 % 256)
+                for p in range(3)
+                for y in range(h)
+                for x in range(w)
+            )
+            for f in range(_SCENE_FRAMES):
+                jittered = bytearray(base)
+                # nudge one Y-plane row by a small delta — visible to
+                # the eye, invisible to an 8x8 average hash
+                row = (f * 3) % h
+                for x in range(w):
+                    jittered[row * w + x] = (jittered[row * w + x] + f) % 256
+                frames.append(bytes(jittered))
+        payload = encode_y4m(w, h, fps_num, fps_den, frames)
+        rows.append(
+            (i, f"http://media.example.org/scene/{i}", "video", payload,
+             "video/x-yuv4mpeg", len(payload))
+        )
+    return rows
+
+
+def silent_audio_rows(n: int = 24) -> list[tuple]:
+    """(media_id, url, kind, payload, content_type, n_bytes): WAVs
+    with a PLANTED silence window — blocks [s, s+10) of the 49-block
+    contour are zeroed, so :func:`active_segments` must find exactly
+    two active runs per track. Integer formulas only."""
+    rows = []
+    for i in range(n):
+        rate = _WAV_RATES[i % len(_WAV_RATES)]
+        n_samples = _FP_BLOCKS * (20 + (i % 4) * 5)
+        s_block = 5 + (i * 7) % 30  # silence start in [5, 34]
+        samples = []
+        for t in range(n_samples):
+            block = (t * _FP_BLOCKS) // n_samples
+            if s_block <= block < s_block + 10:
+                samples.append(0)
+            else:
+                v = ((t * (i + 3) * 7919) % 65536) - 32768
+                samples.append(v if v != 0 else 1)
+        payload = encode_wav(rate, samples)
+        rows.append(
+            (i, f"http://media.example.org/silent/{i}", "audio", payload,
+             "audio/wav", len(payload))
+        )
+    return rows
+
+
+def synthesize_scene_media(spark, n_videos: int = 12, n_audio: int = 24) -> "DataFrame":
+    rows = scene_video_rows(n_videos) + [
+        (1000 + i, url, kind, payload, ct, nb)
+        for i, url, kind, payload, ct, nb in silent_audio_rows(n_audio)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, url string, kind string, content binary, "
+        "content_type string, n_bytes long",
+    )

@@ -8795,3 +8795,130 @@ WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
 
 QUERIES["q_max_order_per_cust"] = q_max_order_per_cust
 ORACLES["q_max_order_per_cust"] = sql_max_order_per_cust
+
+
+# ---------------------------------------------------------------------------
+# wave 17: video scene changes, audio activity segmentation
+# ---------------------------------------------------------------------------
+
+_SC_THRESHOLD = 13
+_AS_NUM, _AS_DEN = 1, 2
+
+
+def q_scene_changes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shot-boundary detection (multimodal.scene_changes) over videos
+    with PLANTED scene structure: real Y4M decode -> per-frame Y-plane
+    phash -> consecutive-frame split-half Hamming >= threshold. The
+    corpus separates cleanly (within-scene <= 1 bit, cuts >= 26), so
+    the query flags exactly the planted cuts."""
+    from ..operators.multimodal import (
+        decode_video_frames,
+        scene_changes,
+        synthesize_scene_media,
+    )
+
+    media = synthesize_scene_media(spark)
+    frames = decode_video_frames(media, every_nth=1)
+    return scene_changes(frames, threshold=_SC_THRESHOLD)
+
+
+def sql_scene_changes() -> str:
+    """Golden frame VALUES from the identical Y4M kernel; the lag +
+    XOR-popcount comparison itself runs in SQL."""
+    from ..operators.multimodal import scene_video_rows, video_frames_kernel
+
+    vals = []
+    for media_id, _url, _kind, payload, _ct, _nb in scene_video_rows():
+        for idx, _ts, _w, _h, ph in video_frames_kernel(payload, 1):
+            vals.append(f"({media_id}, {idx}, {_sql_str(ph)})")
+    values = ",\n".join(vals)
+    ham = "bit_count(xor(hi, phi)) + bit_count(xor(lo, plo))"
+    return f"""WITH frames(media_id, frame_idx, phash) AS (VALUES
+{values}
+),
+h AS (
+  SELECT media_id, frame_idx,
+         CAST('0x' || substr(phash, 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(phash, 9, 8) AS BIGINT) AS lo
+  FROM frames
+),
+c AS (
+  SELECT media_id, frame_idx, hi, lo,
+         LAG(frame_idx) OVER w AS prev_idx,
+         LAG(hi) OVER w AS phi,
+         LAG(lo) OVER w AS plo
+  FROM h WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(prev_idx AS BIGINT) AS prev_idx,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST({ham} AS BIGINT) AS hamming
+FROM c
+WHERE prev_idx IS NOT NULL AND {ham} >= {_SC_THRESHOLD}"""
+
+
+QUERIES["q_scene_changes"] = q_scene_changes
+ORACLES["q_scene_changes"] = sql_scene_changes
+
+
+def q_audio_segments(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Voice-activity segmentation (multimodal.active_segments) over
+    WAVs with PLANTED silence windows: real PCM decode -> integer
+    block energies -> per-track mean threshold -> gaps-and-islands
+    runs. Every track must split into exactly two active segments."""
+    from ..operators.multimodal import (
+        active_segments,
+        decode_audio_blocks,
+        synthesize_scene_media,
+    )
+
+    media = synthesize_scene_media(spark)
+    return active_segments(
+        decode_audio_blocks(media), num=_AS_NUM, den=_AS_DEN
+    )
+
+
+def sql_audio_segments() -> str:
+    """Golden block-energy VALUES from the identical WAV kernel; the
+    threshold + islands logic runs in SQL."""
+    from ..operators.multimodal import audio_block_energies, silent_audio_rows
+
+    vals = []
+    for media_id, _url, _kind, payload, _ct, _nb in silent_audio_rows():
+        for i, e in enumerate(audio_block_energies(payload)):
+            vals.append(f"({1000 + media_id}, {i}, {e})")
+    values = ",\n".join(vals)
+    return f"""WITH blocks(media_id, block_idx, energy) AS (VALUES
+{values}
+),
+tot AS (
+  SELECT media_id, SUM(energy) AS s, COUNT(*) AS n
+  FROM blocks GROUP BY media_id
+),
+act AS (
+  SELECT b.media_id, b.block_idx
+  FROM blocks b JOIN tot t USING (media_id)
+  WHERE b.energy * {_AS_DEN} * t.n > t.s * {_AS_NUM}
+),
+isl AS (
+  SELECT media_id, block_idx,
+         block_idx - ROW_NUMBER() OVER (
+           PARTITION BY media_id ORDER BY block_idx) AS grp
+  FROM act
+),
+seg AS (
+  SELECT media_id, grp, MIN(block_idx) AS start_block,
+         MAX(block_idx) AS end_block, COUNT(*) AS n_blocks
+  FROM isl GROUP BY media_id, grp
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY media_id ORDER BY start_block) AS BIGINT) AS seg_id,
+       CAST(start_block AS BIGINT) AS start_block,
+       CAST(end_block AS BIGINT) AS end_block,
+       CAST(n_blocks AS BIGINT) AS n_blocks
+FROM seg"""
+
+
+QUERIES["q_audio_segments"] = q_audio_segments
+ORACLES["q_audio_segments"] = sql_audio_segments
