@@ -259,6 +259,7 @@ def main() -> None:
         "q_max_order_per_cust",
         "q_scene_changes",
         "q_audio_segments",
+        "q_ktruss",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

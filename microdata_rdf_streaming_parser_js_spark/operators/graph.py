@@ -762,3 +762,72 @@ def random_walks(
         )
         cur = picked
     return out
+
+
+def ktruss(
+    edges: "DataFrame",
+    k: int = 4,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "DataFrame":
+    """(a, b): the edges surviving ``rounds`` synchronous k-truss peel
+    rounds — each round computes per-edge triangle support on the
+    CURRENT edge set and removes every edge in fewer than k-2
+    triangles (Cohen 2008). The k-truss is the standard
+    cohesive-subgraph mining step above k-core: cores bound degree,
+    trusses bound triangle embedding, which is what separates genuine
+    communities from hub stars in web/host graphs.
+
+    Fixed synchronous rounds (not run-to-fixpoint) keep the operator a
+    pure function of (graph, k, rounds) that the DuckDB oracle unrolls
+    exactly — the same contract as pagerank/kcore/LPA. Each round is
+    the degree-light triangle enumeration: E(u,v) joins E(v,w) on the
+    shared middle vertex, a semi-join against E(u,w) closes the wedge,
+    and every triangle credits its three edges via one explode +
+    groupBy — two shuffles per round on the (a, b) edge key, all
+    JVM-side.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    for _ in range(rounds):
+        e1 = cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        e2 = cur.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        e3 = cur.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        tri = e1.join(e2, "v").join(e3, ["u", "w"])
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("a"), F.col("v").alias("b")
+                        ),
+                        F.struct(
+                            F.col("v").alias("a"), F.col("w").alias("b")
+                        ),
+                        F.struct(
+                            F.col("u").alias("a"), F.col("w").alias("b")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("_sup"))
+        )
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("_sup"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+    return cur

@@ -8922,3 +8922,85 @@ FROM seg"""
 
 QUERIES["q_audio_segments"] = q_audio_segments
 ORACLES["q_audio_segments"] = sql_audio_segments
+
+
+# ---------------------------------------------------------------------------
+# wave 18: k-truss cohesive subgraph
+# ---------------------------------------------------------------------------
+
+_KT_K = 4
+_KT_ROUNDS = 2
+
+
+def q_ktruss(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Fixed-round k-truss peeling (operators/graph.ktruss) over a
+    mixed circulant graph (+1/+2 rings for every node, +3 chords for
+    every 4th) whose supports straddle the k-2 cut, so round one peels
+    part of the ring and round two re-evaluates the survivors — the
+    oracle unrolls both rounds."""
+    from ..operators.graph import ktruss
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    rings = [
+        base.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") + j, F.col("n")).alias("dst"),
+        )
+        for j in (1, 2)
+    ]
+    chords = base.where(F.pmod(F.col("doc_id"), F.lit(4)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 3, F.col("n")).alias("dst"),
+    )
+    e = rings[0].union(rings[1]).union(chords)
+    out = ktruss(e, k=_KT_K, rounds=_KT_ROUNDS)
+    return out.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+
+
+def sql_ktruss() -> str:
+    parts = [
+        """WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS x, (id + 1) % (SELECT n FROM n_docs) AS y FROM ids
+  UNION ALL
+  SELECT id, (id + 2) % (SELECT n FROM n_docs) FROM ids
+  UNION ALL
+  SELECT id, (id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 4 = 0
+),
+e0 AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM e_raw WHERE x <> y
+)"""
+    ]
+    for r in range(1, _KT_ROUNDS + 1):
+        parts.append(f""",
+t{r} AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e{r - 1} e1
+  JOIN e{r - 1} e2 ON e1.b = e2.a
+  JOIN e{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{r} AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT u AS a, v AS b FROM t{r}
+    UNION ALL SELECT v, w FROM t{r}
+    UNION ALL SELECT u, w FROM t{r}
+  ) GROUP BY a, b
+),
+e{r} AS (
+  SELECT e.a, e.b FROM e{r - 1} e
+  LEFT JOIN s{r} s ON e.a = s.a AND e.b = s.b
+  WHERE COALESCE(s.sup, 0) >= {_KT_K - 2}
+)""")
+    parts.append(f"\nSELECT a, b FROM e{_KT_ROUNDS}")
+    return "".join(parts)
+
+
+QUERIES["q_ktruss"] = q_ktruss
+ORACLES["q_ktruss"] = sql_ktruss
