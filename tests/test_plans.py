@@ -442,3 +442,69 @@ def test_path_2hop_prunes_constant_pred_branches(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 5, plan
     assert "pred#" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_sample_no_shuffle(spark, sf_dir):
+    """Weighted sampling must reduce via TakeOrderedAndProject — each
+    partition keeps a local top-k and the driver merges k rows; a full
+    Exchange would mean the corpus is being sorted."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_weighted_sample,
+    )
+
+    plan = plan_str(q_weighted_sample(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_prune_probe_is_scan_side(spark, sf_dir):
+    """The Bloom probe must be a scan-side bit-test filter (the packed
+    mask is plan-time literals — 'shiftright' in the filter), and the
+    residual exact join must broadcast the small build side: no
+    SortMergeJoin anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bloom_prune,
+    )
+
+    plan = plan_str(q_bloom_prune(spark, sf_dir))
+    assert "shiftright" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_single_exchange(spark, sf_dir):
+    """The per-epoch block scatter is ONE hash exchange on (epoch,
+    block) — no global sort, no SinglePartition window."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_epoch_shuffle,
+    )
+
+    plan = plan_str(q_epoch_shuffle(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_random_projection_query_scan_side(spark, sf_dir):
+    """JL projection is pure scan-side codegen: no exchange, no join,
+    no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_rp_embed,
+    )
+
+    plan = plan_str(q_rp_embed(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 0, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantile_sketch_bounded_merge(spark, sf_dir):
+    """The sketch merge is a TakeOrderedAndProject over the per-shard
+    samples; the only hash exchange is the shard window — the corpus
+    is never globally sorted."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_quantile_sketch,
+    )
+
+    plan = plan_str(q_quantile_sketch(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
