@@ -231,6 +231,9 @@ _EVENTS_QUERY_NAMES = [
     "q_group_topk",
     "q_json_props",
     "q_interval_join",
+    # wave 16: the mergeable quantile sketch's sampling arithmetic
+    # under tiny / tie-heavy inputs (sample == data when n < k)
+    "q_quantile_sketch",
 ]
 
 
