@@ -831,3 +831,113 @@ def ktruss(
             .select("a", "b")
         )
     return cur
+
+
+def scc_bounded(
+    edges: "DataFrame",
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    max_depth: int = 8,
+) -> "DataFrame":
+    """(node, scc_id): strongly-connected-component labels under a
+    BOUNDED mutual-reachability semantic — u and v share an scc_id iff
+    each reaches the other along a directed path of <= ``max_depth``
+    edges; the label is the smallest node id in the mutual-reach set.
+    For any graph whose SCC diameters are <= ``max_depth`` this equals
+    textbook SCC (cycle detection in redirect chains, sameAs loops,
+    template link rings); larger components split by design, and the
+    bound is what lets the DuckDB oracle replay the identical rounds.
+
+    Shape: one doubling closure (:func:`transitive_closure`,
+    O(log depth) join+distinct shuffles), one self-join of the closure
+    with its reverse to keep mutual pairs, one min-groupBy. The
+    closure is the cost driver — like :func:`transitive_closure` this
+    is sized for schema/host-level graphs (redirect tables, sameAs
+    graphs, vocabulary imports), not the raw page graph; bounded-reach
+    output is O(|V| * avg out-reach within 2^rounds hops).
+
+    Reference scope note: microdata-rdf-streaming-parser.js emits the
+    triples (MicrodataRdfParser.ts ~L233); cycle/SCC analysis over
+    them is the downstream consumer re-expressed for Spark.
+    """
+    closure = transitive_closure(
+        edges, src_col=src_col, dst_col=dst_col,
+        max_depth=max_depth, reflexive=True,
+    )
+    fwd = closure.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    rev = fwd.select(F.col("u").alias("rv"), F.col("v").alias("ru"))
+    mutual = fwd.join(
+        rev, (F.col("u") == F.col("ru")) & (F.col("v") == F.col("rv"))
+    ).select("u", "v")
+    return (
+        mutual.groupBy("v")
+        .agg(F.min("u").alias("scc_id"))
+        .select(F.col("v").alias("node"), "scc_id")
+    )
+
+
+def link_prediction(
+    edges: "DataFrame",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+) -> "DataFrame":
+    """(u, w, common, jaccard_u): link-prediction candidates — pairs
+    of non-adjacent nodes scored by common-neighbor count and integer
+    micro-unit neighborhood Jaccard floor(common * 1e6 / (deg_u +
+    deg_w - common)) — the classic unsupervised link predictor
+    (Liben-Nowell & Kleinberg 2003) used to propose missing KG edges
+    and related-page candidates. Integer scoring keeps the result a
+    pure function of the graph (no double fold-order), so DuckDB
+    replays it exactly with ``//``.
+
+    Shape: undirected dedup (1 shuffle), degree agg (1), wedge
+    self-join keyed on the shared neighbor, pair-count groupBy (1),
+    left_anti against the edge set to drop existing links, two keyed
+    degree joins. ``min_common`` prunes the wedge tail before the
+    degree joins — at web scale raw wedges on a 10^6-degree hub are
+    quadratic, so real deployments first cap or sample hub
+    adjacencies (the same orientation trick as
+    :func:`triangle_counts` does not apply: both wedge endpoints are
+    needed regardless of degree order); the threshold keeps the
+    carried candidate set proportional to genuinely-similar pairs.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    e1 = und.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    e2 = und.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "z").where(F.col("u") < F.col("w"))
+    cn = (
+        wedges.groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= F.lit(min_common))
+    )
+    cand = cn.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("a").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common"),
+            F.floor(
+                F.col("common") * F.lit(1_000_000)
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common"))
+            ).cast("long").alias("jaccard_u"),
+        )
+    )

@@ -223,3 +223,38 @@ def weighted_sample(
         .orderBy("priority", "key")
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: "DataFrame",
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "strat-v1",
+) -> "DataFrame":
+    """(group, key, rk): deterministic stratified sample — exactly
+    min(k, |group|) rows per group, chosen by md5 priority over
+    (key | salt) — the per-source / per-language quota draw that
+    keeps a training mixture from being swamped by its largest
+    stratum, reproducible across reruns and engines (same rows for
+    the same salt, no RNG state).
+
+    One shuffle: a row_number window partitioned by the group over
+    (md5, key) order; the per-partition heap never materializes the
+    full sorted group. Skew note: a single giant stratum lands on one
+    task — at crawl scale pre-aggregate with a two-level draw (salt
+    the group into shards, draw k from each, re-rank the k*shards
+    survivors) exactly like the documented top-k pattern.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pri = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(pri, F.col(key_col))
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("key"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= F.lit(k))
+    )

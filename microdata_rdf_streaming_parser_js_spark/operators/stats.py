@@ -662,3 +662,88 @@ def distribution_drift(
     ).limit(topk)
     w = Window.orderBy(F.col("delta_u").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def zscore_outliers(
+    events: "DataFrame",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    z: int = 2,
+    scale: int = 100,
+) -> "DataFrame":
+    """(group, id, value_u): rows whose value lies strictly more than
+    ``z`` standard deviations from their group's mean — the per-slice
+    anomaly screen (sensor spikes, bot bursts, price typos) run
+    before values feed training statistics.
+
+    Entirely in scaled integer units so both engines agree bit-for-
+    bit: with v = floor(value * scale), n/s/q the per-group count/
+    sum/sum-of-squares, the population test |v - s/n| >
+    z * sqrt(n*q - s^2) / n is cross-multiplied to
+    (n*v - s)^2 > z^2 * (n*q - s^2) — pure BIGINT arithmetic, no
+    division, no doubles. The default centi-unit scale keeps the
+    dominant term n^2 * v^2 inside int64 through ~10^5-row groups of
+    ~10^3-magnitude values; for finer scales or full-corpus groups at
+    crawl scale lift the cross-products to DECIMAL(38,0) — the
+    comparison stays exact.
+
+    Shape: one map-side-combined groupBy for the moments, one keyed
+    join back (broadcastable: one row per group), one codegen'd
+    filter. NULL and NaN values are excluded from both the moments
+    and the candidates, mirroring the oracle's WHERE.
+    """
+    if z < 1:
+        raise ValueError(f"z must be >= 1, got {z}")
+    base = events.where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col) * F.lit(int(scale))).alias("v_u"),
+    )
+    mom = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("v_u").alias("s"),
+        F.sum(F.col("v_u") * F.col("v_u")).alias("q"),
+    )
+    dev = F.col("n") * F.col("v_u") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        base.join(mom, "grp")
+        .where(dev * dev > F.lit(z * z) * var_n2)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("v_u").alias("value_u"),
+        )
+    )
+
+
+def referential_orphans(
+    child: "DataFrame",
+    parent: "DataFrame",
+    fk_col: str,
+    pk_col: str,
+) -> "DataFrame":
+    """(fk, n_orphans): foreign-key values in ``child`` with no match
+    in ``parent``, with their row counts — the referential-integrity
+    audit a KG/warehouse load runs after ingest (dangling itemrefs,
+    orders without customers, edges to vanished nodes). NULL keys are
+    reported under the NULL fk row rather than silently dropped —
+    they are integrity violations too.
+
+    Shape: left_anti join (Catalyst broadcasts the parent's key
+    projection when it is small, shuffles otherwise — no hint needed
+    because only the single key column of the parent survives column
+    pruning into the build side) + one map-side-combined count.
+    """
+    par = parent.select(F.col(pk_col).alias("_pk")).where(
+        F.col(pk_col).isNotNull()
+    )
+    return (
+        child.select(F.col(fk_col).alias("fk"))
+        .join(par, F.col("fk") == F.col("_pk"), "left_anti")
+        .groupBy("fk")
+        .agg(F.count("*").alias("n_orphans"))
+    )

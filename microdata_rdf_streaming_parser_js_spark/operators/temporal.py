@@ -208,3 +208,78 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def gap_fill_locf(
+    events: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_hours: int = 1,
+) -> "DataFrame":
+    """(key, bucket_ts, value_u, is_gap): regularize a per-key event
+    stream onto a dense hourly (or ``step_hours``-hourly) spine and
+    fill empty buckets by carrying the last observed value forward
+    (LOCF) — the time-series gap-filling step feature pipelines run
+    before windowed modeling, and the `time_bucket_gapfill` +
+    `locf` pair of the hypertable model re-expressed for Spark.
+
+    Per key, the spine runs from the key's first to last truncated
+    bucket (``sequence`` + explode, generated scan-side — no cross
+    join against a global calendar, so a key active for one hour
+    costs one row, not the corpus's full time range). Observed
+    buckets carry sum(value) in integer micro-units (each event
+    floored BEFORE the sum, so distributed fold order cannot drift
+    the total); empty buckets take the previous bucket's running
+    value via `last(ignorenulls)` over an ordered per-key window,
+    flagged ``is_gap = 1``.
+
+    Shuffles: per-key bucket agg (1, map-side combined) + min/max agg
+    reuse the same exchange; the LOCF window re-partitions by key
+    (1). State is bounded by spine length per key — no global
+    single-partition window anywhere.
+    """
+    if step_hours < 1:
+        raise ValueError(f"step_hours must be >= 1, got {step_hours}")
+    step = F.expr(f"interval {int(step_hours)} hours")
+    b = events.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        F.floor(F.col(value_col) * F.lit(1_000_000)).alias("v_u"),
+    )
+    if step_hours != 1:
+        anchor = F.lit("2000-01-01 00:00:00").cast("timestamp")
+        secs = F.unix_timestamp("bucket_ts") - F.unix_timestamp(anchor)
+        b = b.withColumn(
+            "bucket_ts",
+            F.timestamp_seconds(
+                F.unix_timestamp(anchor)
+                + (secs - F.pmod(secs, F.lit(step_hours * 3600)))
+            ),
+        )
+    obs = b.groupBy("key", "bucket_ts").agg(F.sum("v_u").alias("obs_u"))
+    spine = (
+        obs.groupBy("key")
+        .agg(
+            F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+        )
+        .select(
+            "key",
+            F.explode(F.sequence("lo", "hi", step)).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(obs, ["key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        F.last("obs_u", ignorenulls=True).over(w).alias("value_u"),
+        F.when(F.col("obs_u").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_gap"),
+    )

@@ -9004,3 +9004,318 @@ e{r} AS (
 
 QUERIES["q_ktruss"] = q_ktruss
 ORACLES["q_ktruss"] = sql_ktruss
+
+
+# --- wave 19: bounded SCC, link prediction, gap-fill, outliers, -----------
+# --- stratified sampling, referential-integrity audit ---------------------
+
+_SCC_DEPTH = 8
+_SCC_BLOCK = 6
+
+
+def q_scc_bounded(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Bounded strongly-connected components
+    (operators/graph.scc_bounded): directed graph of 6-cycles (block
+    rings over doc ids) plus one-way chord edges every 7th node —
+    redirect-ring / sameAs-loop detection. Mutual reachability within
+    8 hops, labels = min mutual-reach node; the oracle replays the
+    identical bound with a depth-limited recursive CTE."""
+    from ..operators.graph import scc_bounded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("i"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    ring = base.select(
+        F.col("i").alias("subj"),
+        F.when(
+            (F.pmod(F.col("i"), F.lit(_SCC_BLOCK)) == _SCC_BLOCK - 1)
+            | (F.col("i") == F.col("n") - 1),
+            F.col("i") - F.pmod(F.col("i"), F.lit(_SCC_BLOCK)),
+        )
+        .otherwise(F.col("i") + 1)
+        .alias("obj"),
+    )
+    chords = base.where(F.pmod(F.col("i"), F.lit(7)) == 0).select(
+        F.col("i").alias("subj"),
+        F.pmod(F.col("i") * 13 + 5, F.col("n")).alias("obj"),
+    )
+    out = scc_bounded(ring.union(chords), max_depth=_SCC_DEPTH)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )
+
+
+def sql_scc_bounded() -> str:
+    return f"""WITH RECURSIVE
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+e AS (
+  SELECT i AS src,
+         CASE WHEN i % {_SCC_BLOCK} = {_SCC_BLOCK - 1}
+                   OR i = (SELECT n FROM n_docs) - 1
+              THEN i - (i % {_SCC_BLOCK}) ELSE i + 1 END AS dst
+  FROM ids
+  UNION ALL
+  SELECT i, (13 * i + 5) % (SELECT n FROM n_docs)
+  FROM ids WHERE i % 7 = 0
+),
+reach(u, v, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT r.u, e.dst, r.d + 1 FROM reach r JOIN e ON r.v = e.src
+  WHERE r.d < {_SCC_DEPTH}
+),
+cl AS (
+  SELECT DISTINCT u, v FROM reach
+  UNION SELECT i, i FROM ids
+)
+SELECT c1.v AS node, MIN(c1.u) AS scc_id
+FROM cl c1 JOIN cl c2 ON c1.u = c2.v AND c1.v = c2.u
+GROUP BY c1.v"""
+
+
+QUERIES["q_scc_bounded"] = q_scc_bounded
+ORACLES["q_scc_bounded"] = sql_scc_bounded
+
+
+_LPRED_MIN_COMMON = 2
+
+
+def q_link_predict(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Common-neighbor link prediction
+    (operators/graph.link_prediction) over the same arithmetic web
+    graph as q_label_prop/q_pagerank: non-adjacent pairs with >= 2
+    shared neighbors, scored by integer micro-unit neighborhood
+    Jaccard — missing-edge candidates for KG completion."""
+    from ..operators.graph import link_prediction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    e3 = base.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.col("n")).alias("dst"),
+    )
+    out = link_prediction(
+        e1.union(e2).union(e3), min_common=_LPRED_MIN_COMMON
+    )
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "jaccard_u",
+    )
+
+
+def sql_link_predict() -> str:
+    return f"""WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+  UNION ALL
+  SELECT id, (7 * id + 11) % (SELECT n FROM n_docs) FROM ids WHERE id % 2 = 0
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e_raw UNION ALL SELECT b AS a, a AS b FROM e_raw
+  ) WHERE a <> b
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+wedge AS (
+  SELECT e1.b AS u, e2.b AS w, COUNT(*) AS common
+  FROM und e1 JOIN und e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b GROUP BY e1.b, e2.b
+),
+cand AS (
+  SELECT c.u, c.w, c.common FROM wedge c
+  LEFT JOIN und x ON c.u = x.a AND c.w = x.b
+  WHERE x.a IS NULL AND c.common >= {_LPRED_MIN_COMMON}
+)
+SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common,
+       CAST((c.common * 1000000) // (du.deg + dw.deg - c.common)
+            AS BIGINT) AS jaccard_u
+FROM cand c
+JOIN deg du ON du.a = c.u
+JOIN deg dw ON dw.a = c.w"""
+
+
+QUERIES["q_link_predict"] = q_link_predict
+ORACLES["q_link_predict"] = sql_link_predict
+
+
+def q_gap_fill(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hourly gap-fill with last-observation-carried-forward
+    (operators/temporal.gap_fill_locf): per-user dense hourly spine,
+    observed buckets = integer micro-unit sums, empty buckets carry
+    the previous value and flag is_gap — the time_bucket_gapfill +
+    locf hypertable pair re-expressed for Spark."""
+    from ..operators.temporal import gap_fill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gap_fill_locf(ev, key_col="user_id", ts_col="ts",
+                        value_col="value", step_hours=1)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").cast("long").alias("bucket_s"),
+        F.col("value_u").cast("long").alias("value_u"),
+        "is_gap",
+    )
+
+
+def sql_gap_fill() -> str:
+    return """WITH b AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_u
+  FROM events
+),
+obs AS (
+  SELECT key, bucket_ts, CAST(SUM(v_u) AS BIGINT) AS obs_u
+  FROM b GROUP BY key, bucket_ts
+),
+rng AS (
+  SELECT key, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+  FROM obs GROUP BY key
+),
+spine AS (
+  SELECT key,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM rng
+),
+j AS (
+  SELECT s.key, s.bucket_ts, o.obs_u
+  FROM spine s LEFT JOIN obs o
+    ON s.key = o.key AND s.bucket_ts = o.bucket_ts
+)
+SELECT key AS user_id, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_s,
+       CAST(last_value(obs_u IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS value_u,
+       CAST(CASE WHEN obs_u IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM j"""
+
+
+QUERIES["q_gap_fill"] = q_gap_fill
+ORACLES["q_gap_fill"] = sql_gap_fill
+
+
+_OUT_Z = 2
+_OUT_SCALE = 100
+
+
+def q_outliers(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-event-type z-score outliers (operators/stats.zscore_outliers):
+    rows > 2 population standard deviations from their type's mean,
+    decided by cross-multiplied integer arithmetic in centi-units —
+    no doubles, no division, so both engines agree bit-for-bit."""
+    from ..operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = zscore_outliers(
+        ev, group_col="event_type", id_col="event_id",
+        value_col="value", z=_OUT_Z, scale=_OUT_SCALE,
+    )
+    return out.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value_u").cast("long").alias("value_u"),
+    )
+
+
+def sql_outliers() -> str:
+    return f"""WITH base AS (
+  SELECT event_type AS grp, CAST(event_id AS BIGINT) AS id,
+         CAST(floor(value * {_OUT_SCALE}) AS BIGINT) AS v_u
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+mom AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(v_u) AS BIGINT) AS s,
+         CAST(SUM(v_u * v_u) AS BIGINT) AS q
+  FROM base GROUP BY grp
+)
+SELECT b.grp AS event_type, b.id AS event_id, b.v_u AS value_u
+FROM base b JOIN mom m ON b.grp = m.grp
+WHERE (m.n * b.v_u - m.s) * (m.n * b.v_u - m.s)
+      > {_OUT_Z * _OUT_Z} * (m.n * m.q - m.s * m.s)"""
+
+
+QUERIES["q_outliers"] = q_outliers
+ORACLES["q_outliers"] = sql_outliers
+
+
+_SS_K = 40
+_SS_SALT = "strat-v1"
+
+
+def q_stratified_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic stratified sample (operators/split.
+    stratified_sample): exactly min(40, |stratum|) documents per
+    language by md5 priority — the per-source quota draw of a
+    training-mixture builder, reproducible across engines."""
+    from ..operators.split import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("lang", F.col("doc_id").cast("long").alias("doc_id"))
+    return stratified_sample(base, "lang", "doc_id", k=_SS_K, salt=_SS_SALT)
+
+
+def sql_stratified_sample() -> str:
+    return f"""WITH s AS (
+  SELECT lang AS grp, CAST(doc_id AS BIGINT) AS key,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{_SS_SALT}'), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT grp, key, CAST(rk AS INTEGER) AS rk FROM s WHERE rk <= {_SS_K}"""
+
+
+QUERIES["q_stratified_sample"] = q_stratified_sample
+ORACLES["q_stratified_sample"] = sql_stratified_sample
+
+
+def q_fk_orphans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Referential-integrity audit (operators/stats.
+    referential_orphans): orders whose customer key is missing from a
+    parent table with every 10th customer dropped — the dangling-
+    reference check a KG load runs after ingest. left_anti + count;
+    the parent key column broadcasts after pruning."""
+    from ..operators.stats import referential_orphans
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.pmod(F.col("c_custkey"), F.lit(10)) != 0
+    )
+    out = referential_orphans(orders, cust, "o_custkey", "c_custkey")
+    return out.select(
+        F.col("fk").cast("long").alias("fk"),
+        F.col("n_orphans").cast("long").alias("n_orphans"),
+    )
+
+
+def sql_fk_orphans() -> str:
+    return """WITH par AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT CAST(o.o_custkey AS BIGINT) AS fk, COUNT(*) AS n_orphans
+FROM orders o LEFT JOIN par p ON o.o_custkey = p.c_custkey
+WHERE p.c_custkey IS NULL
+GROUP BY o.o_custkey"""
+
+
+QUERIES["q_fk_orphans"] = q_fk_orphans
+ORACLES["q_fk_orphans"] = sql_fk_orphans
