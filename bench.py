@@ -260,6 +260,12 @@ def main() -> None:
         "q_scene_changes",
         "q_audio_segments",
         "q_ktruss",
+        "q_scc_bounded",
+        "q_link_predict",
+        "q_gap_fill",
+        "q_outliers",
+        "q_stratified_sample",
+        "q_fk_orphans",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

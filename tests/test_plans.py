@@ -508,3 +508,61 @@ def test_quantile_sketch_bounded_merge(spark, sf_dir):
     plan = plan_str(q_quantile_sketch(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_gap_fill_windows_stay_per_key(spark, sf_dir):
+    """Gap-fill must never fall into a global single-partition window:
+    the spine explode, the bucket aggregate, and the LOCF window are
+    all keyed by user — and the spine joins back via broadcast, not a
+    sort-merge of the corpus."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_gap_fill,
+    )
+
+    plan = plan_str(q_gap_fill(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_single_exchange(spark, sf_dir):
+    """The per-stratum draw is ONE hash exchange on the group column
+    (the row_number window); no join, no global sort."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_stratified_sample,
+    )
+
+    plan = plan_str(q_stratified_sample(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fk_orphans_broadcasts_parent_keys(spark, sf_dir):
+    """The integrity audit anti-joins against the pruned parent key
+    column via broadcast; the child table's only exchange is the
+    orphan count (map-side combined)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_fk_orphans,
+    )
+
+    plan = plan_str(q_fk_orphans(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_outliers_broadcast_moments_no_python(spark, sf_dir):
+    """Group moments (one map-side-combined aggregate) broadcast back
+    onto the scan; the outlier test itself is codegen'd integer
+    arithmetic — no Python, no sort-merge join."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_outliers,
+    )
+
+    plan = plan_str(q_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan

@@ -92,6 +92,11 @@ _QUERY_NAMES = [
     "q_bpe_encode",
     "q_label_prop",
     "q_random_walks",
+    # wave 19: bounded SCC / wedge scoring under n=1 self-loop
+    # degeneracy; the stratified draw under strata smaller than k
+    "q_scc_bounded",
+    "q_link_predict",
+    "q_stratified_sample",
 ]
 
 
@@ -181,11 +186,13 @@ def test_documents_queries_match_oracle_on_random_corpora(spark, tmp_path_factor
     # n_chars is kept non-NULL — the real generator never emits NULL
     # sizes and NULL ordering under DESC differs across engines
     rows = [
-        (i, t, f"s{i % 3}", len(t) if t is not None else 0)
+        (i, t, f"l{i % 2}", f"s{i % 3}", len(t) if t is not None else 0)
         for i, t in enumerate(texts)
     ]
     spark.createDataFrame(
-        rows, "doc_id bigint, text string, source string, n_chars bigint"
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
     ).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{sf_dir}/documents.parquet")
@@ -234,6 +241,11 @@ _EVENTS_QUERY_NAMES = [
     # wave 16: the mergeable quantile sketch's sampling arithmetic
     # under tiny / tie-heavy inputs (sample == data when n < k)
     "q_quantile_sketch",
+    # wave 19: LOCF spine arithmetic under single-bucket keys and
+    # negative values; the integer z-score rule under constant groups
+    # (zero variance -> strict inequality keeps everything in)
+    "q_gap_fill",
+    "q_outliers",
 ]
 
 
