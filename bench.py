@@ -266,6 +266,9 @@ def main() -> None:
         "q_outliers",
         "q_stratified_sample",
         "q_fk_orphans",
+        "q_harmonic_centrality",
+        "q_stratified_shard",
+        "q_winsorize",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -941,3 +941,63 @@ def link_prediction(
             ).cast("long").alias("jaccard_u"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: "DataFrame",
+    seeds: "DataFrame",
+    max_hops: int = 6,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    checkpoint_every: int = 2,
+) -> "DataFrame":
+    """(node, centrality_u, n_seeds_reached): landmark harmonic
+    centrality — for each node, sum over seed landmarks s that reach
+    it within ``max_hops`` of floor(1e6 / dist(s, node)) — the
+    standard scalable stand-in for exact closeness/harmonic
+    centrality (Boldi & Vigna, "Axioms for centrality": harmonic
+    handles disconnected graphs where closeness degenerates; landmark
+    sampling is how it is run on web-scale graphs, exact all-pairs
+    being O(nm)). Integer micro-unit contributions, so the
+    distributed fold order cannot drift the sum and DuckDB replays it
+    with ``//``.
+
+    Unlike :func:`bfs_hops` (which collapses to the NEAREST seed),
+    the distance table here is keyed (seed, node) — all landmarks
+    advance in the same two shuffles per hop (frontier join + min
+    combine), so cost is hops x O(|E| x seeds-reaching-frontier),
+    not a per-seed job storm. State is bounded by
+    |seeds| x |reachable|; lineage truncates every
+    ``checkpoint_every`` hops as in the other fixpoint loops.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("subj"), F.col(dst_col).alias("obj"))
+    dist = seeds.select(
+        F.col("seed"),
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for i in range(max_hops):
+        nxt = dist.join(e, dist["node"] == e["subj"]).select(
+            "seed",
+            F.col("obj").alias("node"),
+            (F.col("dist") + F.lit(1)).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            dist = dist.localCheckpoint(eager=False)
+    return (
+        dist.where(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("1000000 div dist")).cast("long").alias(
+                "centrality_u"
+            ),
+            F.count("*").cast("long").alias("n_seeds_reached"),
+        )
+    )

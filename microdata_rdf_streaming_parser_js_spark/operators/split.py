@@ -258,3 +258,61 @@ def stratified_sample(
         )
         .where(F.col("rk") <= F.lit(k))
     )
+
+
+def stratified_sample_sharded(
+    df: "DataFrame",
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "strat-v1",
+    shards: int = 8,
+) -> "DataFrame":
+    """Two-level variant of :func:`stratified_sample` for skewed
+    strata, with PROVABLY identical output: stage 1 takes the top-k
+    priorities within each (stratum, shard) — the shard is carved
+    from the md5 priority's own leading bits, so it is deterministic
+    and engine-free — and stage 2 re-ranks only the surviving
+    k x shards rows per stratum. Because per-stratum top-k by a total
+    order is associative (the global top-k is contained in the union
+    of per-shard top-k), the result equals the single-level draw row
+    for row — the oracle IS the single-level SQL.
+
+    Scale shape: stage 1's window partitions on (group, shard), so a
+    billion-row stratum spreads over ``shards`` tasks instead of one;
+    stage 2's per-group partition sees at most k x shards rows. Two
+    exchanges total, no global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if shards < 2:
+        raise ValueError(f"shards must be >= 2, got {shards}")
+    pri = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    stage1 = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("key"),
+            pri.alias("_pri"),
+            F.pmod(
+                F.conv(F.substring(pri, 1, 8), 16, 10).cast("long"),
+                F.lit(int(shards)),
+            ).alias("_shard"),
+        )
+        .withColumn(
+            "_rk1",
+            F.row_number().over(
+                Window.partitionBy("grp", "_shard").orderBy("_pri", "key")
+            ),
+        )
+        .where(F.col("_rk1") <= F.lit(k))
+    )
+    return (
+        stage1.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy("_pri", "key")
+            ),
+        )
+        .where(F.col("rk") <= F.lit(k))
+        .select("grp", "key", "rk")
+    )

@@ -747,3 +747,54 @@ def referential_orphans(
         .groupBy("fk")
         .agg(F.count("*").alias("n_orphans"))
     )
+
+
+def winsorize_u(
+    df: "DataFrame",
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    lo_u: int = 10_000,
+    hi_u: int = 990_000,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(group, id, value_u, clipped_u): per-group winsorization — each
+    value clipped to its group's exact discrete [lo_u, hi_u] quantile
+    band (micro-unit fractions, ceil-rank semantics from
+    :func:`group_quantiles_u`) — the tail-clamping step feature
+    pipelines run so a price typo or sensor spike cannot dominate a
+    normalization. NULL/NaN rows are excluded like the quantile
+    contract.
+
+    Shape: the quantile pass (one window exchange per group) reduces
+    to ONE row per group, which broadcasts back onto the scan; the
+    clip itself is codegen'd LEAST/GREATEST. Integer micro-units end
+    to end, so both engines agree exactly.
+    """
+    if not (0 < lo_u <= hi_u <= scale):
+        raise ValueError(f"need 0 < lo_u <= hi_u <= {scale}")
+    qs = group_quantiles_u(
+        df, group_col, value_col, qs_u=(lo_u, hi_u), scale=scale
+    )
+    band = qs.groupBy(group_col).agg(
+        F.max(
+            F.when(F.col("q_u") == lo_u, F.col("quantile_u"))
+        ).alias("_lo"),
+        F.max(
+            F.when(F.col("q_u") == hi_u, F.col("quantile_u"))
+        ).alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.floor(v * scale).cast("long").alias("value_u"),
+    )
+    return base.join(F.broadcast(band), group_col).select(
+        group_col,
+        id_col,
+        "value_u",
+        F.least(F.greatest(F.col("value_u"), F.col("_lo")), F.col("_hi")).alias(
+            "clipped_u"
+        ),
+    )

@@ -9319,3 +9319,146 @@ GROUP BY o.o_custkey"""
 
 QUERIES["q_fk_orphans"] = q_fk_orphans
 ORACLES["q_fk_orphans"] = sql_fk_orphans
+
+
+# --- wave 20: landmark harmonic centrality, sharded stratified draw, ------
+# --- per-group winsorization ----------------------------------------------
+
+_HC_SEEDS = 8
+_HC_HOPS = 6
+
+
+def q_harmonic_centrality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Landmark harmonic centrality
+    (operators/graph.harmonic_centrality): 8 fixed landmarks, 6-hop
+    bounded distances over the arithmetic web graph, integer
+    micro-unit 1/d contributions — the scalable closeness stand-in
+    (exact all-pairs is O(nm))."""
+    from ..operators.graph import harmonic_centrality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("obj"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("subj"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("obj"),
+    )
+    seeds = ids.where(F.col("doc_id") < _HC_SEEDS).select(
+        F.col("doc_id").alias("seed")
+    )
+    out = harmonic_centrality(e1.union(e2), seeds, max_hops=_HC_HOPS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        "centrality_u",
+        "n_seeds_reached",
+    )
+
+
+def sql_harmonic_centrality() -> str:
+    return f"""WITH RECURSIVE
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+e AS (
+  SELECT i AS src, (31 * i + 7) % (SELECT n FROM n_docs) AS dst FROM ids
+  UNION ALL
+  SELECT i, (17 * i + 3) % (SELECT n FROM n_docs) FROM ids WHERE i % 3 = 0
+),
+seeds AS (SELECT i AS seed FROM ids WHERE i < {_HC_SEEDS}),
+reach(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON r.node = e.src
+  WHERE r.d < {_HC_HOPS}
+),
+m AS (SELECT seed, node, MIN(d) AS d FROM reach GROUP BY seed, node)
+SELECT node, CAST(SUM(1000000 // d) AS BIGINT) AS centrality_u,
+       COUNT(*) AS n_seeds_reached
+FROM m WHERE d >= 1 GROUP BY node"""
+
+
+QUERIES["q_harmonic_centrality"] = q_harmonic_centrality
+ORACLES["q_harmonic_centrality"] = sql_harmonic_centrality
+
+
+_SSH_SHARDS = 8
+
+
+def q_stratified_shard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two-level sharded stratified draw (operators/split.
+    stratified_sample_sharded): identical rows to q_stratified_sample
+    by the top-k associativity argument — the oracle IS the
+    single-level SQL, so the equivalence is hash-checked every
+    round, while the plan spreads each stratum over 8 shard tasks."""
+    from ..operators.split import stratified_sample_sharded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("lang", F.col("doc_id").cast("long").alias("doc_id"))
+    return stratified_sample_sharded(
+        base, "lang", "doc_id", k=_SS_K, salt=_SS_SALT, shards=_SSH_SHARDS
+    )
+
+
+QUERIES["q_stratified_shard"] = q_stratified_shard
+ORACLES["q_stratified_shard"] = sql_stratified_sample
+
+
+_WZ_LO = 10_000
+_WZ_HI = 990_000
+
+
+def q_winsorize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-event-type winsorization (operators/stats.winsorize_u):
+    every value clipped to its type's exact [p1, p99] micro-unit
+    band (ceil-rank quantiles) — tail clamping before normalization.
+    The quantile rows broadcast back onto the scan; the clip is
+    codegen'd LEAST/GREATEST."""
+    from ..operators.stats import winsorize_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = winsorize_u(
+        ev, "event_type", "event_id", "value", lo_u=_WZ_LO, hi_u=_WZ_HI
+    )
+    return out.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value_u",
+        "clipped_u",
+    )
+
+
+def sql_winsorize() -> str:
+    return f"""WITH v AS (
+  SELECT event_type AS g, CAST(event_id AS BIGINT) AS id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_u
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+r AS (
+  SELECT g, v_u,
+         row_number() OVER (PARTITION BY g ORDER BY v_u) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_g
+  FROM v
+),
+q(q_u) AS (VALUES (CAST({_WZ_LO} AS BIGINT)), (CAST({_WZ_HI} AS BIGINT))),
+qq AS (
+  SELECT r.g, q.q_u, r.v_u FROM r
+  JOIN q ON r.rn = (q.q_u * r.n_g + 999999) // 1000000
+),
+band AS (
+  SELECT g,
+         MAX(CASE WHEN q_u = {_WZ_LO} THEN v_u END) AS lo,
+         MAX(CASE WHEN q_u = {_WZ_HI} THEN v_u END) AS hi
+  FROM qq GROUP BY g
+)
+SELECT v.g AS event_type, v.id AS event_id, v.v_u AS value_u,
+       LEAST(GREATEST(v.v_u, b.lo), b.hi) AS clipped_u
+FROM v JOIN band b ON v.g = b.g"""
+
+
+QUERIES["q_winsorize"] = q_winsorize
+ORACLES["q_winsorize"] = sql_winsorize

@@ -566,3 +566,32 @@ def test_outliers_broadcast_moments_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_stratified_shard_two_keyed_exchanges(spark, sf_dir):
+    """The two-level draw is exactly two hash exchanges — (group,
+    shard) then group — with no join and no single-partition stage;
+    stage 2 only ever sees k x shards rows per group."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_stratified_shard,
+    )
+
+    plan = plan_str(q_stratified_shard(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 2, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_winsorize_band_broadcasts_back(spark, sf_dir):
+    """The per-group quantile band (one row per group) broadcasts onto
+    the value scan; the clip is codegen'd — no sort-merge join, no
+    Python, no global window."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_winsorize,
+    )
+
+    plan = plan_str(q_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan

@@ -97,6 +97,10 @@ _QUERY_NAMES = [
     "q_scc_bounded",
     "q_link_predict",
     "q_stratified_sample",
+    # wave 20: landmark distances under unreachable tails; the
+    # sharded draw must stay row-identical to the single-level oracle
+    "q_harmonic_centrality",
+    "q_stratified_shard",
 ]
 
 
@@ -246,6 +250,8 @@ _EVENTS_QUERY_NAMES = [
     # (zero variance -> strict inequality keeps everything in)
     "q_gap_fill",
     "q_outliers",
+    # wave 20: ceil-rank band clipping under tiny tie-heavy groups
+    "q_winsorize",
 ]
 
 
