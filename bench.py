@@ -269,6 +269,7 @@ def main() -> None:
         "q_harmonic_centrality",
         "q_stratified_shard",
         "q_winsorize",
+        "q_walk_skipgrams",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

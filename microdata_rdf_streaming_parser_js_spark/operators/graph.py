@@ -1001,3 +1001,38 @@ def harmonic_centrality(
             F.count("*").cast("long").alias("n_seeds_reached"),
         )
     )
+
+
+def walk_skipgrams(
+    walks: "DataFrame",
+    window: int = 2,
+) -> "DataFrame":
+    """(center, context, n_pairs): skip-gram co-occurrence counts over
+    a walk table from :func:`random_walks` — the final
+    corpus-preparation step of DeepWalk/node2vec KG-embedding
+    training (walk positions within ``window`` of each other become
+    (center, context) training pairs, exactly the word2vec window
+    over walk 'sentences'; counts are what an embedding trainer's
+    negative-sampling loader consumes).
+
+    Both directions are counted (position before AND after), matching
+    word2vec. Shape: one equi-join of the walk table with itself on
+    walk_id — safe because a walk is at most steps+1 rows, so the
+    per-key blow-up is bounded by the FIXED walk length, never the
+    graph — then one map-side-combined pair count. No driver state.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "walk_id", F.col("step").alias("_sc"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("_sx"), F.col("node").alias("context")
+    )
+    d = F.abs(F.col("_sc") - F.col("_sx"))
+    return (
+        a.join(b, "walk_id")
+        .where((d >= 1) & (d <= F.lit(int(window))))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

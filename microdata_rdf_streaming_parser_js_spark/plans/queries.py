@@ -9462,3 +9462,52 @@ FROM v JOIN band b ON v.g = b.g"""
 
 QUERIES["q_winsorize"] = q_winsorize
 ORACLES["q_winsorize"] = sql_winsorize
+
+
+# --- wave 21: skip-gram pairs from the DeepWalk walk table ----------------
+
+_SG_WINDOW = 2
+
+
+def q_walk_skipgrams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Skip-gram training pairs (operators/graph.walk_skipgrams) over
+    the q_random_walks walk table — walks become word2vec 'sentences',
+    positions within 2 of each other become counted (center, context)
+    pairs; the oracle wraps the identical unrolled-walk SQL and
+    replays the same window self-join."""
+    from ..operators.graph import random_walks, walk_skipgrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    walks = random_walks(e1.union(e2), steps=_RW_STEPS)
+    out = walk_skipgrams(walks, window=_SG_WINDOW)
+    return out.select(
+        F.col("center").cast("long").alias("center"),
+        F.col("context").cast("long").alias("context"),
+        "n_pairs",
+    )
+
+
+def sql_walk_skipgrams() -> str:
+    return f"""WITH walks AS (
+  SELECT * FROM ({sql_random_walks()}) t
+)
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) BETWEEN 1 AND {_SG_WINDOW}
+GROUP BY a.node, b.node"""
+
+
+QUERIES["q_walk_skipgrams"] = q_walk_skipgrams
+ORACLES["q_walk_skipgrams"] = sql_walk_skipgrams

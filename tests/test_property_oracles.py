@@ -101,6 +101,8 @@ _QUERY_NAMES = [
     # sharded draw must stay row-identical to the single-level oracle
     "q_harmonic_centrality",
     "q_stratified_shard",
+    # wave 21: skip-gram window join over walks that stop at sinks
+    "q_walk_skipgrams",
 ]
 
 

@@ -101,3 +101,49 @@ def test_winsorize_excludes_null_and_nan(spark):
     df = spark.createDataFrame(rows, "g string, id long, value double")
     out = winsorize_u(df, "g", "id", "value").collect()
     assert sorted(r.id for r in out) == list(range(1, 11))
+
+
+def test_walk_skipgrams_window_semantics(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        walk_skipgrams,
+    )
+
+    # one walk 10 -> 11 -> 12 -> 13 (steps 0..3)
+    walks = spark.createDataFrame(
+        [(1, s, 10 + s) for s in range(4)],
+        "walk_id long, step long, node long",
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in walk_skipgrams(walks, window=2).collect()
+    }
+    # window 2, both directions: each interior node pairs with up to
+    # two on each side; no self pairs, no distance-3 pairs
+    assert got == {
+        (10, 11): 1, (10, 12): 1,
+        (11, 10): 1, (11, 12): 1, (11, 13): 1,
+        (12, 10): 1, (12, 11): 1, (12, 13): 1,
+        (13, 11): 1, (13, 12): 1,
+    }
+    assert (10, 13) not in got and (10, 10) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        walk_skipgrams(walks, window=0)
+
+
+def test_walk_skipgrams_counts_repeat_visits(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        walk_skipgrams,
+    )
+
+    # walk revisits node 5: 5 -> 6 -> 5; (5,6) occurs from both visits
+    walks = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 6), (1, 2, 5)],
+        "walk_id long, step long, node long",
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in walk_skipgrams(walks, window=1).collect()
+    }
+    assert got == {(5, 6): 2, (6, 5): 2}
