@@ -270,6 +270,7 @@ def main() -> None:
         "q_stratified_shard",
         "q_winsorize",
         "q_walk_skipgrams",
+        "q_link_predict_capped",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

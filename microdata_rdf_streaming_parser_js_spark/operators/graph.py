@@ -883,6 +883,7 @@ def link_prediction(
     src_col: str = "src",
     dst_col: str = "dst",
     min_common: int = 2,
+    max_wedge_degree: int | None = None,
 ) -> "DataFrame":
     """(u, w, common, jaccard_u): link-prediction candidates — pairs
     of non-adjacent nodes scored by common-neighbor count and integer
@@ -897,15 +898,24 @@ def link_prediction(
     self-join keyed on the shared neighbor, pair-count groupBy (1),
     left_anti against the edge set to drop existing links, two keyed
     degree joins. ``min_common`` prunes the wedge tail before the
-    degree joins — at web scale raw wedges on a 10^6-degree hub are
-    quadratic, so real deployments first cap or sample hub
-    adjacencies (the same orientation trick as
-    :func:`triangle_counts` does not apply: both wedge endpoints are
-    needed regardless of degree order); the threshold keeps the
-    carried candidate set proportional to genuinely-similar pairs.
+    degree joins, but the wedge JOIN itself is quadratic in the hub's
+    degree — at web scale a 10^6-degree hub alone emits 10^12 wedges
+    (the orientation trick of :func:`triangle_counts` does not apply:
+    both wedge endpoints are needed regardless of degree order). Set
+    ``max_wedge_degree`` for that regime: centers above the cap are
+    excluded from wedge generation (the standard hub exclusion — a
+    celebrity page "connecting" two others is no evidence of a
+    missing link anyway), bounding the join at O(|E| x cap). The cap
+    changes ONLY which common neighbors are counted; degrees in the
+    Jaccard denominator stay exact. Still a pure function of
+    (graph, cap), so the oracle replays it with one extra WHERE.
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_wedge_degree is not None and max_wedge_degree < 1:
+        raise ValueError(
+            f"max_wedge_degree must be >= 1, got {max_wedge_degree}"
+        )
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     und = (
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -915,6 +925,11 @@ def link_prediction(
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
     e1 = und.select(F.col("a").alias("z"), F.col("b").alias("u"))
     e2 = und.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    if max_wedge_degree is not None:
+        allowed = deg.where(F.col("deg") <= F.lit(int(max_wedge_degree)))
+        centers = allowed.select(F.col("a").alias("z"))
+        e1 = e1.join(centers, "z", "semi")
+        e2 = e2.join(centers, "z", "semi")
     wedges = e1.join(e2, "z").where(F.col("u") < F.col("w"))
     cn = (
         wedges.groupBy("u", "w")

@@ -9511,3 +9511,83 @@ GROUP BY a.node, b.node"""
 
 QUERIES["q_walk_skipgrams"] = q_walk_skipgrams
 ORACLES["q_walk_skipgrams"] = sql_walk_skipgrams
+
+
+_LPRED_MAX_DEG = 4
+
+
+def q_link_predict_capped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hub-capped link prediction (operators/graph.link_prediction
+    with max_wedge_degree): wedge centers above degree 4 are excluded
+    before the quadratic wedge join — the bounded-cost variant that
+    survives power-law hubs at crawl scale; degrees in the Jaccard
+    denominator stay exact. The oracle replays the identical cap."""
+    from ..operators.graph import link_prediction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    e3 = base.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.col("n")).alias("dst"),
+    )
+    out = link_prediction(
+        e1.union(e2).union(e3),
+        min_common=_LPRED_MIN_COMMON,
+        max_wedge_degree=_LPRED_MAX_DEG,
+    )
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "jaccard_u",
+    )
+
+
+def sql_link_predict_capped() -> str:
+    return f"""WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+  UNION ALL
+  SELECT id, (7 * id + 11) % (SELECT n FROM n_docs) FROM ids WHERE id % 2 = 0
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e_raw UNION ALL SELECT b AS a, a AS b FROM e_raw
+  ) WHERE a <> b
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+centers AS (SELECT a FROM deg WHERE deg <= {_LPRED_MAX_DEG}),
+wedge AS (
+  SELECT e1.b AS u, e2.b AS w, COUNT(*) AS common
+  FROM und e1 JOIN und e2 ON e1.a = e2.a
+  JOIN centers c ON c.a = e1.a
+  WHERE e1.b < e2.b GROUP BY e1.b, e2.b
+),
+cand AS (
+  SELECT c.u, c.w, c.common FROM wedge c
+  LEFT JOIN und x ON c.u = x.a AND c.w = x.b
+  WHERE x.a IS NULL AND c.common >= {_LPRED_MIN_COMMON}
+)
+SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common,
+       CAST((c.common * 1000000) // (du.deg + dw.deg - c.common)
+            AS BIGINT) AS jaccard_u
+FROM cand c
+JOIN deg du ON du.a = c.u
+JOIN deg dw ON dw.a = c.w"""
+
+
+QUERIES["q_link_predict_capped"] = q_link_predict_capped
+ORACLES["q_link_predict_capped"] = sql_link_predict_capped

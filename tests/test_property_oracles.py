@@ -101,8 +101,10 @@ _QUERY_NAMES = [
     # sharded draw must stay row-identical to the single-level oracle
     "q_harmonic_centrality",
     "q_stratified_shard",
-    # wave 21: skip-gram window join over walks that stop at sinks
+    # wave 21: skip-gram window join over walks that stop at sinks;
+    # hub-capped wedge generation under caps below every degree
     "q_walk_skipgrams",
+    "q_link_predict_capped",
 ]
 
 

@@ -195,3 +195,26 @@ def test_referential_orphans_counts_and_null_fk(spark):
         for r in referential_orphans(child, parent, "fk_key", "pk_key").collect()
     }
     assert got == {2: 1, None: 1}
+
+
+def test_link_prediction_hub_cap_excludes_center(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # hub 0 (degree 3) is the only wedge center: capping it below its
+    # degree removes every candidate; at the cap they return, and the
+    # Jaccard denominator still uses the hub's FULL degree
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    assert link_prediction(df, min_common=1, max_wedge_degree=2).count() == 0
+    got = {
+        (r.u, r.w): r.jaccard_u
+        for r in link_prediction(
+            df, min_common=1, max_wedge_degree=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1_000_000, (1, 3): 1_000_000, (2, 3): 1_000_000}
+    with pytest.raises(ValueError):
+        link_prediction(df, min_common=1, max_wedge_degree=0)
