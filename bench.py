@@ -271,6 +271,7 @@ def main() -> None:
         "q_winsorize",
         "q_walk_skipgrams",
         "q_link_predict_capped",
+        "q_hybrid_rrf",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

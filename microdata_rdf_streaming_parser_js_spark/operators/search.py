@@ -172,3 +172,42 @@ def tfidf_top_terms(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= topk)
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    k_const: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> "DataFrame":
+    """(id, rrf_u, n_lists): reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009) of several ranked lists — the standard hybrid-
+    retrieval combiner (lexical BM25 + embedding cosine, the two
+    retrievers this engine already builds) and the fusion step of a
+    RAG/data-curation retrieval stack. Each list contributes
+    floor(1e6 / (k_const + rank)) per item; absent items contribute
+    nothing. Integer micro-units, so the distributed fold order and
+    the DuckDB replay agree exactly; ``n_lists`` exposes how many
+    retrievers surfaced the item (the usual tie-break/diagnostic).
+
+    Shape: a union of the (already tiny: top-k each) ranked lists and
+    ONE map-side-combined groupBy — fusion cost is O(k x lists)
+    regardless of corpus size, because ranking happened upstream.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k_const < 1:
+        raise ValueError(f"k_const must be >= 1, got {k_const}")
+    u = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"1000000 div ({int(k_const)} + {rank_col})"
+            ).cast("long").alias("_c"),
+        )
+        u = part if u is None else u.unionByName(part)
+    return u.groupBy("id").agg(
+        F.sum("_c").cast("long").alias("rrf_u"),
+        F.count("*").cast("int").alias("n_lists"),
+    )

@@ -9591,3 +9591,69 @@ JOIN deg dw ON dw.a = c.w"""
 
 QUERIES["q_link_predict_capped"] = q_link_predict_capped
 ORACLES["q_link_predict_capped"] = sql_link_predict_capped
+
+
+# --- wave 22: reciprocal-rank fusion of the lexical + vector retrievers ---
+
+_RRF_K = 60
+
+
+def q_hybrid_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hybrid retrieval (operators/search.rrf_fuse): the BM25 top-20
+    (ranked by score desc, id asc — a window over 20 rows, not the
+    corpus) fused with the cosine top-10 for query vector 0 by
+    reciprocal-rank fusion, k=60 — the standard lexical+vector
+    combiner of a retrieval/curation stack. Fusion cost is
+    O(k x lists) regardless of corpus size."""
+    from ..operators.search import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(
+        docs,
+        _BM25_TERMS,
+        topk=_BM25_TOPK,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_u").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk(emb, qv, k=_TOPK_K).select(
+        F.col("vec_id").alias("id"), F.col("rank").cast("long").alias("rank")
+    )
+    out = rrf_fuse([lex, vec], k_const=_RRF_K)
+    return out.select(F.col("id").cast("long").alias("id"), "rrf_u", "n_lists")
+
+
+def sql_hybrid_rrf() -> str:
+    return f"""WITH lex AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank
+  FROM ({sql_bm25_topk()}) t
+),
+vec AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, rank
+  FROM ({sql_topk_cosine()}) t WHERE query_id = 0
+),
+u AS (
+  SELECT id, 1000000 // ({_RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT id, 1000000 // ({_RRF_K} + rank) AS c FROM vec
+)
+SELECT id, CAST(SUM(c) AS BIGINT) AS rrf_u,
+       CAST(COUNT(*) AS INTEGER) AS n_lists
+FROM u GROUP BY id"""
+
+
+QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
+ORACLES["q_hybrid_rrf"] = sql_hybrid_rrf

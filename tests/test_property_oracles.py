@@ -128,6 +128,10 @@ _EMB_QUERY_NAMES = [
     "q_embedding_near_dup",
     "q_semantic_dedup",
     "q_rp_embed",
+    # wave 22: rank fusion — the lexical list may be shorter than topk
+    # on the tiny companion corpus and overlap the vector list
+    # arbitrarily (needs BOTH tables, so it lives in this harness)
+    "q_hybrid_rrf",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
@@ -164,11 +168,30 @@ def test_embedding_queries_match_oracle_on_random_vectors(
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    # q_hybrid_rrf fuses the cosine ranks with BM25 over a companion
+    # corpus: doc ids mirror vec ids, term hits vary per doc so the
+    # lexical list length and overlap shift with the draw
+    terms = ("dup", "spark", "vector")
+    texts = []
+    for i in range(len(vecs)):
+        toks = [f"filler{i}"]
+        for j in range(i % 4):
+            toks += [terms[j % 3]] * ((i + j) % 3)
+        texts.append(" ".join(toks))
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"'{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
     )
     qs, oracles = queries(), oracle_sql()
     for name in _EMB_QUERY_NAMES:

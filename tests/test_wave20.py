@@ -147,3 +147,29 @@ def test_walk_skipgrams_counts_repeat_visits(spark):
         for r in walk_skipgrams(walks, window=1).collect()
     }
     assert got == {(5, 6): 2, (6, 5): 2}
+
+
+def test_rrf_fuse_arithmetic_and_overlap(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "id long, rank long")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "id long, rank long")
+    got = {
+        r.id: (r.rrf_u, r.n_lists)
+        for r in rrf_fuse([a, b], k_const=60).collect()
+    }
+    # floor(1e6/61)=16393, floor(1e6/62)=16129
+    assert got == {
+        10: (16_393, 1),
+        11: (16_129 + 16_393, 2),  # rank 2 in a, rank 1 in b
+        12: (16_129, 1),
+    }
+    # overlap outranks single-list items: the fused winner is the doc
+    # both retrievers surfaced
+    assert max(got, key=lambda i: got[i][0]) == 11
+    with pytest.raises(ValueError):
+        rrf_fuse([], k_const=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k_const=0)
