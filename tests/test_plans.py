@@ -595,3 +595,33 @@ def test_winsorize_band_broadcasts_back(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_walk_skipgrams_no_cartesian_no_python(spark, sf_dir):
+    """The skip-gram window join must stay an equi-join on walk_id
+    (bounded by the fixed walk length) — never a cartesian/theta join
+    — and the whole plan is codegen (the only nested-loop join is the
+    1-row corpus-count broadcast every arithmetic-graph query uses)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_walk_skipgrams,
+    )
+
+    plan = plan_str(q_walk_skipgrams(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_fusion_is_python_free(spark, sf_dir):
+    """RRF fuses two already-tiny top-k lists: no cartesian join, no
+    Python anywhere in the fused plan (both retrievers are codegen),
+    and the fusion aggregate is map-side combined."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_hybrid_rrf,
+    )
+
+    plan = plan_str(q_hybrid_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
