@@ -173,3 +173,32 @@ def test_rrf_fuse_arithmetic_and_overlap(spark):
         rrf_fuse([], k_const=60)
     with pytest.raises(ValueError):
         rrf_fuse([a], k_const=0)
+
+
+def test_stratified_sharded_equivalence_randomized(spark):
+    """The top-k associativity argument, exercised across shard counts
+    and skewed group sizes: the sharded draw must be row-identical to
+    the single-level draw for every configuration."""
+    from microdata_rdf_streaming_parser_js_spark.operators.split import (
+        stratified_sample,
+        stratified_sample_sharded,
+    )
+
+    rows = (
+        [("big", i * 13 + 1) for i in range(150)]
+        + [("mid", i * 7 + 2) for i in range(20)]
+        + [("one", 999)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long")
+    plain = sorted(
+        (r.grp, r.key, r.rk)
+        for r in stratified_sample(df, "g", "k", k=9, salt="eq").collect()
+    )
+    for shards in (2, 3, 8, 32):
+        sharded = sorted(
+            (r.grp, r.key, r.rk)
+            for r in stratified_sample_sharded(
+                df, "g", "k", k=9, salt="eq", shards=shards
+            ).collect()
+        )
+        assert sharded == plain, f"diverged at shards={shards}"
