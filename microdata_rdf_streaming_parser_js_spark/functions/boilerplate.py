@@ -106,7 +106,9 @@ def extract_main_content(
     quarantine contract as extraction).
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        from .charset import decode_html
+
+        html = decode_html(bytes(html))
     try:
         from .fast_html import FastHtmlTokenizer
 

@@ -380,7 +380,9 @@ def parse_html(
     ``{baseIRI: base_iri, vocabRegistry: vocab_registry, xmlMode}``.
     """
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        from .charset import decode_html
+
+        html = decode_html(bytes(html))
     extractor = MicrodataExtractor(base_iri, vocab_registry)
     if xml_mode:
         from .html_events import XmlTagEventParser
@@ -420,7 +422,9 @@ def extract_text(html: str | bytes, xml_mode: bool = False) -> str:
     """Concatenation of all text events in document order — the
     byte-identity invariant column (`text`) of the pages table."""
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        from .charset import decode_html
+
+        html = decode_html(bytes(html))
     sink = _TextSink()
     if xml_mode:
         from .html_events import XmlTagEventParser

@@ -26,6 +26,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import types as T
 
+from ..functions.charset import decode_html, sniff_charset
 from ..functions.microdata import MicrodataExtractor
 from ..functions.html_events import HtmlTagEventParser
 
@@ -62,7 +63,10 @@ def _extract_page(base_iri: str, html, vocab_registry, xml_mode: bool,
     if isinstance(html, (bytes, bytearray, memoryview)):
         if len(html) > max_html_bytes:
             raise ValueError(f"html too large: {len(html)} bytes")
-        html = bytes(html).decode("utf-8", errors="replace")
+        # charset sniff (BOM -> meta prescan -> UTF-8 fallback): the
+        # reference consumes already-decoded strings, so the decode
+        # contract is OURS (functions/charset.py; SURVEY §2.1 S1)
+        html = decode_html(bytes(html))
     elif len(html) > max_html_bytes:
         raise ValueError(f"html too large: {len(html)} chars")
     extractor = MicrodataExtractor(base_iri or "", vocab_registry)
@@ -150,7 +154,7 @@ def extract_text_fn():
             texts = []
             for html in pdf["html"]:
                 if isinstance(html, (bytes, bytearray, memoryview)):
-                    html = bytes(html).decode("utf-8", errors="replace")
+                    html = decode_html(bytes(html))
                 texts.append(extract_text(html))
             yield pd.DataFrame({"url": pdf["url"], "text": texts})
 
@@ -163,6 +167,47 @@ TEXT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
     ]
 )
+
+
+CHARSET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def page_charsets(pages: "DataFrame") -> "DataFrame":
+    """(url, charset, text): the detected charset (BOM -> meta prescan
+    -> UTF-8 fallback, functions/charset.py) plus the extracted text of
+    the page decoded under it — the observability query for the decode
+    contract. Same execution shape as extraction: column-pruned scan,
+    one Arrow ``mapInPandas``, no shuffle."""
+    import pandas as pd
+
+    from ..functions.microdata import extract_text
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            charsets, texts = [], []
+            for html in pdf["html"]:
+                if html is None:
+                    charsets.append(None)
+                    texts.append(None)
+                    continue
+                raw = bytes(html) if not isinstance(html, str) else None
+                if raw is None:
+                    charsets.append("utf-8")
+                    texts.append(extract_text(html))
+                else:
+                    charsets.append(sniff_charset(raw))
+                    texts.append(extract_text(decode_html(raw)))
+            yield pd.DataFrame(
+                {"url": pdf["url"], "charset": charsets, "text": texts}
+            )
+
+    return pages.select("url", "html").mapInPandas(fn, schema=CHARSET_SCHEMA)
 
 
 METRICS_SCHEMA = T.StructType(
@@ -213,7 +258,7 @@ def compute_page_metrics(
     the listener tap. Returns the METRICS_SCHEMA tuple; shared by the
     distributed UDF below and the driver oracle's golden VALUES."""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_html(bytes(html))
     try:
         extractor = MicrodataExtractor(url or "", vocab_registry)
         tap = _MetricsTap(extractor)

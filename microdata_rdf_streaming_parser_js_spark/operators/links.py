@@ -164,7 +164,9 @@ def compute_anchors(html) -> list[tuple[str, str]]:
     from ..functions.fast_html import FastHtmlTokenizer
 
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        from ..functions.charset import decode_html
+
+        html = decode_html(bytes(html))
     tap = _AnchorTap()
     tok = FastHtmlTokenizer(tap)
     tok.feed(html)

@@ -9657,3 +9657,106 @@ FROM u GROUP BY id"""
 
 QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
 ORACLES["q_hybrid_rrf"] = sql_hybrid_rrf
+
+
+# ---------------------------------------------------------------------------
+# wave 23: charset-aware decode (BOM -> meta prescan -> UTF-8 fallback)
+# ---------------------------------------------------------------------------
+
+def _charset_corpus_rows() -> list[tuple]:
+    """Deterministic non-UTF-8 corpus: (url, raw_bytes, charset, name,
+    text) — the last three are GROUND TRUTH BY CONSTRUCTION (the plain
+    source string + the codec it was encoded with), not outputs of the
+    sniffer, so the oracle is independent of functions/charset.py.
+
+    Covers: windows-1252 via meta, the WHATWG iso-8859-1->cp1252 alias
+    quirk (payload contains EURO/quote bytes 0x80/0x92 invalid in pure
+    latin-1), Shift_JIS via http-equiv, GB2312->GBK, EUC-JP in single
+    quotes, UTF-16LE BOM, UTF-8 BOM outranking a lying meta, plain
+    UTF-8 fallback, an unknown label, and a declaration past the 1024-
+    byte prescan window (NOT honored -> replacement characters).
+    """
+
+    def doc(decl: str, payload: str) -> str:
+        return (
+            f"<html><head>{decl}</head><body>"
+            f'<div itemscope itemtype="http://schema.org/Thing">'
+            f'<span itemprop="name">{payload}</span></div></body></html>'
+        )
+
+    pad = '<meta data-pad="' + "x" * 1200 + '">'
+    late_payload = "caf\xe9 au lait"  # cp1252 bytes read as utf-8 ->
+    late_text = late_payload.encode("cp1252").decode("utf-8", "replace")
+    cases = [
+        # (name, decl, payload, codec, bom, expected_charset, expected_text)
+        ("c1252_meta", '<meta charset="windows-1252">',
+         "Caf\xe9 d\xe9j\xe0 – l’\xe9t\xe9", "cp1252", b"",
+         "cp1252", None),
+        ("latin1_alias", "<meta charset=iso-8859-1>",
+         "€ ’ na\xefve", "cp1252", b"", "cp1252", None),
+        ("sjis_httpequiv",
+         '<meta http-equiv="Content-Type" '
+         'content="text/html; charset=Shift_JIS">',
+         "日本語テスト", "cp932", b"",
+         "cp932", None),
+        ("gbk_meta", "<meta charset=GB2312>",
+         "中文测试页面", "gbk", b"", "gbk", None),
+        ("eucjp_quotes", "<meta charset='EUC-JP'>",
+         "演習データ", "euc_jp", b"", "euc_jp", None),
+        ("utf16le_bom", "", "Unicode 中 \xe9", "utf-16-le",
+         b"\xff\xfe", "utf-16-le", None),
+        ("utf8_bom_wins", "<meta charset=shift_jis>", "d\xe9j\xe0 vu",
+         "utf-8", b"\xef\xbb\xbf", "utf-8", None),
+        ("utf8_fallback", "", "na\xefve caf\xe9 中", "utf-8", b"",
+         "utf-8", None),
+        ("unknown_label", "<meta charset=x-klingon>", "plain ascii",
+         "utf-8", b"", "utf-8", None),
+        ("late_meta", pad + "<meta charset=windows-1252>", late_payload,
+         "cp1252", b"", "utf-8", late_text),
+    ]
+    rows = []
+    for name, decl, payload, codec, bom, exp_cs, exp_text in cases:
+        url = f"http://charset.example.org/{name}.html"
+        raw = bom + doc(decl, payload).encode(codec)
+        text = exp_text if exp_text is not None else payload
+        rows.append((url, raw, exp_cs, text, text))
+    return rows
+
+
+def q_extract_charset(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Charset contract end-to-end (operators/extract.page_charsets +
+    extract_triples over non-UTF-8 pages): detected charset, the
+    extracted itemprop=name literal, and the full text column — all
+    must equal the by-construction ground truth, proving non-UTF-8
+    crawl pages stop extracting mojibake (round-3 verdict item 1).
+    Both stages are column-pruned scans + one Arrow mapInPandas; the
+    join key is the tiny corpus url (AQE broadcasts it)."""
+    from ..operators.extract import page_charsets
+
+    rows = [(u, bytearray(raw)) for u, raw, *_ in _charset_corpus_rows()]
+    pages = spark.createDataFrame(rows, "url string, html binary").coalesce(2)
+    cs = page_charsets(pages)
+    names = (
+        extract_triples(pages)
+        .filter(F.col("pred") == "http://schema.org/name")
+        .select("url", F.col("obj").alias("name"))
+    )
+    return cs.join(names, "url").select("url", "charset", "name", "text")
+
+
+def sql_extract_charset() -> str:
+    rows = ",\n ".join(
+        f"({_sql_str(u)}, {_sql_str(cs)}, {_sql_str(nm)}, {_sql_str(tx)})"
+        for u, _raw, cs, nm, tx in _charset_corpus_rows()
+    )
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(charset AS VARCHAR) AS charset,
+       CAST(name AS VARCHAR) AS name,
+       CAST(text AS VARCHAR) AS text
+FROM (VALUES
+ {rows}
+) t(url, charset, name, text)"""
+
+
+QUERIES["q_extract_charset"] = q_extract_charset
+ORACLES["q_extract_charset"] = sql_extract_charset

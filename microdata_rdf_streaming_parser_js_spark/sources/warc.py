@@ -26,6 +26,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import types as T
 
+from ..functions.charset import decode_html
+
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
@@ -124,7 +126,9 @@ def read_warc_pages(spark: "SparkSession", path: str) -> "DataFrame":
             for content in pdf["content"]:
                 for url, html, headers in parse_warc(bytes(content)):
                     urls.append(url)
-                    htmls.append(html.decode("utf-8", "replace"))
+                    # BOM/meta charset sniff with UTF-8 fallback — the
+                    # same decode contract as the parquet page path
+                    htmls.append(decode_html(html))
                     # a crawled document's base IRI is its own URI
                     # unless the writer pinned one explicitly
                     bases.append(headers.get("warc-x-base-iri", url))
