@@ -884,6 +884,7 @@ def link_prediction(
     dst_col: str = "dst",
     min_common: int = 2,
     max_wedge_degree: int | None = None,
+    max_hub_degree_uncapped: int | None = 10_000,
 ) -> "DataFrame":
     """(u, w, common, jaccard_u): link-prediction candidates — pairs
     of non-adjacent nodes scored by common-neighbor count and integer
@@ -909,6 +910,14 @@ def link_prediction(
     changes ONLY which common neighbors are counted; degrees in the
     Jaccard denominator stay exact. Still a pure function of
     (graph, cap), so the oracle replays it with one extra WHERE.
+
+    The uncapped path (``max_wedge_degree=None``) is GUARDED the same
+    way as :func:`..dedup.ngram_jaccard_pairs`: a one-row max-degree
+    probe (linear agg — vs the quadratic wedge join it gates) raises
+    when any hub exceeds ``max_hub_degree_uncapped``, so the silent
+    10^12-wedge regime is unreachable by default. Disable explicitly
+    with ``max_hub_degree_uncapped=None`` (test-scale baselines), or
+    pass ``max_wedge_degree`` — the production shape.
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
@@ -923,6 +932,19 @@ def link_prediction(
         .distinct()
     )
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    if max_wedge_degree is None and max_hub_degree_uncapped is not None:
+        row = deg.agg(F.max("deg").alias("m")).first()
+        hub = row["m"] if row is not None else None
+        if hub is not None and hub > max_hub_degree_uncapped:
+            raise ValueError(
+                f"link_prediction: uncapped wedge join over a graph "
+                f"whose max degree {hub} exceeds "
+                f"{max_hub_degree_uncapped} — the self-join is "
+                "quadratic in hub degree (a 10^6-degree hub alone "
+                "emits 10^12 wedges). Pass max_wedge_degree (hub "
+                "exclusion, the production shape) or explicitly "
+                "disable the guard with max_hub_degree_uncapped=None."
+            )
     e1 = und.select(F.col("a").alias("z"), F.col("b").alias("u"))
     e2 = und.select(F.col("a").alias("z"), F.col("b").alias("w"))
     if max_wedge_degree is not None:

@@ -445,6 +445,7 @@ def range_histogram(
     value_col: str = "value",
     n_bins: int = 8,
     scale: int = 1_000_000,
+    max_distinct_uncapped: int | None = 2_000_000,
 ) -> "DataFrame":
     """(bin, n_rows, min_u, max_u): exact equi-depth histogram of
     ``floor(value * scale)`` — the boundary table a range partitioner
@@ -464,13 +465,31 @@ def range_histogram(
     window orders that histogram, so its single-partition sort is
     distinct-values-sized; for a near-unique 100 TB key, feed a
     deterministic md5 sample (operators/split.mixture_sample) instead
-    of the full table. NULL and NaN excluded (the portable contract,
-    see group_quantiles_u).
+    of the full table. That assumption is now ENFORCED, not just
+    documented (same guard pattern as dedup.ngram_jaccard_pairs): an
+    ``approx_count_distinct`` probe (one linear agg — vs the
+    single-partition sort it gates) raises above
+    ``max_distinct_uncapped`` distinct scaled values; disable
+    explicitly with ``max_distinct_uncapped=None``. NULL and NaN
+    excluded (the portable contract, see group_quantiles_u).
     """
     v = F.col(value_col).cast("double")
     vu = df.where(v.isNotNull() & ~F.isnan(v)).select(
         F.floor(v * scale).cast("long").alias("v")
     )
+    if max_distinct_uncapped is not None:
+        row = vu.agg(F.approx_count_distinct("v").alias("d")).first()
+        d = row["d"] if row is not None else 0
+        if d > max_distinct_uncapped:
+            raise ValueError(
+                f"range_histogram: ~{d} distinct values of "
+                f"{value_col!r} exceed {max_distinct_uncapped} — the "
+                "cumulative window sorts the distinct-value histogram "
+                "on ONE partition, which OOMs a reducer on near-unique "
+                "keys. Feed a deterministic sample (e.g. "
+                "split.mixture_sample on md5) or explicitly disable "
+                "the guard with max_distinct_uncapped=None."
+            )
     hist = vu.groupBy("v").agg(F.count("*").alias("cnt"))
     wcum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
