@@ -9760,3 +9760,60 @@ FROM (VALUES
 
 QUERIES["q_extract_charset"] = q_extract_charset
 ORACLES["q_extract_charset"] = sql_extract_charset
+
+
+# ---------------------------------------------------------------------------
+# wave 24: unbounded ontology closure (fixpoint, no depth guess)
+# ---------------------------------------------------------------------------
+
+def q_subclass_closure_fixpoint(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """rdfs11 type propagation with NO depth guess
+    (operators/graph.transitive_closure_fixpoint): a depth-64 CHAIN
+    ontology (parent(c) = c - 1, 65 classes) — deep enough that the
+    bounded variant's default max_depth=16 would silently truncate —
+    closed by count-checked doubling rounds that converge at the
+    fixpoint (7 rounds: ceil(log2 64) + 1). The closure (65*66/2 + 0
+    rows, schema-sized) then broadcasts onto the instance table:
+    direct type (i mod 64) + 1, never the root, so every ancestor
+    count mixes inferred and direct typing. The oracle is an
+    UNBOUNDED recursive CTE — neither side knows the depth a priori.
+    Scale shape identical to q_rdfs_subclass_infer: fixpoint on the
+    tiny schema side, one broadcast join + one agg shuffle on the
+    big side."""
+    from ..operators.graph import transitive_closure_fixpoint
+
+    ids, _ = _kg_synth_base(spark, sf_dir)
+    cls = spark.range(65).select(F.col("id").alias("c"))
+    edges = cls.where(F.col("c") >= 1).select(
+        F.col("c").alias("subj"),
+        (F.col("c") - 1).cast("long").alias("obj"),
+    )
+    closure = transitive_closure_fixpoint(edges, reflexive=True)
+    types = ids.select(F.col("i"), ((F.col("i") % 64) + 1).alias("c"))
+    inferred = types.join(
+        F.broadcast(closure.withColumnRenamed("subj", "c")), "c"
+    )
+    return inferred.groupBy(
+        F.concat(F.lit(_KG_CLS), F.col("obj").cast("string")).alias("cls")
+    ).agg(F.countDistinct("i").alias("n_inst"))
+
+
+def sql_subclass_closure_fixpoint() -> str:
+    return f"""WITH RECURSIVE
+ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+cls AS (SELECT range AS c FROM range(65)),
+anc(c, a) AS (
+  SELECT c, c FROM cls
+  UNION
+  SELECT r.c, r.a - 1 FROM anc r WHERE r.a >= 1
+),
+types AS (SELECT i, (i % 64) + 1 AS c FROM ids)
+SELECT '{_KG_CLS}' || a.a AS cls, COUNT(DISTINCT t.i) AS n_inst
+FROM types t JOIN anc a ON a.c = t.c
+GROUP BY a.a"""
+
+
+QUERIES["q_subclass_closure_fixpoint"] = q_subclass_closure_fixpoint
+ORACLES["q_subclass_closure_fixpoint"] = sql_subclass_closure_fixpoint

@@ -351,3 +351,63 @@ def test_kcore_guards(spark):
     e = spark.createDataFrame([("a", "b")], "subj string, obj string")
     with _pytest.raises(ValueError, match="k must be"):
         kcore(n, e, 0)
+
+
+# --- transitive_closure_fixpoint (no depth guess) ---------------------------
+
+def _chain_edges(spark, n):
+    return spark.createDataFrame(
+        [(i, i - 1) for i in range(1, n)], "subj bigint, obj bigint"
+    )
+
+
+def test_closure_fixpoint_matches_bounded_on_deep_chain(spark):
+    """A depth-20 chain: the fixpoint variant must equal the bounded
+    variant given a CORRECT depth, with no depth supplied."""
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        transitive_closure,
+        transitive_closure_fixpoint,
+    )
+
+    e = _chain_edges(spark, 21)  # nodes 0..20, longest path 20
+    fx = sorted(map(tuple, transitive_closure_fixpoint(e).collect()))
+    bd = sorted(map(tuple, transitive_closure(e, max_depth=20).collect()))
+    assert fx == bd
+    assert len(fx) == 21 * 22 // 2  # reflexive chain closure
+    # and the bounded DEFAULT (max_depth=16) would have truncated:
+    short = transitive_closure(e, max_depth=16).count()
+    assert short < len(fx)
+
+
+def test_closure_fixpoint_cycle_and_pplus(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        transitive_closure_fixpoint,
+    )
+
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "subj bigint, obj bigint"
+    )
+    full = sorted(
+        map(tuple, transitive_closure_fixpoint(cyc).collect())
+    )
+    assert full == sorted((a, b) for a in range(3) for b in range(3))
+    # p+ on a DAG drops exactly the identity rows
+    dag = _chain_edges(spark, 4)
+    pp = transitive_closure_fixpoint(dag, reflexive=False)
+    assert pp.where("subj = obj").count() == 0
+    assert pp.count() == 4 * 5 // 2 - 4
+
+
+def test_closure_fixpoint_guards(spark):
+    import pytest as _pytest
+
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        transitive_closure_fixpoint,
+    )
+
+    e = _chain_edges(spark, 3)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        transitive_closure_fixpoint(e, max_rounds=0)
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        # a depth-4 chain cannot converge within ONE doubling round
+        transitive_closure_fixpoint(_chain_edges(spark, 5), max_rounds=1)
