@@ -9817,3 +9817,145 @@ GROUP BY a.a"""
 
 QUERIES["q_subclass_closure_fixpoint"] = q_subclass_closure_fixpoint
 ORACLES["q_subclass_closure_fixpoint"] = sql_subclass_closure_fixpoint
+
+
+# ---------------------------------------------------------------------------
+# wave 24b: end-to-end crawl frontier (seeds -> politeness -> delta)
+# ---------------------------------------------------------------------------
+
+_CF_PER_WAVE = 2
+_CF_DELAY_S = 3
+_CF_SALT = "frontier"
+_CF_N_GONE = 5
+
+
+def q_crawl_frontier(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The frontier loop a crawler actually runs, composed from the
+    separately-verified pieces (round-3 review item 8): seeds =
+    robots ``Sitemap:`` directives (operators/links.robots_sitemap_urls)
+    ∪ sitemap ``<loc>`` entries (extract_sitemap_urls) ∪ RFC 3986-
+    resolved hrefs (extract_links + resolve_links), filtered to
+    fetchable http(s) URLs and deduped; then a per-host politeness
+    schedule (crawl.politeness_schedule) over the frontier; then a
+    presence delta (crawl.crawl_delta, digest = md5(url)) against the
+    previous snapshot's ledger — `added` URLs are new fetch work,
+    `unchanged` are re-visits, `removed` are retired pages kept with
+    NULL schedule columns. Scale shape: every seed leg is a codegen'd
+    regexp/explode scan, the schedule is ONE shuffle on host, the
+    delta ONE shuffle on url against a ledger table; nothing touches
+    the driver."""
+    from ..operators.crawl import crawl_delta, politeness_schedule
+    from ..operators.links import (
+        HOST_PATTERN,
+        extract_links,
+        extract_sitemap_urls,
+        resolve_links,
+        robots_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        _robots_sitemap_rows(), "host string, robots_txt string"
+    )
+    sm_seeds = robots_sitemap_urls(robots).select(
+        F.col("sitemap_url").alias("url")
+    )
+    sitemaps = spark.createDataFrame(
+        _sitemap_rows(), "sitemap_url string, xml string"
+    )
+    loc_seeds = extract_sitemap_urls(sitemaps).select("url")
+    pages = spark.createDataFrame(
+        _link_page_rows(), "url string, html string"
+    ).repartition(4)
+    href_seeds = resolve_links(extract_links(pages)).select(
+        F.col("dst_url").alias("url")
+    )
+    frontier = (
+        sm_seeds.unionByName(loc_seeds)
+        .unionByName(href_seeds)
+        .where(F.col("url").rlike("^https?://"))
+        .distinct()
+        .select(
+            "url", F.regexp_extract("url", HOST_PATTERN, 1).alias("_host")
+        )
+    )
+    sched = politeness_schedule(
+        frontier, per_wave=_CF_PER_WAVE, delay_s=_CF_DELAY_S, salt=_CF_SALT
+    )
+    gone = spark.range(_CF_N_GONE).select(
+        F.concat(F.lit("http://gone.example.org/old/"),
+                 F.col("id").cast("string")).alias("url")
+    )
+    old = (
+        pages.select("url").unionByName(gone)
+        .select("url", F.md5("url").alias("digest"))
+    )
+    new = sched.select("url", F.md5("url").alias("digest"))
+    delta = crawl_delta(old, new)
+    return delta.join(sched, "url", "left").select(
+        "url", "status", "host", "host_rank", "wave", "offset_s"
+    )
+
+
+def sql_crawl_frontier() -> str:
+    robots_vals = ",\n".join(
+        f"({_sql_str(h)}, {_sql_str(t)})" for h, t in _robots_sitemap_rows()
+    )
+    sm_vals = ",\n".join(
+        f"({_sql_str(u)}, {_sql_str(x)})" for u, x in _sitemap_rows()
+    )
+    href_vals = ",\n".join(
+        f"({_sql_str(dst)})"
+        for url, html in _link_page_rows()
+        for dst in _replay_links_py(url, html)
+    )
+    old_vals = ",\n".join(
+        [f"({_sql_str(u)})" for u, _ in _link_page_rows()]
+        + [f"('http://gone.example.org/old/{j}')"
+           for j in range(_CF_N_GONE)]
+    )
+    return f"""WITH robots(host, robots_txt) AS (VALUES
+{robots_vals}
+),
+sm(sitemap_url, xml) AS (VALUES
+{sm_vals}
+),
+hrefs(url) AS (VALUES
+{href_vals}
+),
+seeds AS (
+  SELECT unnest(regexp_extract_all(robots_txt,
+           '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)) AS url FROM robots
+  UNION
+  SELECT trim(unnest(regexp_extract_all(xml,
+           '<loc>\\s*([^<]+?)\\s*</loc>', 1))) FROM sm
+  UNION
+  SELECT url FROM hrefs
+),
+frontier AS (
+  SELECT DISTINCT url FROM seeds WHERE regexp_matches(url, '^https?://')
+),
+sched AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+           ORDER BY md5(url || '|{_CF_SALT}'), url) AS BIGINT) AS host_rank
+  FROM frontier
+),
+old(url) AS (VALUES
+{old_vals}
+)
+SELECT COALESCE(o.url, s.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN s.url IS NULL THEN 'removed'
+            ELSE 'unchanged' END AS status,
+       s.host,
+       s.host_rank,
+       CAST((s.host_rank - 1) // {_CF_PER_WAVE} AS BIGINT) AS wave,
+       CAST(((s.host_rank - 1) // {_CF_PER_WAVE}) * {_CF_DELAY_S} AS BIGINT)
+         AS offset_s
+FROM old o FULL OUTER JOIN sched s ON o.url = s.url"""
+
+
+QUERIES["q_crawl_frontier"] = q_crawl_frontier
+ORACLES["q_crawl_frontier"] = sql_crawl_frontier
