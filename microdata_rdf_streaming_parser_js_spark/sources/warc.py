@@ -21,6 +21,7 @@ envelope is stripped at its own blank line.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -33,19 +34,31 @@ if TYPE_CHECKING:
 
 _CRLF2 = b"\r\n\r\n"
 
+# HTTP envelope Content-Type charset parameter (RFC 9110 §8.3), both
+# quoted and bare token forms
+_HTTP_CHARSET_RE = re.compile(
+    rb"(?im)^content-type:[^\r\n]*?;\s*charset\s*=\s*\"?([A-Za-z0-9._:+-]+)"
+)
+
 
 def encode_warc(
     records: list[tuple[str, bytes]] | list[tuple[str, bytes, str | None]],
+    content_type: str = "text/html",
 ) -> bytes:
     """(url, html_bytes[, base_iri]) pages -> a WARC/1.0 byte stream of
     response records with a minimal HTTP envelope. A non-None base_iri
     is carried in a ``WARC-X-Base-IRI`` extension header (allowed by
-    ISO 28500; readers skip unknown headers)."""
+    ISO 28500; readers skip unknown headers). ``content_type`` is the
+    HTTP Content-Type written in each envelope — include a
+    ``; charset=...`` parameter to exercise the transport-charset
+    default the reader honors."""
     out = []
     for rec in records:
         url, html = rec[0], rec[1]
         base = rec[2] if len(rec) > 2 else None
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n\r\n"
+        ).encode("ascii") + html
         extra = f"WARC-X-Base-IRI: {base}\r\n" if base is not None else ""
         head = (
             "WARC/1.0\r\n"
@@ -96,6 +109,15 @@ def parse_warc(data: bytes) -> list[tuple[str, bytes, dict]]:
             url = headers.get("warc-target-uri", "")
             http_end = body.find(_CRLF2)
             html = body[http_end + 4 :] if http_end >= 0 else body
+            if http_end >= 0:
+                # transport charset from the HTTP envelope (weakest
+                # evidence: decode_html uses it only when the bytes
+                # carry no BOM and no meta declaration)
+                m = _HTTP_CHARSET_RE.search(body[:http_end])
+                if m:
+                    headers["x-http-charset"] = m.group(1).decode(
+                        "ascii", "replace"
+                    ).strip().lower()
             pages.append((url, html, headers))
         pos = head_end + 4 + length
         if data[pos : pos + 4] == _CRLF2:
@@ -127,8 +149,13 @@ def read_warc_pages(spark: "SparkSession", path: str) -> "DataFrame":
                 for url, html, headers in parse_warc(bytes(content)):
                     urls.append(url)
                     # BOM/meta charset sniff with UTF-8 fallback — the
-                    # same decode contract as the parquet page path
-                    htmls.append(decode_html(html))
+                    # same decode contract as the parquet page path;
+                    # the HTTP envelope's charset is the last-resort
+                    # default (in-document evidence outranks transport)
+                    htmls.append(
+                        decode_html(html,
+                                    default=headers.get("x-http-charset"))
+                    )
                     # a crawled document's base IRI is its own URI
                     # unless the writer pinned one explicitly
                     bases.append(headers.get("warc-x-base-iri", url))

@@ -108,3 +108,51 @@ def test_warc_roundtrip_property():
                 assert headers["warc-x-base-iri"] == base
 
     check()
+
+
+def test_http_envelope_charset_is_transport_default():
+    """RFC 9110 Content-Type charset is honored as the LAST-RESORT
+    default: it decodes pages with no in-document evidence, and loses
+    to a meta declaration when one exists."""
+    from microdata_rdf_streaming_parser_js_spark.sources.warc import (
+        encode_warc,
+        parse_warc,
+    )
+    from microdata_rdf_streaming_parser_js_spark.functions.charset import (
+        decode_html,
+    )
+
+    plain = "caf\xe9 au lait sans d\xe9claration".encode("cp1252")
+    warc = encode_warc(
+        [("http://x.example/a", plain)],
+        content_type='text/html; charset="ISO-8859-1"',
+    )
+    (url, html, headers), = parse_warc(warc)
+    assert headers["x-http-charset"] == "iso-8859-1"
+    assert decode_html(html, default=headers["x-http-charset"]) == (
+        "café au lait sans déclaration"
+    )
+    # a meta declaration outranks a LYING transport header
+    meta = "<meta charset=utf-8>café".encode("utf-8")
+    warc2 = encode_warc(
+        [("http://x.example/b", meta)],
+        content_type="text/html; charset=shift_jis",
+    )
+    (_, html2, h2), = parse_warc(warc2)
+    assert h2["x-http-charset"] == "shift_jis"
+    assert decode_html(html2, default=h2["x-http-charset"]).endswith("café")
+
+
+def test_read_warc_pages_uses_transport_charset(spark, tmp_path):
+    from microdata_rdf_streaming_parser_js_spark.sources.warc import (
+        encode_warc,
+        read_warc_pages,
+    )
+
+    raw = "na\xefve \xe9t\xe9".encode("cp1252")
+    (tmp_path / "t.warc").write_bytes(
+        encode_warc([("http://x.example/p", raw)],
+                    content_type="text/html; charset=windows-1252")
+    )
+    rows = read_warc_pages(spark, str(tmp_path)).collect()
+    assert [r["html"] for r in rows] == ["na\xefve \xe9t\xe9"]

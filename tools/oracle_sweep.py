@@ -4,11 +4,15 @@ compare row counts, column names/types, and sorted value tuples
 (columns sorted by name, like the driver's hash).
 
 Usage: python tools/oracle_sweep.py [query ...]
+Env: SPARK_GRAFT_SWEEP_SF overrides the table directory (default
+/root/testdata/sf0.01) — used by the sf1 scale-up spot-check over
+tools/make_sf1.py's derived tables.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -19,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from microdata_rdf_streaming_parser_js_spark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
