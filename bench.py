@@ -272,6 +272,9 @@ def main() -> None:
         "q_walk_skipgrams",
         "q_link_predict_capped",
         "q_hybrid_rrf",
+        "q_extract_charset",
+        "q_subclass_closure_fixpoint",
+        "q_crawl_frontier",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
