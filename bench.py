@@ -141,6 +141,8 @@ def main() -> None:
         "q_topk_cosine",
         "q_lsh_topk",
         "q_ivf_topk",
+        "q_pq_codes",
+        "q_pq_topk",
         "q_embedding_near_dup",
         "q_events_window",
         "q_events_sessionize",

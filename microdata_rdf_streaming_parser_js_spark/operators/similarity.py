@@ -595,3 +595,170 @@ def random_projection(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), F.explode(F.array(*comps)).alias("c")
     ).select("vec_id", F.col("c.dim_id").alias("dim_id"), F.col("c.proj_u").alias("proj_u"))
+
+
+def pq_codebooks_u(
+    embeddings: "DataFrame",
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """FAISS-style product-quantization training: split each
+    ``dim``-dimensional vector into ``m`` contiguous subvectors and run
+    the SAME integer-exact Lloyd k-means (:func:`kmeans_centroids_u`)
+    independently in each subspace. Returns ``books[j][c]`` = the
+    micro-unit codeword ``c`` of subspace ``j``.
+
+    Why PQ at 100 TB: a 64-dim float32 embedding is 256 bytes; its PQ
+    code is ``m`` codeword ids (here 4 bytes at ksub<=256) — a 64x
+    compression that lets the ADC search scan codes instead of vectors.
+    Training cost is bounded exactly like IVF training: per subspace
+    per iteration one job, and only ``ksub`` ledger rows (sub-dim sums
+    + count) ever reach the driver.
+    """
+    if dim % m:
+        raise ValueError(f"pq_codebooks_u: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("subv"),
+        )
+        books.append(
+            kmeans_centroids_u(
+                sliced, n_centroids=ksub, iterations=iterations,
+                scale=scale, vec_col="subv",
+            )
+        )
+    return books
+
+
+def _pq_sub_argmin(vu_slice: "Column", book: list[list[int]]) -> "Column":
+    """Codeword id (long) = integer squared-Euclidean argmin of a
+    micro-unit subvector against one subspace codebook (plan-time
+    literals; ties to the smaller codeword id) — the per-subspace
+    E-step reused by encode and ADC."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vu_slice,
+                        F.array(*[F.lit(int(x)).cast("long") for x in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cw in enumerate(book)
+        ]
+    )
+    return F.array_min(scores).getField("cid")
+
+
+def pq_encode(
+    embeddings: "DataFrame",
+    books_u: list[list[list[int]]],
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """(vec_id, code: array<long> of length m): nearest codeword per
+    subspace. Entirely scan-side codegen over plan-time codebook
+    literals — zero shuffles, zero joins, zero Python — so encoding a
+    10^12-row corpus is a single pass at scan speed (the compressed
+    codes, not the raw vectors, are what the ANN serving tier stores).
+    """
+    m = len(books_u)
+    sub = len(books_u[0][0])
+    vu = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    )
+    return vu.select(
+        "vec_id",
+        F.array(
+            *[
+                _pq_sub_argmin(F.slice(F.col("v"), j * sub + 1, sub), books_u[j])
+                for j in range(m)
+            ]
+        ).alias("code"),
+    )
+
+
+def pq_topk(
+    embeddings: "DataFrame",
+    queries: "DataFrame",
+    books_u: list[list[list[int]]],
+    k: int = 10,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> "DataFrame":
+    """Asymmetric-distance (ADC) top-k: (query_id, vec_id, adc_u,
+    rank<=k). Each corpus vector is represented ONLY by its PQ code;
+    the query stays exact. Per query a lookup table lut[j][c] =
+    integer squared distance from the query's j-th subvector to
+    codeword c is computed scan-side (m*ksub bounded structs), the
+    small query side (codes + luts) is broadcast, and the ADC distance
+    is m element_at fetches + adds per (query, code) pair — no
+    vector-width work on the big side at probe time. Ties rank to the
+    smaller vec_id. Distances are micro-unit-squared longs, so both
+    engines agree bit-for-bit.
+    """
+    m = len(books_u)
+    sub = len(books_u[0][0])
+    codes = pq_encode(embeddings, books_u, scale=scale,
+                      id_col=id_col, vec_col=vec_col)
+    qu = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("qv"),
+    )
+    luts = []
+    for j, book in enumerate(books_u):
+        qslice = F.slice(F.col("qv"), j * sub + 1, sub)
+        luts.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            qslice,
+                            F.array(*[F.lit(int(x)).cast("long") for x in cw]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    for cw in book
+                ]
+            ).alias(f"lut{j}")
+        )
+    q = F.broadcast(qu.select("query_id", *luts))
+    adc = sum(
+        F.element_at(F.col(f"lut{j}"), (F.col("code")[j] + 1).cast("int"))
+        for j in range(m)
+    )
+    scored = codes.crossJoin(q).select(
+        "query_id", "vec_id", adc.alias("adc_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_u").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

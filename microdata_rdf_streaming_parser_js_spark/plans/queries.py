@@ -1209,40 +1209,44 @@ def q_ivf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def _sql_lloyd_rounds(iters: int) -> str:
+def _sql_lloyd_rounds(iters: int, dim: int = 64, vu: str = "vu",
+                      prefix: str = "c") -> str:
     """Unrolled integer-exact Lloyd rounds mirroring
     operators/similarity.kmeans_centroids_u: micro-unit vectors,
     argmin squared-Euclidean assignment (ties -> min cid), floor-div
     centroid update ((s - mod)/n is exactly divisible, so '//' is
     exact), empty clusters keep their previous centroid. Expects CTEs
-    ``vu(vec_id, v)`` and ``c0(cid, cv)``; defines ``c{iters}``.
-    Shared by sql_ivf_topk and sql_kmeans_clusters."""
+    ``{vu}(vec_id, v)`` (``dim``-wide) and ``{prefix}0(cid, cv)``;
+    defines ``{prefix}{iters}``. Shared by sql_ivf_topk,
+    sql_kmeans_clusters, sql_semantic_dedup; the PQ oracles instantiate
+    it once per subspace with distinct ``vu``/``prefix``."""
     lloyd = []
     for r in range(iters):
-        lloyd.append(f"""dist{r} AS (
+        lloyd.append(f"""{prefix}dist{r} AS (
   SELECT v.vec_id, c.cid,
-         list_reduce(list_transform(range(1, 65),
+         list_reduce(list_transform(range(1, {dim + 1}),
            i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
-  FROM vu v CROSS JOIN c{r} c
+  FROM {vu} v CROSS JOIN {prefix}{r} c
 ),
-asg{r} AS (
+{prefix}asg{r} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-    FROM dist{r}) WHERE rn = 1
+    FROM {prefix}dist{r}) WHERE rn = 1
 ),
-upd{r} AS (
+{prefix}upd{r} AS (
   SELECT a.cid, d.i, SUM(v.v[d.i]) AS s, COUNT(*) AS n
-  FROM asg{r} a JOIN vu v USING (vec_id) CROSS JOIN range(1, 65) d(i)
+  FROM {prefix}asg{r} a JOIN {vu} v USING (vec_id)
+       CROSS JOIN range(1, {dim + 1}) d(i)
   GROUP BY a.cid, d.i
 ),
-cn{r} AS (
+{prefix}cn{r} AS (
   SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY i) AS cv
-  FROM upd{r} GROUP BY cid
+  FROM {prefix}upd{r} GROUP BY cid
 ),
-c{r + 1} AS (
+{prefix}{r + 1} AS (
   SELECT p.cid, COALESCE(cn.cv, p.cv) AS cv
-  FROM c{r} p LEFT JOIN cn{r} cn USING (cid)
+  FROM {prefix}{r} p LEFT JOIN {prefix}cn{r} cn USING (cid)
 )""")
     return ",\n".join(lloyd)
 
@@ -9959,3 +9963,152 @@ FROM old o FULL OUTER JOIN sched s ON o.url = s.url"""
 
 QUERIES["q_crawl_frontier"] = q_crawl_frontier
 ORACLES["q_crawl_frontier"] = sql_crawl_frontier
+
+
+# --- wave 23: product quantization (FAISS-style PQ encode + ADC top-k) ---
+
+_PQ_M = 4          # subspaces (64 dims -> 4 x 16)
+_PQ_KSUB = 8       # codewords per subspace (code = 4 ids, 64x smaller
+                   # than the 256-byte float32 vector)
+_PQ_ITER = 2       # Lloyd rounds per subspace (first-8-by-id seed)
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _cached_pq_books(emb: "DataFrame", key: str) -> list:
+    from ..operators.similarity import pq_codebooks_u
+
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = pq_codebooks_u(
+            emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITER, dim=_LSH_DIM,
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
+def q_pq_codes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Product-quantization encoding of the embedding corpus:
+    per-subspace integer-exact Lloyd codebooks (the IVF training
+    machinery run m=4 times on 16-dim slices), then a scan-side argmin
+    encode — (vec_id, c0..c3). Zero shuffles on the corpus side; the
+    output is the 64x-compressed representation an ANN serving tier
+    stores instead of raw vectors. Oracle replays all four subspace
+    trainings as unrolled CTE chains."""
+    from ..operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    books = _cached_pq_books(emb, sf_dir)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        *[F.col("code")[j].cast("long").alias(f"c{j}") for j in range(_PQ_M)],
+    )
+
+
+def q_pq_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ADC nearest-neighbor search over PQ codes: per query a bounded
+    m*ksub lookup table of integer subvector distances, broadcast onto
+    the code table; distance per candidate is m element_at fetches —
+    the corpus never materializes vector-width work at probe time.
+    (query_id, vec_id, adc_u, rank<=k), ties to smaller vec_id."""
+    from ..operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    books = _cached_pq_books(emb, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, books, k=_TOPK_K).select(
+        "query_id",
+        "vec_id",
+        F.col("adc_u").cast("long").alias("adc_u"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_pq_subspaces() -> str:
+    """CTE block shared by the PQ oracles: micro-unit vectors, one
+    16-dim slice + seed + unrolled Lloyd chain per subspace (prefix
+    p{j}_), and the final per-subspace codeword assignment code{j}
+    (vec_id, c{j}) with ties to the smaller codeword id."""
+    sub = _LSH_DIM // _PQ_M
+    parts = [f"""vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+)"""]
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""vu{j} AS (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM vu
+),
+p{j}_0 AS (SELECT vec_id AS cid, v AS cv FROM vu{j} WHERE vec_id < {_PQ_KSUB}),
+{_sql_lloyd_rounds(_PQ_ITER, dim=sub, vu=f"vu{j}", prefix=f"p{j}_")},
+code{j} AS (
+  SELECT vec_id, cid AS c{j} FROM (
+    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id ORDER BY
+        list_reduce(list_transform(range(1, {sub + 1}),
+          i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b)
+        ASC, c.cid ASC) AS rn
+    FROM vu{j} v CROSS JOIN p{j}_{_PQ_ITER} c) WHERE rn = 1
+)""")
+    joins = " ".join(f"JOIN code{j} USING (vec_id)" for j in range(1, _PQ_M))
+    parts.append(f"""codes AS (
+  SELECT * FROM code0 {joins}
+)""")
+    return ",\n".join(parts)
+
+
+def sql_pq_codes() -> str:
+    cols = ", ".join(f"CAST(c{j} AS BIGINT) AS c{j}" for j in range(_PQ_M))
+    return f"""WITH {_sql_pq_subspaces()}
+SELECT vec_id, {cols} FROM codes"""
+
+
+def sql_pq_topk() -> str:
+    sub = _LSH_DIM // _PQ_M
+    luts = []
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        luts.append(f"""lut{j} AS (
+  SELECT q.query_id, c.cid,
+         list_reduce(list_transform(range(1, {sub + 1}),
+           i -> (list_slice(q.v, {lo}, {hi})[i] - c.cv[i])
+                * (list_slice(q.v, {lo}, {hi})[i] - c.cv[i])),
+           (a, b) -> a + b) AS d2
+  FROM qv q CROSS JOIN p{j}_{_PQ_ITER} c
+)""")
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = l0.query_id "
+        f"AND l{j}.cid = cd.c{j}"
+        for j in range(1, _PQ_M)
+    )
+    adc_sum = " + ".join(f"l{j}.d2" for j in range(_PQ_M))
+    return f"""WITH {_sql_pq_subspaces()},
+qv AS (SELECT vec_id AS query_id, v FROM vu WHERE vec_id < {_N_QUERIES}),
+{",".join(luts)},
+adc AS (
+  SELECT l0.query_id, cd.vec_id, {adc_sum} AS adc_u
+  FROM codes cd
+  JOIN lut0 l0 ON l0.cid = cd.c0
+  {lut_joins}
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_u,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_u ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, CAST(adc_u AS BIGINT) AS adc_u, rank
+FROM ranked WHERE rank <= {_TOPK_K}"""
+
+
+QUERIES["q_pq_codes"] = q_pq_codes
+ORACLES["q_pq_codes"] = sql_pq_codes
+QUERIES["q_pq_topk"] = q_pq_topk
+ORACLES["q_pq_topk"] = sql_pq_topk
