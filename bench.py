@@ -173,6 +173,7 @@ def main() -> None:
         "q_corpus_ngrams",
         "q_redact_pii",
         "q_span_dedup",
+        "q_dup_spans",
         "q_pack_sequences",
         "q_mixture_sample",
         "q_main_content",

@@ -25,6 +25,7 @@ from __future__ import annotations
 from itertools import combinations
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -1079,3 +1080,78 @@ def cdc_chunks(
         F.md5("ch.chunk").alias("chunk_hash"),
     )
     return out.where(F.col("chunk_len") > 0)
+
+
+def dup_span_islands(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> "DataFrame":
+    """Exact repeated-substring spans across the corpus (the
+    dedup-maximal-substrings step of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    there built with a suffix array; here re-expressed relationally):
+    every word ``k``-gram occurrence that is NOT the corpus-first
+    occurrence of that gram is a removable position, and runs of
+    consecutive removable positions merge (gaps-and-islands) into
+    MAXIMAL duplicated spans — so a 200-token verbatim quote shared by
+    two pages surfaces as ONE (start, end) span, not 193 k-grams, and
+    unlike :func:`span_dedup`'s fixed non-overlapping windows the span
+    is found at ANY alignment. Output: one row per maximal span,
+    ``(doc_id, start_tok, end_tok, span_toks, n_dup_grams)``
+    (0-based token offsets, end inclusive); deleting those token
+    ranges and re-joining is the Lee-style deduplicated corpus.
+
+    Scale shape: gram generation is scan-side array code; occurrence
+    stats are a groupBy on the gram digest (map-side combined — a
+    boilerplate gram repeated on millions of pages collapses to one
+    row per map task, the same skew story as exact dedup) joined back
+    on the digest (one row per gram on the build side; AQE skew-join
+    splits hot probe keys). Island merging is a per-document window —
+    partitioned by doc_id, never global. First = min (doc_id, pos)
+    struct, the same corpus-wide keep rule as span_dedup.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    stats = grams.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+    )
+    dups = (
+        grams.join(stats.filter(F.col("n_occ") >= 2), "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dups.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(k - 1)).alias("end_tok"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_toks"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("grp")

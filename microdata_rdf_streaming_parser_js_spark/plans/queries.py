@@ -10112,3 +10112,71 @@ QUERIES["q_pq_codes"] = q_pq_codes
 ORACLES["q_pq_codes"] = sql_pq_codes
 QUERIES["q_pq_topk"] = q_pq_topk
 ORACLES["q_pq_topk"] = sql_pq_topk
+
+
+# --- wave 23b: Lee-et-al exact repeated-substring spans ---
+
+_DSI_K = 8
+
+
+def q_dup_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Maximal cross-corpus duplicated token spans
+    (operators/dedup.dup_span_islands): non-first duplicated k-gram
+    occurrences merged by gaps-and-islands into (start, end) ranges —
+    the exact-substring-dedup deliverable of Lee et al. 2022, found at
+    any alignment (unlike the fixed windows of q_span_dedup). Oracle
+    replays the gram walk, the corpus-first rule, and the island merge
+    with window functions."""
+    from ..operators.dedup import dup_span_islands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dup_span_islands(docs, k=_DSI_K)
+    return out.select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        F.col("span_toks").cast("long").alias("span_toks"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+    )
+
+
+def sql_dup_spans() -> str:
+    k = _DSI_K
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS t FROM documents
+),
+posns AS (
+  SELECT doc_id, t,
+         unnest(range(0, GREATEST(len(t) - {k} + 1, 0))) AS pos
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(
+           t[CAST(pos + 1 AS INT) : CAST(pos + {k} AS INT)], ' ')) AS gram
+  FROM posns
+),
+occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS n_occ
+  FROM grams
+),
+dups AS (
+  SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dups
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS end_tok,
+       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_toks,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, grp"""
+
+
+QUERIES["q_dup_spans"] = q_dup_spans
+ORACLES["q_dup_spans"] = sql_dup_spans
