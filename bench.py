@@ -243,6 +243,7 @@ def main() -> None:
         "q_events_cube",
         "q_running_total",
         "q_ann_recall",
+        "q_pq_recall",
         "q_bgp_optional",
         "q_construct_inverse",
         "q_scd2_islands",

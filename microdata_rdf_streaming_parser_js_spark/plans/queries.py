@@ -10180,3 +10180,37 @@ FROM isl GROUP BY doc_id, grp"""
 
 QUERIES["q_dup_spans"] = q_dup_spans
 ORACLES["q_dup_spans"] = sql_dup_spans
+
+
+def q_pq_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """PQ quality evaluation — recall@k of the ADC/product-quantization
+    path against the exact brute-force top-k, per query point (the
+    twin of q_ann_recall for the compressed index; the number that
+    decides how much quantization error the 64x storage saving costs).
+    Both sides reuse the registered pipelines unchanged; the oracle
+    composes the two EXISTING verified oracle texts as subqueries."""
+    exact = q_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    pq = q_pq_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(pq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+
+
+def sql_pq_recall() -> str:
+    return f"""SELECT ex.query_id, COUNT(*) AS n_exact,
+       COUNT(pq.vec_id) AS n_hits
+FROM ({sql_topk_cosine()}) ex
+LEFT JOIN ({sql_pq_topk()}) pq
+  ON pq.query_id = ex.query_id AND pq.vec_id = ex.vec_id
+GROUP BY ex.query_id"""
+
+
+QUERIES["q_pq_recall"] = q_pq_recall
+ORACLES["q_pq_recall"] = sql_pq_recall
