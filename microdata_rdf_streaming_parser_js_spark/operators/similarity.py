@@ -705,6 +705,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    fanout: int = 32,
 ) -> "DataFrame":
     """Asymmetric-distance (ADC) top-k: (query_id, vec_id, adc_u,
     rank<=k). Each corpus vector is represented ONLY by its PQ code;
@@ -716,6 +717,17 @@ def pq_topk(
     vector-width work on the big side at probe time. Ties rank to the
     smaller vec_id. Distances are micro-unit-squared longs, so both
     engines agree bit-for-bit.
+
+    Scale shape — two-level top-k: ADC deliberately scans EVERY code
+    (that is the FAISS flat-PQ contract), so a single rank window
+    partitioned by query_id would hand each of the few query reducers
+    the whole corpus. Instead candidates first rank inside
+    ``fanout`` hash buckets of vec_id (the N*Q scored rows spread over
+    fanout*Q reducers, each keeping k), and the global rank then sees
+    at most fanout*k survivors per query. The global top-k is always a
+    subset of the union of bucket top-ks, and the final (adc_u,
+    vec_id) total order is bucket-independent — so ``fanout`` changes
+    the plan, never the result.
     """
     m = len(books_u)
     sub = len(books_u[0][0])
@@ -755,10 +767,17 @@ def pq_topk(
     scored = codes.crossJoin(q).select(
         "query_id", "vec_id", adc.alias("adc_u")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_u").asc(), F.col("vec_id").asc()
+    order = [F.col("adc_u").asc(), F.col("vec_id").asc()]
+    wb = Window.partitionBy(
+        "query_id", F.pmod(F.hash("vec_id"), F.lit(fanout))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("r1", F.row_number().over(wb))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

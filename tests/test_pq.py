@@ -69,3 +69,15 @@ def test_adc_self_query_ranks_first(emb, books):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_u(emb, m=5, ksub=8, iterations=1, dim=64)
+
+
+def test_adc_fanout_invariance(emb, books):
+    """The two-level top-k's bucket count changes the plan, never the
+    result — global top-k is a subset of the union of bucket top-ks."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, pq_topk(emb, queries, books, k=7, fanout=1).collect()))
+    b = sorted(map(tuple, pq_topk(emb, queries, books, k=7, fanout=7).collect()))
+    c = sorted(map(tuple, pq_topk(emb, queries, books, k=7, fanout=64).collect()))
+    assert a == b == c and len(a) == 21
