@@ -143,6 +143,7 @@ def main() -> None:
         "q_ivf_topk",
         "q_pq_codes",
         "q_pq_topk",
+        "q_ivfpq_topk",
         "q_embedding_near_dup",
         "q_events_window",
         "q_events_sessionize",

@@ -781,3 +781,113 @@ def pq_topk(
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    embeddings: "DataFrame",
+    queries: "DataFrame",
+    cents_u: list[list[int]],
+    books_u: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    fanout: int = 32,
+) -> "DataFrame":
+    """IVF-PQ — the FAISS serving shape for 10^12-vector corpora:
+    the coarse quantizer (:func:`kmeans_centroids_u` centroids) prunes
+    the search to ``n_probe`` inverted lists per query, and within the
+    probed lists candidates are ranked by PQ asymmetric distance over
+    4-byte codes (:func:`pq_codebooks_u` codebooks, no-residual
+    variant, FAISS ``by_residual=false``) instead of raw vectors.
+
+    One corpus scan assigns BOTH the list id (cosine argmax against
+    plan-time centroid literals) and the PQ code (per-subspace integer
+    argmin) in codegen — zero shuffles on the big side; the probe side
+    (query list choices + ADC lookup tables) broadcasts, candidates
+    come from the cid equi-join (never a cross join), and the rank is
+    the same two-level bucket-then-global top-k as :func:`pq_topk`.
+    Ranking is ADC (integer micro-unit-squared longs, engine-exact);
+    the coarse probe uses the same (cos desc, cid asc) order as
+    :func:`ivf_topk`.
+    """
+    m = len(books_u)
+    sub = len(books_u[0][0])
+    cents = [[x / scale for x in cu] for cu in cents_u]
+    micro = lambda c: F.transform(  # noqa: E731
+        c.cast("array<double>"), lambda x: F.floor(x * scale).cast("long")
+    )
+    codes = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e_vec"),
+        micro(F.col(vec_col)).alias("v"),
+    ).select(
+        "vec_id",
+        (-F.array_max(_cent_scores(F.col("e_vec"), cents)).getField("negcid"))
+        .alias("cid"),
+        F.array(
+            *[
+                _pq_sub_argmin(F.slice(F.col("v"), j * sub + 1, sub), books_u[j])
+                for j in range(m)
+            ]
+        ).alias("code"),
+    )
+    qu = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        micro(F.col(vec_col)).alias("qv"),
+    )
+    luts = []
+    for j, book in enumerate(books_u):
+        qslice = F.slice(F.col("qv"), j * sub + 1, sub)
+        luts.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            qslice,
+                            F.array(*[F.lit(int(x)).cast("long") for x in cw]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    for cw in book
+                ]
+            ).alias(f"lut{j}")
+        )
+    probes = qu.select(
+        "query_id",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_cent_scores(F.col("q_vec"), cents))),
+                1,
+                n_probe,
+            )
+        ).alias("p"),
+        *luts,
+    ).select("query_id", (-F.col("p.negcid")).alias("cid"),
+             *[f"lut{j}" for j in range(m)])
+    adc = sum(
+        F.element_at(F.col(f"lut{j}"), (F.col("code")[j] + 1).cast("int"))
+        for j in range(m)
+    )
+    scored = F.broadcast(probes).join(codes, "cid").select(
+        "query_id", "vec_id", adc.alias("adc_u")
+    )
+    order = [F.col("adc_u").asc(), F.col("vec_id").asc()]
+    wb = Window.partitionBy(
+        "query_id", F.pmod(F.hash("vec_id"), F.lit(fanout))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("r1", F.row_number().over(wb))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -10026,13 +10026,15 @@ def q_pq_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def _sql_pq_subspaces() -> str:
+def _sql_pq_subspaces(base: bool = True) -> str:
     """CTE block shared by the PQ oracles: micro-unit vectors, one
     16-dim slice + seed + unrolled Lloyd chain per subspace (prefix
     p{j}_), and the final per-subspace codeword assignment code{j}
-    (vec_id, c{j}) with ties to the smaller codeword id."""
+    (vec_id, c{j}) with ties to the smaller codeword id. With
+    ``base=False`` the vecs/vu header is omitted (for composition with
+    an oracle that already defines them, e.g. sql_ivfpq_topk)."""
     sub = _LSH_DIM // _PQ_M
-    parts = [f"""vecs AS (
+    parts = [] if not base else [f"""vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
@@ -10214,3 +10216,116 @@ GROUP BY ex.query_id"""
 
 QUERIES["q_pq_recall"] = q_pq_recall
 ORACLES["q_pq_recall"] = sql_pq_recall
+
+
+def q_ivfpq_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """IVF-PQ (operators/similarity.ivfpq_topk) — the FAISS serving
+    shape: the verified coarse quantizer (q_ivf_topk's cached Lloyd
+    centroids) prunes to _IVF_PROBE lists per query via a cid
+    EQUI-join, and candidates rank by PQ asymmetric distance over the
+    cached subspace codebooks (q_pq_topk's) — 4-byte codes, never raw
+    vectors, two-level bucket-then-global top-k. The oracle composes
+    the coarse Lloyd chain, the four subspace chains, the probe rule
+    and the ADC lookup joins from the same verified pieces."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    cents = _cached_centroids(emb, (sf_dir, "raw"))
+    books = _cached_pq_books(emb, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, queries, cents, books, k=_TOPK_K, n_probe=_IVF_PROBE,
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("adc_u").cast("long").alias("adc_u"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sql_ivfpq_topk() -> str:
+    cdot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v.e[i] * c.ce[i]), (x, y) -> x + y)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    sub = _LSH_DIM // _PQ_M
+    luts = []
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        luts.append(f"""lut{j} AS (
+  SELECT q.query_id, c.cid,
+         list_reduce(list_transform(range(1, {sub + 1}),
+           i -> (list_slice(q.v, {lo}, {hi})[i] - c.cv[i])
+                * (list_slice(q.v, {lo}, {hi})[i] - c.cv[i])),
+           (a, b) -> a + b) AS d2
+  FROM qv q CROSS JOIN p{j}_{_PQ_ITER} c
+)""")
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.query_id = cn.query_id "
+        f"AND l{j}.cid = cd.c{j}"
+        for j in range(1, _PQ_M)
+    )
+    adc_sum = " + ".join(f"l{j}.d2" for j in range(_PQ_M))
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vu WHERE vec_id < {_IVF_CENTROIDS}),
+{_sql_lloyd_rounds(_IVF_KMEANS_ITER)},
+cents AS (
+  SELECT cid, list_transform(cv, x -> x / 1000000.0) AS ce
+  FROM c{_IVF_KMEANS_ITER}
+),
+vc AS (
+  SELECT v.vec_id, c.cid,
+         {cdot} / ({nrm.format(v="v.e")} * {nrm.format(v="c.ce")}) AS cos
+  FROM vecs v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+{_sql_pq_subspaces(base=False)},
+qv AS (SELECT vec_id AS query_id, v FROM vu WHERE vec_id < {_N_QUERIES}),
+{",".join(luts)},
+cn AS (
+  SELECT p.query_id, a.vec_id FROM probe p JOIN assign a USING (cid)
+),
+adc AS (
+  SELECT cn.query_id, cn.vec_id, {adc_sum} AS adc_u
+  FROM cn
+  JOIN codes cd ON cd.vec_id = cn.vec_id
+  JOIN lut0 l0 ON l0.query_id = cn.query_id AND l0.cid = cd.c0
+  {lut_joins}
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_u,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_u ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, CAST(adc_u AS BIGINT) AS adc_u, rank
+FROM ranked WHERE rank <= {_TOPK_K}"""
+
+
+QUERIES["q_ivfpq_topk"] = q_ivfpq_topk
+ORACLES["q_ivfpq_topk"] = sql_ivfpq_topk

@@ -81,3 +81,38 @@ def test_adc_fanout_invariance(emb, books):
     b = sorted(map(tuple, pq_topk(emb, queries, books, k=7, fanout=7).collect()))
     c = sorted(map(tuple, pq_topk(emb, queries, books, k=7, fanout=64).collect()))
     assert a == b == c and len(a) == 21
+
+
+def test_ivfpq_probe_all_equals_flat_pq(emb, books):
+    """With n_probe = n_centroids the coarse quantizer prunes nothing,
+    so IVF-PQ must reduce exactly to flat ADC over all codes."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_centroids_u,
+    )
+
+    cents = kmeans_centroids_u(emb, n_centroids=8, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, books, k=5, n_probe=8).collect()))
+    flat = sorted(map(tuple, pq_topk(emb, queries, books, k=5).collect()))
+    assert full == flat and len(full) == 15
+
+
+def test_ivfpq_self_rank_one(emb, books):
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_centroids_u,
+    )
+
+    cents = kmeans_centroids_u(emb, n_centroids=8, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivfpq_topk(emb, queries, cents, books, k=5, n_probe=2)
+    firsts = {r["query_id"]: r["vec_id"]
+              for r in top.filter("rank = 1").collect()}
+    # a query's own list is always its top probe, so self is findable
+    assert firsts == {0: 0, 1: 1, 2: 2}
