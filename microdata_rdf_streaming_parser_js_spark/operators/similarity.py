@@ -12,6 +12,15 @@
   O(candidates). Recall is tunable via (n_planes, n_bands).
 - :func:`embedding_near_dup` — near-duplicate pairs by cosine >=
   threshold, LSH-bucketed.
+- :func:`kmeans_centroids_u` / :func:`kmeans_assign` — integer-exact
+  Lloyd training (bounded driver ledger) + scan-side assignment;
+  :func:`ivf_topk` probes the nearest inverted lists per query.
+- :func:`pq_codebooks_u` / :func:`pq_encode` / :func:`pq_topk` —
+  FAISS-style product quantization: per-subspace Lloyd codebooks,
+  zero-shuffle encode to 4-byte codes, ADC top-k over broadcast
+  per-query lookup tables (two-level bucket-then-global rank).
+- :func:`ivfpq_topk` — IVF-PQ, the serving shape at 10^12 vectors:
+  coarse-list pruning by cid equi-join + ADC within probed lists.
 """
 
 from __future__ import annotations
