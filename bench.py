@@ -127,6 +127,7 @@ def main() -> None:
         "q_extract_warc",
         "q_entity_link_mapping",
         "q_dedup_exact",
+        "q_nfc_dedup",
         "q_dedup_clusters",
         "q_winnow_fingerprints",
         "q_minhash_lsh_pairs",

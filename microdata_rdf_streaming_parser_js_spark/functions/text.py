@@ -130,3 +130,25 @@ def compress_ratio_u(text: str, level: int = 6, scale: int = 1_000_000):
         return (0, 0, 0)
     comp = zlib.compress(raw, level)
     return (len(raw), len(comp), (len(comp) * scale) // len(raw))
+
+
+def nfc_digest(text: str) -> str:
+    """md5 hex of the NFC-normalized text (Unicode TR15 canonical
+    composition): 'cafe\\u0301' and 'caf\\u00e9' digest identically, so
+    byte-level encoding variance (decomposed combining marks, Hangul
+    jamo sequences) stops defeating exact dedup. Deliberately does NOT
+    lowercase or collapse whitespace — that is norm_text's job and a
+    third normalizer implementation would risk cross-engine regex
+    drift; NFC targets encoding variance only.
+
+    Cross-engine: DuckDB's ``nfc_normalize`` was differential-tested
+    byte-identical against ``unicodedata.normalize("NFC", .)`` on
+    combining-mark reordering, Hangul jamo composition, composition
+    exclusions (Tibetan), and NFC-invariant compatibility chars
+    (ligature fi stays — this is NFC, not NFKC).
+    """
+    import hashlib
+    import unicodedata
+
+    norm = unicodedata.normalize("NFC", text or "")
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()

@@ -3,9 +3,10 @@
 embedding-cosine near-dup.
 
 Everything is built from JVM-side column expressions (split/transform/
-aggregate/md5/xxhash64) — no Python UDFs — so whole-stage codegen
-applies and the only shuffles are the groupBys/joins intrinsic to each
-algorithm.
+aggregate/md5/xxhash64) — so whole-stage codegen applies and the only
+shuffles are the groupBys/joins intrinsic to each algorithm. Sole
+exception: :func:`nfc_dedup` digests through one Arrow ``mapInPandas``
+pass, because Spark has no codegen Unicode NFC.
 
 Scale notes (100 TB):
 - exact dedup: one shuffle on a 16-byte digest (map-side partial agg).
@@ -1155,3 +1156,53 @@ def dup_span_islands(
         (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_toks"),
         F.count("*").alias("n_dup_grams"),
     ).drop("grp")
+
+
+def nfc_dedup(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Unicode-normalization-aware exact dedup: one row per distinct
+    NFC-normalized content — canonical (min) id + duplicate count,
+    the same single-digest-shuffle shape as :func:`exact_dedup`. Real
+    crawl text mixes composed and decomposed forms of the same
+    visible string (editors, OSes and CMSes disagree), and byte-level
+    md5 treats them as distinct documents; digesting
+    ``NFC(text)`` (functions/text.nfc_digest) closes that hole.
+
+    Spark has no codegen NFC, so the digest runs in an Arrow
+    ``mapInPandas`` pass (the repo's only Python execution mode) —
+    embarrassingly parallel, column-pruned, zero shuffle; the only
+    exchange is the map-side-combined digest groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.text import nfc_digest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("digest", T.StringType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "digest": [nfc_digest(t) for t in pdf[text_col]],
+                }
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(fn, schema=schema)
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

@@ -10329,3 +10329,59 @@ FROM ranked WHERE rank <= {_TOPK_K}"""
 
 QUERIES["q_ivfpq_topk"] = q_ivfpq_topk
 ORACLES["q_ivfpq_topk"] = sql_ivfpq_topk
+
+
+# --- wave 23c: Unicode-normalization-aware exact dedup ---
+
+_NFC_OFF = 10_000_000
+# the same visible suffix in NFC-composed vs fully decomposed form
+# (combining acute / diaeresis, Hangul jamo): NFC maps the second onto
+# the first, raw bytes do not
+_NFC_COMPOSED = " café naïve 각"
+_NFC_DECOMP = " café naïve 각"
+
+
+def q_nfc_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Unicode-normalization-aware exact dedup
+    (operators/dedup.nfc_dedup) over a derived corpus that plants the
+    same visible text in composed and decomposed encodings (real crawl
+    variance: editors/OSes disagree on NFC): each original doc gains
+    two variants whose suffixes differ only in byte encoding. NFC
+    digesting merges every composed/decomposed pair (byte-level md5
+    would not); the oracle replays the identical construction with
+    DuckDB's nfc_normalize (differential-tested byte-identical to
+    Python's unicodedata NFC on combining-mark reordering, Hangul
+    composition and composition exclusions)."""
+    from ..operators.dedup import nfc_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    var_a = docs.select(
+        (F.col("doc_id") + _NFC_OFF).alias("doc_id"),
+        F.concat("text", F.lit(_NFC_COMPOSED)).alias("text"),
+    )
+    var_b = docs.select(
+        (F.col("doc_id") + 2 * _NFC_OFF).alias("doc_id"),
+        F.concat("text", F.lit(_NFC_DECOMP)).alias("text"),
+    )
+    aug = docs.unionByName(var_a).unionByName(var_b)
+    return nfc_dedup(aug)
+
+
+def sql_nfc_dedup() -> str:
+    return f"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NFC_OFF}, text || '{_NFC_COMPOSED}' FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * _NFC_OFF}, text || '{_NFC_DECOMP}' FROM documents
+)
+SELECT md5(nfc_normalize(text)) AS digest,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_dups
+FROM aug GROUP BY 1"""
+
+
+QUERIES["q_nfc_dedup"] = q_nfc_dedup
+ORACLES["q_nfc_dedup"] = sql_nfc_dedup
