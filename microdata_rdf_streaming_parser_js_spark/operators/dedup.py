@@ -1112,6 +1112,16 @@ def dup_span_islands(
     splits hot probe keys). Island merging is a per-document window —
     partitioned by doc_id, never global. First = min (doc_id, pos)
     struct, the same corpus-wide keep rule as span_dedup.
+
+    The inline plan scans the corpus twice (the gram frame feeds both
+    the stats aggregate and the join probe). At crawl scale you do
+    not recompute it: the (doc_id, pos, gram) table IS the substring
+    ledger a continuous pipeline persists between crawls — new docs
+    append their grams, stats update incrementally, and old corpora
+    are never re-tokenized (the same persisted-signature shape as
+    minhash_lsh_pairs_incremental). The registered query keeps the
+    self-contained two-scan form because it is oracle-replayable
+    end-to-end.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
