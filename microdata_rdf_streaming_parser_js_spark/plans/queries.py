@@ -10377,7 +10377,7 @@ def sql_nfc_dedup() -> str:
   UNION ALL
   SELECT doc_id + {2 * _NFC_OFF}, text || '{_NFC_DECOMP}' FROM documents
 )
-SELECT md5(nfc_normalize(text)) AS digest,
+SELECT md5(nfc_normalize(COALESCE(text, ''))) AS digest,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_dups
 FROM aug GROUP BY 1"""

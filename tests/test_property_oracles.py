@@ -105,6 +105,11 @@ _QUERY_NAMES = [
     # hub-capped wedge generation under caps below every degree
     "q_walk_skipgrams",
     "q_link_predict_capped",
+    # wave 23: island merging under empty/NULL/duplicate docs; the
+    # NFC digest's NULL-as-empty contract (Python None -> "" must
+    # equal the oracle's COALESCE)
+    "q_dup_spans",
+    "q_nfc_dedup",
 ]
 
 
