@@ -625,3 +625,47 @@ def test_hybrid_rrf_fusion_is_python_free(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_ivfpq_no_cartesian_on_corpus(spark, sf_dir):
+    """IVF-PQ's whole point vs flat PQ: candidates arrive via the cid
+    EQUI-join, so the corpus side must never plan a cartesian/
+    nested-loop join (flat pq_topk legitimately cross-joins the tiny
+    broadcast query side; here the list pruning replaces it)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_ivfpq_topk
+
+    plan = plan_str(q_ivfpq_topk(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pq_encode_is_pure_scan(spark):
+    """Encoding a 10^12-row corpus must be a single scan-side pass:
+    no Exchange, no Join, no Python in the plan."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        pq_codebooks_u,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_codebooks_u(emb, m=4, ksub=8, iterations=1, dim=64)
+    plan = plan_str(pq_encode(emb, books))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_spans_no_cartesian_and_keyed_window(spark, sf_dir):
+    """The duplicated-gram join must stay an equi-join (a cartesian
+    over gram occurrences would be O(n^2) at crawl scale) and the
+    island-merge window must be partitioned by doc_id, never global."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_dup_spans
+
+    plan = plan_str(q_dup_spans(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partitionBy" not in plan  # formatted plans spell windows as
+    # 'Window [...], [doc_id...]' — assert the spec names the key:
+    assert "windowspecdefinition(doc_id" in plan.lower().replace(" ", "") or \
+        "[doc_id" in plan
