@@ -137,6 +137,14 @@ _EMB_QUERY_NAMES = [
     # on the tiny companion corpus and overlap the vector list
     # arbitrarily (needs BOTH tables, so it lives in this harness)
     "q_hybrid_rrf",
+    # wave 23: the PQ family retrains per-subspace codebooks on every
+    # drawn corpus (n>=17 keeps the first-8 seeds and the first-16
+    # coarse seeds populated); ADC is integer-exact so the only
+    # float-parity surface is the IVF-PQ coarse cosine probe
+    "q_pq_codes",
+    "q_pq_topk",
+    "q_pq_recall",
+    "q_ivfpq_topk",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
