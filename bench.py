@@ -457,16 +457,29 @@ def write_delta(result: dict) -> None:
     delta table to BENCH/DELTA.md."""
     import glob
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                          "BENCH_r*.json")))
-    if not files:
-        return
-    prev = _load_prev_bench(files[-1])
+    here = os.path.dirname(os.path.abspath(__file__))
+    # a driver record can be unparseable (round 3's tail was truncated
+    # mid-line): try the driver records newest-first, then the
+    # committed raw full records newest-mtime-first, so the regression
+    # table never silently goes stale against an ancient round
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH", "BENCH_r*_*.json")),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    prev = None
+    prev_name = None
+    for path in candidates:
+        prev = _load_prev_bench(path)
+        if prev and "queries" in prev:
+            prev_name = os.path.basename(path)
+            break
     if not prev or "queries" not in prev:
         return
     prev_q, cur_q = prev["queries"], result["queries"]
     lines = [
-        "# Bench delta vs " + os.path.basename(files[-1]),
+        "# Bench delta vs " + (prev_name or "?"),
         "",
         f"Headline triples/s: {prev.get('value')} -> {result.get('value')}"
         f" (x{(result.get('value') or 0) / prev['value']:.2f})"
