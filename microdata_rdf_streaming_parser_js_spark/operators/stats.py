@@ -817,3 +817,150 @@ def winsorize_u(
             "clipped_u"
         ),
     )
+
+
+def bigram_surprisal(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_bigrams, surprisal_u): per-document mean bigram
+    surprisal under an add-one-smoothed bigram LM trained on the same
+    corpus — the context-conditional upgrade of ``unigram_rarity`` and
+    the integer-exact stand-in for the CCNet/KenLM perplexity filter
+    (Wenzek et al. 2020 rank Common-Crawl documents by 5-gram LM
+    perplexity; a corpus bigram LM is the smallest model that still
+    scores *sequences*, not bags).
+
+    Shared contract (the DuckDB oracle rebuilds every step):
+    tokens = non-empty normalized whitespace tokens; V = distinct
+    token count; ctx(t1) = occurrences of t1 as a bigram context
+    (= sum of bigram counts over t2); per bigram
+    ``surprisal_u = ((ctx(t1) + V) * scale) div (cnt(t1,t2) + 1)``
+    — the floored inverse of the add-one conditional probability
+    ``(cnt12 + 1) / (ctx1 + V)`` in micro-units; per document the
+    mean is ``sum div n_bigrams`` over its bigram stream (docs with
+    fewer than two tokens score 0). Integer division before the
+    per-doc sum keeps the distributed fold order-free.
+
+    Scale shape: the bigram stream is a scan-side array transform +
+    explode (no shuffle); one map-side-combined shuffle builds the
+    bigram table; the context table and V derive from it by a second
+    (much smaller) aggregation; scoring joins the stream against the
+    bigram table keyed (t1, t2) — AQE broadcasts it while it fits —
+    and one final shuffle sums per document. Overflow bound: exact
+    while (max ctx + V) * scale < 2^63, i.e. ~9.2e12 context
+    occurrences at scale 1e6; shrink ``scale`` beyond.
+    """
+    from ..functions.text import _tokens
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    # zip_with over the two shifted slices: docs with 0 or 1 tokens
+    # yield an empty bigram array (sequence(1, 0) would DESCEND in
+    # Spark and emit a junk pair — do not reintroduce it here)
+    pairs = docs.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> struct(a AS t1, b AS t2))"
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+
+    bg_counts = pairs.groupBy("t1", "t2").agg(F.count("*").alias("cnt12"))
+    ctx_counts = bg_counts.groupBy("t1").agg(F.sum("cnt12").alias("ctx1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+
+    scored = (
+        pairs.join(bg_counts, ["t1", "t2"])
+        .join(ctx_counts, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.expr(f"((ctx1 + v) * {scale}) div (cnt12 + 1)").alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.sum("s").alias("ss"), F.count("*").alias("n"))
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.expr("ss div n").cast("long").alias("surprisal_u"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("surprisal_u", F.lit(0)).cast("long").alias("surprisal_u"),
+    )
+
+
+def tercile_buckets(
+    scored: "DataFrame",
+    id_col: str = "id",
+    value_col: str = "surprisal_u",
+    max_distinct_uncapped: int | None = 2_000_000,
+) -> "DataFrame":
+    """(id, value, bucket): CCNet-style head/middle/tail split of a
+    scored corpus (Wenzek et al. 2020 §4.3 keep the lowest-perplexity
+    third as 'head'). Exact tercile cuts, no engine quantile sketch:
+
+    cut1 = min v with cum(v) * 3 >= n, cut2 = min v with
+    cum(v) * 3 >= 2n over the (value, count) histogram's cumulative
+    counts; bucket = head (v <= cut1), middle (v <= cut2), tail.
+    Ties share a bucket by construction (the cut compares values,
+    never row ranks), so the assignment is deterministic on both
+    engines regardless of sort stability.
+
+    Scale shape: one map-side-combined shuffle to the value histogram;
+    the cumulative window runs over DISTINCT values only; the two cuts
+    broadcast back onto the scan — assignment itself is shuffle-free.
+    Like ``range_histogram`` the distinct-value histogram must fit one
+    reducer: a cheap ``approx_count_distinct`` probe raises above
+    ``max_distinct_uncapped`` (pass a coarser pre-floored value or a
+    sample instead of disabling the guard at crawl scale).
+    """
+    base = scored.select(F.col(id_col).alias("id"), F.col(value_col).alias("v"))
+    if max_distinct_uncapped is not None:
+        probe = base.agg(
+            F.approx_count_distinct("v").alias("d"), F.count("*").alias("n")
+        ).head()
+        if probe["d"] > max_distinct_uncapped:
+            raise ValueError(
+                f"tercile_buckets: ~{probe['d']} distinct values exceeds "
+                f"max_distinct_uncapped={max_distinct_uncapped}; the "
+                "cumulative window over the distinct-value histogram would "
+                "sort on one reducer. Pre-floor the value more coarsely or "
+                "feed a sample."
+            )
+    hist = base.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("cnt").over(w).alias("cum"))
+    total = base.agg(F.count("*").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias(
+                "cut1"
+            ),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))
+            ).alias("cut2"),
+        )
+    )
+    return base.crossJoin(F.broadcast(cuts)).select(
+        "id",
+        F.col("v").alias(value_col),
+        F.when(F.col("v") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("v") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

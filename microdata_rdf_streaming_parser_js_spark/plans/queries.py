@@ -10385,3 +10385,145 @@ FROM aug GROUP BY 1"""
 
 QUERIES["q_nfc_dedup"] = q_nfc_dedup
 ORACLES["q_nfc_dedup"] = sql_nfc_dedup
+
+
+# --- wave 24a: CCNet-style LM quality scoring + C4 blocklist gate ---
+
+_BG_SCALE = 1_000_000
+
+
+def _sql_bigram_scored() -> str:
+    """Shared CTE chain: documents -> per-doc add-one bigram
+    surprisal (same contract as operators/stats.bigram_surprisal)."""
+    toks = _TOKS.format(c="text")
+    return f"""tk AS (
+  SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM tk
+),
+bg AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT t1, t2, COUNT(*) AS cnt12 FROM bg GROUP BY t1, t2),
+ctx AS (SELECT t1, SUM(cnt12) AS ctx1 FROM bgc GROUP BY t1),
+voc AS (SELECT COUNT(DISTINCT t) AS v FROM pos),
+bg_scored AS (
+  SELECT bg.doc_id,
+         SUM(((ctx.ctx1 + (SELECT v FROM voc)) * {_BG_SCALE})
+             // (bgc.cnt12 + 1)) AS ss,
+         COUNT(*) AS n
+  FROM bg JOIN bgc USING (t1, t2) JOIN ctx USING (t1)
+  GROUP BY bg.doc_id
+),
+bg_final AS (
+  SELECT d.doc_id AS id,
+         CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(s.ss // s.n, 0) AS BIGINT) AS surprisal_u
+  FROM documents d LEFT JOIN bg_scored s ON s.doc_id = d.doc_id
+)"""
+
+
+def q_bigram_surprisal(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc mean add-one bigram surprisal
+    (operators/stats.bigram_surprisal) — the CCNet/KenLM perplexity
+    filter's integer-exact bigram stand-in; the oracle rebuilds the
+    identical LM (context counts, vocab, per-bigram floors)."""
+    from ..operators.stats import bigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_surprisal(docs, scale=_BG_SCALE)
+
+
+def sql_bigram_surprisal() -> str:
+    return f"""WITH {_sql_bigram_scored()}
+SELECT id, n_bigrams, surprisal_u FROM bg_final"""
+
+
+QUERIES["q_bigram_surprisal"] = q_bigram_surprisal
+ORACLES["q_bigram_surprisal"] = sql_bigram_surprisal
+
+
+def q_perplexity_buckets(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3) of the
+    bigram-surprisal scores: exact tercile cuts over the
+    distinct-value histogram (operators/stats.tercile_buckets), ties
+    share a bucket, assignment broadcast back scan-side."""
+    from ..operators.stats import bigram_surprisal, tercile_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tercile_buckets(bigram_surprisal(docs, scale=_BG_SCALE))
+
+
+def sql_perplexity_buckets() -> str:
+    return f"""WITH {_sql_bigram_scored()},
+hist AS (SELECT surprisal_u AS v, COUNT(*) AS cnt FROM bg_final GROUP BY 1),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT COUNT(*) AS n FROM bg_final),
+cuts AS (
+  SELECT MIN(CASE WHEN cum * 3 >= (SELECT n FROM tot) THEN v END) AS cut1,
+         MIN(CASE WHEN cum * 3 >= 2 * (SELECT n FROM tot) THEN v END) AS cut2
+  FROM cum
+)
+SELECT id, surprisal_u,
+       CASE WHEN surprisal_u <= cut1 THEN 'head'
+            WHEN surprisal_u <= cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM bg_final, cuts"""
+
+
+QUERIES["q_perplexity_buckets"] = q_perplexity_buckets
+ORACLES["q_perplexity_buckets"] = sql_perplexity_buckets
+
+
+# neutral stand-in blocklist (the real C4 list is a profanity list);
+# 'dup' and 'spark' occur in the synthetic corpus, 'spam' never does —
+# the gate exercises both hit and miss paths. Shared contract with the
+# oracle's IN list.
+_BLOCK_TERMS = ("dup", "spark", "spam")
+_BLOCK_MAX_RATIO_U = 40_000  # 4% token budget (C4 default is 0)
+
+
+def q_blocklist_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """C4-style token-blocklist gate (operators/scrub.blocklist_filter):
+    exact normalized-token matches against a plan-time literal term
+    list, per-doc hit ratio in micro-units, keep = ratio within
+    budget. Scan-side isin, one map-side-combined shuffle."""
+    from ..operators.scrub import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_filter(
+        docs, _BLOCK_TERMS, max_ratio_u=_BLOCK_MAX_RATIO_U
+    )
+
+
+def sql_blocklist_filter() -> str:
+    toks = _TOKS.format(c="text")
+    in_list = ", ".join(_sql_str(t) for t in _BLOCK_TERMS)
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest(list_filter({toks}, t -> t <> '')) AS t
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         SUM(CASE WHEN t IN ({in_list}) THEN 1 ELSE 0 END) AS hits
+  FROM tk GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+         CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_toks, hits,
+       CAST(CASE WHEN n_toks > 0 THEN (hits * {_BG_SCALE}) // n_toks
+                 ELSE 0 END AS BIGINT) AS hit_ratio_u,
+       (CASE WHEN n_toks > 0 THEN (hits * {_BG_SCALE}) // n_toks
+             ELSE 0 END) <= {_BLOCK_MAX_RATIO_U} AS keep
+FROM base"""
+
+
+QUERIES["q_blocklist_filter"] = q_blocklist_filter
+ORACLES["q_blocklist_filter"] = sql_blocklist_filter

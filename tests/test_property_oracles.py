@@ -110,6 +110,12 @@ _QUERY_NAMES = [
     # equal the oracle's COALESCE)
     "q_dup_spans",
     "q_nfc_dedup",
+    # wave 24a: the bigram LM under 0/1-token docs (a descending
+    # Spark sequence() would emit junk pairs — pinned here), tercile
+    # cuts under all-tied scores, blocklist under empty/NULL text
+    "q_bigram_surprisal",
+    "q_perplexity_buckets",
+    "q_blocklist_filter",
 ]
 
 
