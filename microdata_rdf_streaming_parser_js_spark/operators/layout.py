@@ -196,3 +196,59 @@ def compaction_plan(
             F.sum("_sz").alias("bin_bytes"),
         )
     )
+
+
+def rendezvous_score(key: "Column", shard: str) -> "Column":
+    """Exact HRW score: first 8 md5 hex nibbles of ``key|shard`` as a
+    long (16^8 < 2^53 — same integer both engines)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{shard}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def rendezvous_assign(
+    df: "DataFrame",
+    key_col: str,
+    shards: "tuple[str, ...] | list[str]",
+    out_col: str = "shard",
+) -> "DataFrame":
+    """``df`` plus an ``out_col`` assigning each key to a shard by
+    rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    1998): shard = argmax over shards of md5(key|shard).
+
+    Why not ``pmod(hash(key), n)``: when the shard list grows n -> n+1,
+    modulo reassigns ~n/(n+1) of ALL keys, forcing a near-total data
+    movement; HRW moves exactly the keys whose new argmax IS the added
+    shard (~1/(n+1) of them) and nothing else — the property a 100 TB
+    bucketed layout needs to expand without a full rewrite. (Consistent
+    ring hashing has the same guarantee; HRW needs no ring state and is
+    pure codegen.)
+
+    Ties (md5-equal scores) break to the EARLIEST shard in ``shards``
+    — pinned by the WHEN-chain order and mirrored in oracle SQL. The
+    chain is O(k^2) comparisons at plan time; fine for the literal
+    shard lists a table layout declares (k <= ~64). For router-scale k
+    swap in the array-of-structs max — same scores, different
+    tie-break, not oracle-shared.
+
+    Scale shape: scan-side codegen only — zero shuffles, zero joins;
+    the assignment is a free column on any existing pass.
+    """
+    shards = list(shards)
+    if len(shards) < 2 or len(set(shards)) != len(shards):
+        raise ValueError("rendezvous_assign: need >= 2 distinct shards")
+    key = F.col(key_col)
+    scores = [rendezvous_score(key, s) for s in shards]
+    expr = None
+    for i, name in enumerate(shards):
+        cond = None
+        for j in range(len(shards)):
+            if j == i:
+                continue
+            c = scores[i] >= scores[j]
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(out_col, expr)

@@ -316,3 +316,69 @@ def stratified_sample_sharded(
         .where(F.col("rk") <= F.lit(k))
         .select("grp", "key", "rk")
     )
+
+
+def isqrt_long(x: "Column") -> "Column":
+    """Exact integer floor-sqrt of a non-negative long: float sqrt
+    seeds, then a +/-1 integer correction — for x < 2^52 the double
+    estimate is within 1 of truth, so the corrected result is exact
+    (and engine-identical) regardless of IEEE rounding direction."""
+    r0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((r0 + 1) * (r0 + 1) <= x, r0 + 1)
+        .when(r0 * r0 > x, r0 - 1)
+        .otherwise(r0)
+    )
+
+
+def temperature_weights(
+    df: "DataFrame",
+    group_col: str,
+    target_total: int,
+    scale: int = _BUCKETS,
+) -> "DataFrame":
+    """(group, cnt, w, rate_u, expect_keep): alpha=0.5 temperature
+    resampling plan for a multi-source mixture (the multinomial
+    p_i^alpha smoothing of Conneau & Lample 2019 / mT5 — upweight
+    low-resource sources, damp the mega-source) as exact integers:
+
+    w = isqrt(cnt)  (= cnt^alpha at alpha = 1/2, floored);
+    rate_u = min(scale, (target_total * w * scale) div (sum_w * cnt));
+    expect_keep = (cnt * rate_u) div scale.
+
+    Feed ``rate_u`` straight into :func:`mixture_sample` as
+    ``weights_u`` to materialize the draw — this operator is the
+    planning half (per-group keep rates that hit ``target_total`` in
+    expectation under the smoothed distribution).
+
+    Scale shape: ONE map-side-combined shuffle (the group count);
+    sum_w is a 1-row broadcast back onto the k-row group table. Exact
+    while target_total * max(w) * scale < 2^63 (e.g. a 10^8-doc
+    target over groups of <= 8.1e7 docs at scale 1e6); shrink
+    ``scale`` beyond.
+    """
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    cnts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ws = cnts.select("grp", "cnt", isqrt_long(F.col("cnt")).alias("w"))
+    tot = ws.agg(F.sum("w").cast("long").alias("sum_w"))
+    rate = F.least(
+        F.lit(scale).cast("long"),
+        F.expr(f"({target_total} * w * {scale}) div (sum_w * cnt)"),
+    )
+    return (
+        ws.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "cnt",
+            "w",
+            rate.cast("long").alias("rate_u"),
+            F.expr(f"(cnt * least({scale}, "
+                   f"({target_total} * w * {scale}) div (sum_w * cnt)))"
+                   f" div {scale}")
+            .cast("long")
+            .alias("expect_keep"),
+        )
+    )

@@ -10527,3 +10527,151 @@ FROM base"""
 
 QUERIES["q_blocklist_filter"] = q_blocklist_filter
 ORACLES["q_blocklist_filter"] = sql_blocklist_filter
+
+
+# --- wave 24b: diversity metric, HRW sharding, temperature mixing ---
+
+_HRW_SHARDS = ("alpha", "bravo", "charlie", "delta", "echo")
+_HRW_ADDED = "foxtrot"
+_TEMP_TARGET = 300
+
+
+def q_ngram_diversity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc distinct-1/distinct-2 diversity ratios
+    (operators/stats.ngram_diversity) — the Li et al. degeneracy
+    metric a curation pass uses to drop repetitive boilerplate;
+    entirely in-row array code, zero shuffles (plan-pinned)."""
+    from ..operators.stats import ngram_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_diversity(docs)
+
+
+def sql_ngram_diversity() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH tk AS (
+  SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM tk
+)
+SELECT doc_id AS id,
+       CAST(len(toks) AS BIGINT) AS n1,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS d1,
+       CAST(len(bgs) AS BIGINT) AS n2,
+       CAST(len(list_distinct(bgs)) AS BIGINT) AS d2,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN (len(list_distinct(toks)) * 1000000) // len(toks)
+                 ELSE 0 END AS BIGINT) AS div1_u,
+       CAST(CASE WHEN len(bgs) > 0
+                 THEN (len(list_distinct(bgs)) * 1000000) // len(bgs)
+                 ELSE 0 END AS BIGINT) AS div2_u
+FROM b"""
+
+
+QUERIES["q_ngram_diversity"] = q_ngram_diversity
+ORACLES["q_ngram_diversity"] = sql_ngram_diversity
+
+
+def _sql_hrw_case(key_expr: str, shards: tuple[str, ...]) -> str:
+    """DuckDB twin of operators/layout.rendezvous_assign's WHEN chain:
+    earliest shard whose score >= every other score."""
+    score = {
+        s: _sql_hex8(f"md5({key_expr} || '|{s}')") for s in shards
+    }
+    whens = []
+    for i, s in enumerate(shards):
+        conds = " AND ".join(
+            f"{score[s]} >= {score[t]}" for j, t in enumerate(shards) if j != i
+        )
+        whens.append(f"WHEN {conds} THEN '{s}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def q_rendezvous_shards(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """HRW / rendezvous-hash shard assignment under the current shard
+    list and under the list grown by one
+    (operators/layout.rendezvous_assign), aggregated to the
+    (shard_old, shard_new) movement matrix — the expand-without-
+    full-rewrite property checked head-on: every moved key's new
+    shard IS the added shard (pinned by test). Assignment is pure
+    scan-side codegen; the single shuffle is the k x (k+1)-cell
+    count."""
+    from ..operators.layout import rendezvous_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = list(_HRW_SHARDS)
+    new = old + [_HRW_ADDED]
+    out = rendezvous_assign(
+        rendezvous_assign(docs, "doc_id", old, out_col="shard_old"),
+        "doc_id",
+        new,
+        out_col="shard_new",
+    )
+    return (
+        out.groupBy("shard_old", "shard_new")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
+def sql_rendezvous_shards() -> str:
+    key = "CAST(doc_id AS VARCHAR)"
+    old_case = _sql_hrw_case(key, _HRW_SHARDS)
+    new_case = _sql_hrw_case(key, _HRW_SHARDS + (_HRW_ADDED,))
+    return f"""WITH a AS (
+  SELECT {old_case} AS shard_old, {new_case} AS shard_new
+  FROM documents
+)
+SELECT shard_old, shard_new, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM a GROUP BY shard_old, shard_new"""
+
+
+QUERIES["q_rendezvous_shards"] = q_rendezvous_shards
+ORACLES["q_rendezvous_shards"] = sql_rendezvous_shards
+
+
+def q_temperature_mix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """alpha=0.5 temperature-resampling plan over the ``source``
+    column (operators/split.temperature_weights): integer isqrt
+    smoothing, per-source keep rates that hit the target total in
+    expectation — the multilingual/multi-source mixing recipe as a
+    deterministic k-row plan."""
+    from ..operators.split import temperature_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_weights(docs, "source", target_total=_TEMP_TARGET)
+
+
+def sql_temperature_mix() -> str:
+    return f"""WITH c AS (
+  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source
+),
+r0 AS (
+  SELECT grp, cnt,
+         CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS r
+  FROM c
+),
+ws AS (
+  SELECT grp, cnt,
+         CASE WHEN (r + 1) * (r + 1) <= cnt THEN r + 1
+              WHEN r * r > cnt THEN r - 1
+              ELSE r END AS w
+  FROM r0
+),
+tot AS (SELECT SUM(w) AS sum_w FROM ws)
+SELECT grp, cnt, w,
+       CAST(least(1000000,
+            ({_TEMP_TARGET} * w * 1000000) // (sum_w * cnt)) AS BIGINT)
+         AS rate_u,
+       CAST((cnt * least(1000000,
+            ({_TEMP_TARGET} * w * 1000000) // (sum_w * cnt))) // 1000000
+         AS BIGINT) AS expect_keep
+FROM ws, tot"""
+
+
+QUERIES["q_temperature_mix"] = q_temperature_mix
+ORACLES["q_temperature_mix"] = sql_temperature_mix

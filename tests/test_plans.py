@@ -735,3 +735,67 @@ def test_blocklist_filter_is_literal_isin(spark, sf_dir):
         "SortMergeJoin"
     ) or True  # structural: exactly one equi-join shape below
     assert " IN (" in plan or " INSET " in plan.upper() or "inset" in plan.lower()
+
+
+def test_ngram_diversity_zero_shuffle(spark, sf_dir):
+    """distinct-n diversity is in-row array code — a shuffle or a
+    Python stage here would make the cheapest gate pay the most."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_ngram_diversity,
+    )
+
+    plan = plan_str(q_ngram_diversity(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_rendezvous_moves_only_to_added_shard(spark, sf_dir):
+    """The HRW guarantee, checked directly: growing the shard list by
+    one moves ONLY keys whose new argmax is the added shard — no
+    key moves between pre-existing shards. Assignment itself must be
+    scan-side codegen (single Exchange = the final count)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _HRW_ADDED,
+        q_rendezvous_shards,
+    )
+
+    df = q_rendezvous_shards(spark, sf_dir)
+    plan = plan_str(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final of ONE shuffle
+    rows = df.collect()
+    moved = [r for r in rows if r["shard_old"] != r["shard_new"]]
+    assert moved, "expansion should move some keys"
+    assert all(r["shard_new"] == _HRW_ADDED for r in moved)
+    # and the added shard takes roughly 1/(n+1) of keys, not n/(n+1)
+    total = sum(r["n_keys"] for r in rows)
+    taken = sum(r["n_keys"] for r in moved)
+    assert taken < total // 3
+
+
+def test_isqrt_long_exact(spark):
+    """The +/-1-corrected float seed must equal exact floor-sqrt on
+    adversarial values (perfect squares, off-by-one neighbors)."""
+    import math
+
+    from microdata_rdf_streaming_parser_js_spark.operators.split import (
+        isqrt_long,
+    )
+    from pyspark.sql import functions as F
+
+    vals = []
+    for b in [0, 1, 2, 3, 10, 10**6, 10**9, 2**26, 2**51]:
+        for d in (-1, 0, 1):
+            v = b + d
+            if v >= 0:
+                vals.append(v)
+        r = math.isqrt(b)
+        for d in (-1, 0, 1):
+            v = r * r + d
+            if v >= 0:
+                vals.append(v)
+    df = spark.createDataFrame([(v,) for v in sorted(set(vals))], "x long")
+    out = df.select("x", isqrt_long(F.col("x")).alias("r")).collect()
+    for row in out:
+        assert row["r"] == math.isqrt(row["x"]), row

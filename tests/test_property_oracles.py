@@ -116,6 +116,11 @@ _QUERY_NAMES = [
     "q_bigram_surprisal",
     "q_perplexity_buckets",
     "q_blocklist_filter",
+    # wave 24b: diversity under empty/1-token docs, HRW movement
+    # matrix and temperature plan under random source skews
+    "q_ngram_diversity",
+    "q_rendezvous_shards",
+    "q_temperature_mix",
 ]
 
 
