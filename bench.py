@@ -281,6 +281,18 @@ def main() -> None:
         "q_extract_charset",
         "q_subclass_closure_fixpoint",
         "q_crawl_frontier",
+        "q_bigram_surprisal",
+        "q_perplexity_buckets",
+        "q_blocklist_filter",
+        "q_ngram_diversity",
+        "q_rendezvous_shards",
+        "q_temperature_mix",
+        "q_dsir_weights",
+        "q_modularity",
+        "q_minhash_recall",
+        "q_fineweb_rules",
+        "q_url_path_rollup",
+        "q_minhash_precision",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

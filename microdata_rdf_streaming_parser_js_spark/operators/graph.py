@@ -1142,3 +1142,83 @@ def walk_skipgrams(
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def modularity(
+    edges: "DataFrame",
+    labels: "DataFrame",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> "DataFrame":
+    """(label, n_nodes, e_in, k_sum, m, q_num): Newman modularity of a
+    community assignment, exact-rational by construction — the quality
+    score that decides whether a label-propagation / host-clustering
+    pass produced real structure or noise.
+
+    Contract (shared verbatim with the oracle): the graph is the
+    deduped undirected closure of ``edges`` (both directions,
+    distinct); deg(v) = number of undirected partners (a self-loop
+    counts once); the edge universe P = canonical pairs (a <= b),
+    m = |P|; per community c: e_in = pairs inside c, k_sum = sum of
+    member degrees. Global modularity
+    Q = sum_c q_num / (4 m^2) with q_num = 4*m*e_in - k_sum^2 —
+    returned as INTEGER numerators (q_num can be negative) and the
+    shared denominator piece m, so no engine ever divides: consumers
+    fold sum(q_num)/(4 m^2) at the precision they need.
+
+    Scale shape: two map-side-combined shuffles (degrees, pair-label
+    counts) plus the label lookups — labels join on node (AQE
+    broadcasts community tables that fit); m is a 1-row broadcast.
+    Overflow-exact while k_sum^2 < 2^63 (community degree sums up to
+    ~3e9; split mega-communities first at that point).
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("lbl")
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pairs = und.where(F.col("a") <= F.col("b"))
+    m_df = pairs.agg(F.count("*").cast("long").alias("m"))
+    e_in = (
+        pairs.join(lab.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("lbl", "la")
+        .join(
+            lab.withColumnRenamed("node", "b").withColumnRenamed("lbl", "lb"),
+            "b",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    per_c = (
+        lab.join(deg, "node", "left")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).cast("long").alias("k_sum"),
+        )
+        .join(e_in, "lbl", "left")
+        .select(
+            "lbl",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "k_sum",
+        )
+    )
+    return per_c.crossJoin(F.broadcast(m_df)).select(
+        F.col("lbl").alias("label"),
+        "n_nodes",
+        "e_in",
+        "k_sum",
+        "m",
+        (4 * F.col("m") * F.col("e_in") - F.col("k_sum") * F.col("k_sum"))
+        .cast("long")
+        .alias("q_num"),
+    )

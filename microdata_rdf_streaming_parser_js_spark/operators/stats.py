@@ -1017,3 +1017,162 @@ def ngram_diversity(
         div("d1", "n1").alias("div1_u"),
         div("d2", "n2").alias("div2_u"),
     )
+
+
+def dsir_weights(
+    docs: "DataFrame",
+    target: "Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_feats, importance_u): DSIR-style importance weights
+    (Xie et al. 2023, Data Selection via Importance Resampling) —
+    score every raw document by how much its hashed bag-of-n-grams
+    resembles a small TARGET distribution (e.g. the wiki/books slice)
+    relative to the raw corpus. The top-weight documents are what a
+    targeted pretraining mixture keeps.
+
+    Features = unigrams + adjacent bigrams, hashed to ``buckets``
+    cells by the first 8 md5 nibbles mod buckets (DSIR's hashed
+    n-gram generative model). Per feature occurrence the add-one
+    likelihood ratio in micro-units:
+    ``w_u = ((cnt_target[b] + 1) * scale) div (cnt_raw[b] + 1)``
+    (the floored ratio stands in for the log-ratio: monotone in it
+    per feature, integer-exact, fold-order-free); per document
+    ``importance_u = sum(w_u) div n_feats`` (0 when featureless).
+    ``target`` is a boolean Column over ``docs`` rows; the target set
+    is a subset of raw, as in continued-pretraining selection.
+
+    Scale shape: the bucket LM is ``buckets`` rows REGARDLESS of
+    corpus size (the point of feature hashing) — ONE map-side-combined
+    shuffle builds both counts (conditional sums), the table
+    broadcasts back onto the feature stream, one final shuffle sums
+    per document. Overflow-exact while (max bucket count + 1) * scale
+    < 2^63.
+    """
+    from ..functions.text import _tokens
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        target.cast("boolean").alias("is_t"),
+        toks.alias("toks"),
+    ).select(
+        "id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "concat(toks, zip_with("
+                "slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b)))"
+            )
+        ).alias("feat"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    stream = feats.select("id", "is_t", bucket.alias("b"))
+    lm = stream.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+        F.count("*").cast("long").alias("cnt_r"),
+    )
+    scored = (
+        stream.join(F.broadcast(lm), "b")
+        .select(
+            "id",
+            F.expr(f"((cnt_t + 1) * {scale}) div (cnt_r + 1)").alias("w"),
+        )
+        .groupBy("id")
+        .agg(F.sum("w").alias("sw"), F.count("*").alias("n"))
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_feats"),
+            F.expr("sw div n").cast("long").alias("importance_u"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("importance_u", F.lit(0)).cast("long").alias("importance_u"),
+    )
+
+
+def fineweb_rules(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    max_dup_line_char_u: int = 300_000,
+    min_punct_end_u: int = 120_000,
+    max_short_line_u: int = 670_000,
+) -> "DataFrame":
+    """(doc_id, n_lines, dup_char_u, punct_end_u, short_line_u, keep):
+    the LINE-level quality heuristics of FineWeb/C4 that Gopher's
+    word-level rules don't cover (Penedo et al. 2024 §3.3; Raffel et
+    al. 2020 keep only lines ending in terminal punctuation):
+
+    - dup_char_u: fraction of characters sitting in repeated lines
+      (chars(lines) - chars(distinct lines)) / chars(lines) — the
+      within-page boilerplate signal (nav bars, cookie banners
+      repeated per section);
+    - punct_end_u: fraction of lines whose rtrim ends in . ! ? or "
+      — prose ends in punctuation, menus and link lists don't;
+    - short_line_u: fraction of lines under 30 trimmed chars;
+    - keep = dup_char_u <= max AND punct_end_u >= min AND
+      short_line_u <= max (documents with zero lines of content
+      fail the punct floor and drop, like C4).
+
+    Lines split on \\n over coalesce(text, ''); all ratios are
+    floored micro-units with 0 denominators scoring 0. Everything is
+    in-row array code — ZERO shuffles, zero joins, zero Python; like
+    ``gopher_rules`` this gate is a free column on the ingest scan.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    chars = "aggregate(lines, 0L, (a, x) -> a + length(x))"
+    dchars = (
+        "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))"
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), lines.alias("lines")
+    ).select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(chars).cast("long").alias("chars"),
+        F.expr(dchars).cast("long").alias("dchars"),
+        F.size(
+            F.expr(
+                "filter(lines, x -> rtrim(x) rlike '[.!?\"]$')"
+            )
+        ).cast("long").alias("n_punct"),
+        F.size(
+            F.expr("filter(lines, x -> length(trim(x)) < 30)")
+        ).cast("long").alias("n_short"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"({num} * {scale}) div {den}")
+    ).otherwise(F.lit(0)).cast("long")
+    m = base.select(
+        "doc_id",
+        "n_lines",
+        ratio("(chars - dchars)", "chars").alias("dup_char_u"),
+        ratio("n_punct", "n_lines").alias("punct_end_u"),
+        ratio("n_short", "n_lines").alias("short_line_u"),
+    )
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "dup_char_u",
+        "punct_end_u",
+        "short_line_u",
+        (
+            (F.col("dup_char_u") <= max_dup_line_char_u)
+            & (F.col("punct_end_u") >= min_punct_end_u)
+            & (F.col("short_line_u") <= max_short_line_u)
+        ).alias("keep"),
+    )

@@ -10675,3 +10675,350 @@ FROM ws, tot"""
 
 QUERIES["q_temperature_mix"] = q_temperature_mix
 ORACLES["q_temperature_mix"] = sql_temperature_mix
+
+
+# --- wave 24c: DSIR selection, community modularity, MinHash recall ---
+
+_DSIR_BUCKETS = 256
+
+
+def q_dsir_weights(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """DSIR importance weights (operators/stats.dsir_weights): hashed
+    unigram+bigram likelihood ratios of the lang='en' target slice vs
+    the whole raw corpus — the targeted-pretraining selection score.
+    The bucket LM is 256 rows regardless of corpus size and
+    broadcasts; the oracle rebuilds the identical hashed model."""
+    from ..operators.stats import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs, target=F.col("lang") == "en", buckets=_DSIR_BUCKETS
+    )
+
+
+def sql_dsir_weights() -> str:
+    toks = _TOKS.format(c="text")
+    b_expr = _sql_hex8("md5(feat)") + f" % {_DSIR_BUCKETS}"
+    return f"""WITH tk AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter({toks}, t -> t <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(
+           toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+  FROM tk
+),
+st AS (SELECT doc_id, is_t, {b_expr} AS b FROM feats),
+lm AS (
+  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t,
+         COUNT(*) AS cnt_r
+  FROM st GROUP BY b
+),
+sc AS (
+  SELECT doc_id,
+         SUM(((cnt_t + 1) * 1000000) // (cnt_r + 1)) AS sw,
+         COUNT(*) AS n
+  FROM st JOIN lm USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s.sw // s.n, 0) AS BIGINT) AS importance_u
+FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id"""
+
+
+QUERIES["q_dsir_weights"] = q_dsir_weights
+ORACLES["q_dsir_weights"] = sql_dsir_weights
+
+
+def q_modularity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Newman modularity of the label-propagation communities over the
+    same arithmetic web graph as q_label_prop (operators/graph.
+    modularity): integer numerators only — Q = sum(q_num)/(4 m^2) —
+    so the quality score is exact-rational on both engines. Composes
+    two verified pieces: the LPA oracle supplies the labels, the
+    modularity contract scores them."""
+    from ..operators.graph import label_propagation, modularity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    edges = e1.union(e2)
+    labels = label_propagation(edges, rounds=_LP_ROUNDS)
+    out = modularity(edges, labels)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_nodes",
+        "e_in",
+        "k_sum",
+        "m",
+        "q_num",
+    )
+
+
+def sql_modularity() -> str:
+    return f"""WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e_raw UNION ALL SELECT b AS a, a AS b FROM e_raw
+  )
+),
+lab AS (SELECT node, label FROM ({sql_label_prop()})),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+pairs AS (SELECT a, b FROM und WHERE a <= b),
+mm AS (SELECT COUNT(*) AS m FROM pairs),
+ein AS (
+  SELECT la.label AS lbl, COUNT(*) AS e_in
+  FROM pairs p
+  JOIN lab la ON la.node = p.a
+  JOIN lab lb ON lb.node = p.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+per_c AS (
+  SELECT l.label AS lbl, COUNT(*) AS n_nodes,
+         SUM(COALESCE(d.deg, 0)) AS k_sum
+  FROM lab l LEFT JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+)
+SELECT CAST(p.lbl AS BIGINT) AS label,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+       CAST(p.k_sum AS BIGINT) AS k_sum,
+       CAST((SELECT m FROM mm) AS BIGINT) AS m,
+       CAST(4 * (SELECT m FROM mm) * COALESCE(e.e_in, 0)
+            - p.k_sum * p.k_sum AS BIGINT) AS q_num
+FROM per_c p LEFT JOIN ein e ON e.lbl = p.lbl"""
+
+
+QUERIES["q_modularity"] = q_modularity
+ORACLES["q_modularity"] = sql_modularity
+
+
+def q_minhash_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Recall of the MinHash-LSH candidate pairs against the exact
+    n-gram Jaccard >= 0.8 ground truth — the eval that decides the
+    (bands, rows) operating point before a crawl-scale dedup run.
+    Both sides reuse the registered pipelines; the oracle composes
+    the two EXISTING verified oracle texts, so there is no third
+    implementation to drift (the q_ann_recall pattern, applied to
+    dedup)."""
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("hit")
+    )
+    joined = truth.join(cand, ["doc_id_a", "doc_id_b"], "left")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.count("hit").cast("long").alias("n_found"),
+        F.expr("CASE WHEN count(1) > 0 THEN (count(hit) * 1000000)"
+               " div count(1) ELSE 0 END")
+        .cast("long")
+        .alias("recall_u"),
+    )
+
+
+def sql_minhash_recall() -> str:
+    return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(c.doc_id_a) AS BIGINT) AS n_found,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN (COUNT(c.doc_id_a) * 1000000) // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS recall_u
+FROM ({sql_ngram_jaccard_pairs()}) t
+LEFT JOIN ({sql_minhash_lsh_pairs()}) c
+  ON c.doc_id_a = t.doc_id_a AND c.doc_id_b = t.doc_id_b"""
+
+
+QUERIES["q_minhash_recall"] = q_minhash_recall
+ORACLES["q_minhash_recall"] = sql_minhash_recall
+
+
+# --- wave 24d: FineWeb line rules, URL path rollup, LSH precision ---
+
+# multi-line augmentation so the line-level rules are exercised, not
+# vacuously zero: duplicate lines, punctuation-terminated prose lines,
+# and a short fragment (shared verbatim with the oracle)
+_FW_AUG = (
+    "\nCookie notice applies to this site.\n"
+    "Cookie notice applies to this site.\n"
+    "A reasonably long prose line that ends with terminal punctuation.\n"
+    "menu"
+)
+
+
+def q_fineweb_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """FineWeb/C4 line-level quality gate
+    (operators/stats.fineweb_rules): duplicated-line character mass,
+    terminal-punctuation line fraction, short-line fraction, and the
+    conjunctive keep flag — all in-row array code, zero shuffles
+    (plan-pinned). Every second doc gets the same multi-line
+    augmentation on both engines."""
+    from ..operators.stats import fineweb_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_FW_AUG)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fineweb_rules(aug)
+
+
+def sql_fineweb_rules() -> str:
+    aug = _FW_AUG.replace("\n", "' || chr(10) || '")
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN COALESCE(text, '') || '{aug}'
+              ELSE text END AS text
+  FROM documents
+),
+b AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM aug
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
+      AS BIGINT) AS chars,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0)
+      AS BIGINT) AS dchars,
+    CAST(len(list_filter(lines,
+         x -> regexp_matches(rtrim(x), '[.!?"]$'))) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(lines,
+         x -> length(trim(x)) < 30)) AS BIGINT) AS n_short
+  FROM b
+),
+r AS (
+  SELECT doc_id, n_lines,
+    CAST(CASE WHEN chars > 0
+         THEN ((chars - dchars) * 1000000) // chars ELSE 0 END AS BIGINT)
+      AS dup_char_u,
+    CAST(CASE WHEN n_lines > 0
+         THEN (n_punct * 1000000) // n_lines ELSE 0 END AS BIGINT)
+      AS punct_end_u,
+    CAST(CASE WHEN n_lines > 0
+         THEN (n_short * 1000000) // n_lines ELSE 0 END AS BIGINT)
+      AS short_line_u
+  FROM m
+)
+SELECT doc_id, n_lines, dup_char_u, punct_end_u, short_line_u,
+       (dup_char_u <= 300000 AND punct_end_u >= 120000
+        AND short_line_u <= 670000) AS keep
+FROM r"""
+
+
+QUERIES["q_fineweb_rules"] = q_fineweb_rules
+ORACLES["q_fineweb_rules"] = sql_fineweb_rules
+
+
+def q_url_path_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hierarchical URL-path census (the crawl-budget / sitemap view a
+    frontier planner reads): synthetic paths /s{id%3}/t{id%5}/p{id}
+    exploded to their prefixes at every depth, one map-side-combined
+    count per (depth, prefix). The prefix array is in-row codegen;
+    the single shuffle is the census itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.concat(F.lit("/s"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string"))
+    t = F.concat(s, F.lit("/t"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"))
+    p = F.concat(t, F.lit("/p"), F.col("doc_id").cast("string"))
+    out = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).cast("long").alias("depth"), s.alias("prefix")),
+                F.struct(F.lit(2).cast("long").alias("depth"), t.alias("prefix")),
+                F.struct(F.lit(3).cast("long").alias("depth"), p.alias("prefix")),
+            )
+        ).alias("e")
+    )
+    return (
+        out.select("e.depth", "e.prefix")
+        .groupBy("depth", "prefix")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+def sql_url_path_rollup() -> str:
+    return """WITH paths AS (
+  SELECT '/s' || CAST(doc_id % 3 AS VARCHAR) AS s,
+         '/s' || CAST(doc_id % 3 AS VARCHAR)
+           || '/t' || CAST(doc_id % 5 AS VARCHAR) AS t,
+         '/s' || CAST(doc_id % 3 AS VARCHAR)
+           || '/t' || CAST(doc_id % 5 AS VARCHAR)
+           || '/p' || CAST(doc_id AS VARCHAR) AS p
+  FROM documents
+),
+e AS (
+  SELECT 1 AS depth, s AS prefix FROM paths
+  UNION ALL SELECT 2, t FROM paths
+  UNION ALL SELECT 3, p FROM paths
+)
+SELECT CAST(depth AS BIGINT) AS depth, prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM e GROUP BY depth, prefix"""
+
+
+QUERIES["q_url_path_rollup"] = q_url_path_rollup
+ORACLES["q_url_path_rollup"] = sql_url_path_rollup
+
+
+def q_minhash_precision(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Precision of the MinHash-LSH candidates against the exact
+    Jaccard >= 0.8 truth — q_minhash_recall's dual: the fraction of
+    candidate pairs the exact verification pass will keep, i.e. the
+    wasted-verification cost of the banding operating point. Same
+    compose-two-verified-oracles shape."""
+    cand = q_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("good")
+    )
+    joined = cand.join(truth, ["doc_id_a", "doc_id_b"], "left")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.count("good").cast("long").alias("n_good"),
+        F.expr("CASE WHEN count(1) > 0 THEN (count(good) * 1000000)"
+               " div count(1) ELSE 0 END")
+        .cast("long")
+        .alias("precision_u"),
+    )
+
+
+def sql_minhash_precision() -> str:
+    return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(COUNT(t.doc_id_a) AS BIGINT) AS n_good,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN (COUNT(t.doc_id_a) * 1000000) // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS precision_u
+FROM ({sql_minhash_lsh_pairs()}) c
+LEFT JOIN ({sql_ngram_jaccard_pairs()}) t
+  ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b"""
+
+
+QUERIES["q_minhash_precision"] = q_minhash_precision
+ORACLES["q_minhash_precision"] = sql_minhash_precision

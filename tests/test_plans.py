@@ -799,3 +799,106 @@ def test_isqrt_long_exact(spark):
     out = df.select("x", isqrt_long(F.col("x")).alias("r")).collect()
     for row in out:
         assert row["r"] == math.isqrt(row["x"]), row
+
+
+def test_dsir_lm_join_is_broadcast(spark, sf_dir):
+    """The hashed bucket LM is 256 rows regardless of corpus size —
+    scoring must broadcast it onto the feature stream, never shuffle
+    the stream to meet it; whole path JVM-side."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dsir_weights,
+    )
+
+    plan = plan_str(q_dsir_weights(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_modularity_no_cartesian_no_python(spark, sf_dir):
+    """Modularity = two map-side-combined aggregations + label
+    lookups; the only nested-loop is the 1-row m broadcast."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_modularity,
+    )
+
+    plan = plan_str(q_modularity(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_sums_to_known_partition(spark):
+    """Exact check on a hand graph: two triangles joined by one
+    bridge, communities = the triangles. und pairs m = 7;
+    per triangle e_in = 3; k_sum = 7 (two deg-2 + one deg-3).
+    q_num = 4*7*3 - 49 = 35 each; Q = 70/196 = 5/14."""
+    from microdata_rdf_streaming_parser_js_spark.operators.graph import (
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "node long, label long",
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    assert rows[0]["m"] == 7
+    for c in (0, 1):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["e_in"] == 3
+        assert rows[c]["k_sum"] == 7
+        assert rows[c]["q_num"] == 4 * 7 * 3 - 49
+
+
+def test_fineweb_rules_zero_shuffle(spark, sf_dir):
+    """The line-level gate is in-row array code — a free column on
+    the ingest scan, like gopher_rules."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_fineweb_rules,
+    )
+
+    plan = plan_str(q_fineweb_rules(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_fineweb_rules_flags_known_cases(spark):
+    """Hand cases: pure duplicated-line boilerplate fails the dup
+    rule; punctuated prose passes; a menu of short unpunctuated
+    lines fails the punct floor."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        fineweb_rules,
+    )
+
+    prose = (
+        "This is a long prose line that ends with punctuation.\n"
+        "Another long prose sentence also terminating properly.\n"
+        "And one more full sentence to round out the paragraph."
+    )
+    dup = "Repeated cookie banner line here!\n" * 6
+    menu = "home\nabout\nlinks\ncontact\nlogin\nsignup"
+    docs = spark.createDataFrame(
+        [(0, prose), (1, dup.rstrip("\n")), (2, menu)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fineweb_rules(docs).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[1]["dup_char_u"] > 300_000
+    assert rows[2]["keep"] is False and rows[2]["punct_end_u"] == 0
+
+
+def test_url_path_rollup_single_shuffle(spark, sf_dir):
+    """Prefix explosion is in-row; the census is ONE map-side-combined
+    shuffle (partial->final = at most 2 Exchange nodes)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_url_path_rollup,
+    )
+
+    plan = plan_str(q_url_path_rollup(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

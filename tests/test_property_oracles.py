@@ -121,6 +121,18 @@ _QUERY_NAMES = [
     "q_ngram_diversity",
     "q_rendezvous_shards",
     "q_temperature_mix",
+    # wave 24c: the hashed bucket LM under tiny vocabularies (every
+    # feature colliding), modularity under degenerate one-community
+    # graphs, recall composition under zero true pairs
+    "q_dsir_weights",
+    "q_modularity",
+    "q_minhash_recall",
+    # wave 24d: line rules under NULL/empty text (lines = [''] scores
+    # zero everywhere and fails the punct floor), LSH precision under
+    # empty candidate sets
+    "q_fineweb_rules",
+    "q_url_path_rollup",
+    "q_minhash_precision",
 ]
 
 
