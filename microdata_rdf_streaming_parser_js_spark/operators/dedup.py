@@ -1216,3 +1216,54 @@ def nfc_dedup(
             F.count("*").alias("n_dups"),
         )
     )
+
+
+def bloom_ingest_gate(
+    new_docs: "DataFrame",
+    old_docs: "DataFrame",
+    m: int = 4096,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, bloom_hit, is_new): incremental-ingest dedup gate — a
+    new crawl batch checked against the PREVIOUS corpus snapshot
+    without ever shuffling the old corpus into the job.
+
+    The old snapshot is summarized once as a Bloom filter over content
+    digests (md5 of normalized coalesce(text, '')) — m bits of plan
+    metadata, built by :func:`..layout.bloom_build`'s md5 family and
+    shipped as literal mask words. New docs then split scan-side:
+    bloom-negative rows are DEFINITELY new (no false negatives) and
+    never touch a join; only the bloom-positive minority pays the
+    exact verification join against the old digest set, which clears
+    false positives. This is the continuous-crawl shape: at 100 TB the
+    old corpus contributes one digest-build pass (amortized across
+    batches — persist the digest table) and a constant-size mask;
+    per-batch cost is a scan plus a join sized to the TRUE-dup rate
+    + the filter's false-positive rate, not to the corpus.
+
+    NULL and empty text share a digest (coalesce) — a gate decision,
+    unlike :func:`exact_dedup` which keeps NULL distinct. The mask
+    collect is bounded at m positions (plan metadata, like the
+    k-means centroids and bloom_prune mask).
+    """
+    dig = F.md5(norm_text(F.coalesce(F.col(text_col), F.lit(""))))
+    from .layout import bloom_build, bloom_mask_words, bloom_member
+
+    old_d = old_docs.select(dig.alias("dig")).distinct()
+    positions = [r.pos for r in bloom_build(old_d, "dig", m=m, k=k).collect()]
+    mask = bloom_mask_words(positions, m=m)
+    newd = new_docs.select(F.col(id_col).alias("doc_id"), dig.alias("dig"))
+    flagged = newd.select(
+        "doc_id", "dig", bloom_member(F.col("dig"), mask, m=m, k=k).alias("bloom_hit")
+    )
+    sure_new = flagged.where(~F.col("bloom_hit")).select(
+        "doc_id", "bloom_hit", F.lit(True).alias("is_new")
+    )
+    verified = (
+        flagged.where(F.col("bloom_hit"))
+        .join(old_d.select("dig", F.lit(1).alias("_old")), "dig", "left")
+        .select("doc_id", "bloom_hit", F.col("_old").isNull().alias("is_new"))
+    )
+    return sure_new.unionByName(verified)

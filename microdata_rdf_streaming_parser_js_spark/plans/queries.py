@@ -11022,3 +11022,141 @@ LEFT JOIN ({sql_ngram_jaccard_pairs()}) t
 
 QUERIES["q_minhash_precision"] = q_minhash_precision
 ORACLES["q_minhash_precision"] = sql_minhash_precision
+
+
+# --- wave 25: bloom ingest gate, SimHash eval, tokenizer fertility ---
+
+_BIG_M = 4096
+_BIG_K = 3
+
+
+def q_bloom_ingest(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Incremental-ingest dedup gate (operators/dedup.bloom_ingest_gate):
+    the previous snapshot (doc_id % 5 != 0) summarized as an m-bit
+    digest Bloom mask; the re-crawl batch (all docs) splits scan-side
+    into definitely-new (bloom-negative, no join ever) and candidates
+    that alone pay the exact verification join. The oracle replays
+    the identical md5 position math, so false-positive behavior is
+    cross-checked, not assumed."""
+    from ..operators.dedup import bloom_ingest_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    return bloom_ingest_gate(docs, old, m=_BIG_M, k=_BIG_K)
+
+
+def sql_bloom_ingest() -> str:
+    norm = _NORM.format(c="COALESCE(text, '')")
+    idx_vals = ", ".join(f"({i})" for i in range(_BIG_K))
+    probe = (
+        "(CAST('0x' || substr(md5(dig || '#{i}'), 1, 8) AS BIGINT)"
+        f" % {_BIG_M}) IN (SELECT pos FROM pos)"
+    )
+    conds = " AND ".join(probe.replace("{i}", str(i)) for i in range(_BIG_K))
+    return f"""WITH old_d AS (
+  SELECT DISTINCT md5({norm}) AS dig FROM documents WHERE doc_id % 5 <> 0
+),
+pos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(dig || '#' || i), 1, 8) AS BIGINT) % {_BIG_M} AS pos
+  FROM old_d CROSS JOIN (VALUES {idx_vals}) t(i)
+),
+newd AS (SELECT doc_id, md5({norm}) AS dig FROM documents),
+flag AS (SELECT doc_id, dig, ({conds}) AS bloom_hit FROM newd)
+SELECT doc_id, bloom_hit,
+       CASE WHEN NOT bloom_hit THEN TRUE
+            ELSE dig NOT IN (SELECT dig FROM old_d) END AS is_new
+FROM flag"""
+
+
+QUERIES["q_bloom_ingest"] = q_bloom_ingest
+ORACLES["q_bloom_ingest"] = sql_bloom_ingest
+
+
+def q_simhash_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """How much of the exact Jaccard >= 0.8 truth the 63-bit SimHash
+    hamming <= 3 pair path recovers — the second dedup family's
+    operating-point eval, composing the two existing verified oracles
+    exactly like q_minhash_recall (bit-signature blocking and shingle
+    banding trade recall differently; now both are measured)."""
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    cand = q_simhash_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("hit")
+    )
+    joined = truth.join(cand, ["doc_id_a", "doc_id_b"], "left")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.count("hit").cast("long").alias("n_found"),
+        F.expr("CASE WHEN count(1) > 0 THEN (count(hit) * 1000000)"
+               " div count(1) ELSE 0 END")
+        .cast("long")
+        .alias("recall_u"),
+    )
+
+
+def sql_simhash_recall() -> str:
+    return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(c.doc_id_a) AS BIGINT) AS n_found,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN (COUNT(c.doc_id_a) * 1000000) // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS recall_u
+FROM ({sql_ngram_jaccard_pairs()}) t
+LEFT JOIN (SELECT doc_id_a, doc_id_b FROM ({sql_simhash_pairs()})) c
+  ON c.doc_id_a = t.doc_id_a AND c.doc_id_b = t.doc_id_b"""
+
+
+QUERIES["q_simhash_recall"] = q_simhash_recall
+ORACLES["q_simhash_recall"] = sql_simhash_recall
+
+
+def q_token_fertility(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-language tokenizer fertility (subwords per word under the
+    shared BPE-ish word-piece regex) — the multilingual-tokenizer
+    health metric (high fertility = a language pays more sequence
+    positions per word, the mT5/XLM vocabulary-pressure signal).
+    One map-side-combined shuffle; ratios floored micro-units over
+    the corpus sums, not per-doc means."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_words"),
+        F.sum(subword_count(F.col("text"))).cast("long").alias("n_subwords"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        "n_subwords",
+        F.when(
+            F.coalesce(F.col("n_words"), F.lit(0)) > 0,
+            F.expr("(n_subwords * 1000000) div n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_u"),
+    )
+
+
+def sql_token_fertility() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH a AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({toks}) END) AS n_words,
+         SUM(COALESCE(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0)) AS n_subwords
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(n_subwords AS BIGINT) AS n_subwords,
+       CAST(CASE WHEN COALESCE(n_words, 0) > 0
+                 THEN (n_subwords * 1000000) // n_words
+                 ELSE 0 END AS BIGINT) AS fertility_u
+FROM a"""
+
+
+QUERIES["q_token_fertility"] = q_token_fertility
+ORACLES["q_token_fertility"] = sql_token_fertility

@@ -902,3 +902,55 @@ def test_url_path_rollup_single_shuffle(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_bloom_ingest_gate_semantics(spark):
+    """Planted snapshot: docs re-seen from the old corpus come back
+    is_new=false WITH bloom_hit=true; fresh content is is_new=true;
+    bloom-negative rows never reach the verification join (no false
+    negatives by construction)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        bloom_ingest_gate,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha  BETA gamma"),  # normalized dup of doc 1
+         (11, "a genuinely new page"),
+         (12, None)],                # NULL text: digest of ''
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bloom_ingest_gate(new, old).collect()}
+    assert rows[10]["bloom_hit"] is True and rows[10]["is_new"] is False
+    assert rows[11]["is_new"] is True
+    assert rows[12]["is_new"] is True  # '' digest not in old snapshot
+    assert not rows[11]["bloom_hit"] or rows[11]["is_new"]
+
+
+def test_bloom_ingest_definite_new_path_has_no_join(spark, sf_dir):
+    """The plan must be a union of (scan-side filtered, join-free)
+    definite-new branch and the verification-join branch; the whole
+    path stays JVM-side with no cartesian."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bloom_ingest,
+    )
+
+    plan = plan_str(q_bloom_ingest(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_token_fertility_single_shuffle(spark, sf_dir):
+    """Corpus fertility is one map-side-combined aggregation."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_token_fertility,
+    )
+
+    plan = plan_str(q_token_fertility(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
