@@ -1176,3 +1176,108 @@ def fineweb_rules(
             & (F.col("short_line_u") <= max_short_line_u)
         ).alias("keep"),
     )
+
+
+def ranking_auc(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+) -> "DataFrame":
+    """One row (n_pos, n_neg, auc_u): ROC-AUC of ``score_col`` as a
+    ranker for boolean ``label_col``, via the Mann-Whitney identity —
+    AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2 —
+    computed over the GROUPED score histogram, never over ranked rows.
+
+    Shape: one map-side-combined groupBy(score) collapses the corpus
+    to at most |score domain| rows (quality_u lives in [0, 1e6], so
+    the histogram is bounded at 1e6+1 rows at ANY corpus size); the
+    ordered cumulative window then runs over that bounded histogram,
+    not the data — the classic trick that turns the O(n log n)
+    global-rank AUC into a histogram scan. All arithmetic is BIGINT:
+    U2 = sum(2 * np(s) * cum_neg(<s) + np(s) * nn(s)), AUC micro-units
+    = U2 * 1e6 div (2 * P * N). Ties get the exact half credit with
+    no floats. A 100 TB run with >~3e6 positives x negatives per side
+    would lift U2 into DECIMAL(38) — the histogram shape is unchanged.
+    """
+    hist = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0)).alias("p"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("p").cast("long").alias("np"),
+            F.sum(F.lit(1) - F.col("p")).cast("long").alias("nn"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = hist.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn"),
+    )
+    agg = terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.expr("2 * np * cum_nn + np * nn")
+        ).cast("long").alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("auc_u"),
+    )
+
+
+def shrunk_group_prior(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    alpha: int = 20,
+) -> "DataFrame":
+    """(group, n_docs, mean_u, prior_u): per-group mean of an integer
+    micro-unit signal, shrunk toward the corpus mean with additive
+    smoothing — prior = (sum_g + alpha * corpus_mean) / (n_g + alpha),
+    kept exact as (sum_g * T + alpha * S) div ((n_g + alpha) * T)
+    where S/T is the corpus sum/count. The per-DOMAIN quality prior a
+    curation pipeline feeds back into crawl scheduling: small domains
+    inherit the corpus prior, large domains earn their own mean.
+
+    Shape: one map-side-combined groupBy(group); the corpus total is a
+    one-row broadcast-joined frame (same bounded crossJoin pattern as
+    the corpus-drift queries) — no second shuffle over the data. All
+    BIGINT (exact through sf1-scale sums; a 100 TB run lifts the
+    sum * T product into DECIMAL(38), shape unchanged).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    per = vals.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    total = vals.agg(
+        F.count("*").cast("long").alias("t_cnt"),
+        F.sum("v").cast("long").alias("t_sum"),
+    )
+    a = int(alpha)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.expr("sv div n_docs").cast("long").alias("mean_u"),
+            F.expr(
+                f"(sv * t_cnt + {a} * t_sum)"
+                f" div ((n_docs + {a}) * t_cnt)"
+            ).cast("long").alias("prior_u"),
+        )
+    )

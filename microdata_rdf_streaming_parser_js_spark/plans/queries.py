@@ -11160,3 +11160,338 @@ FROM a"""
 
 QUERIES["q_token_fertility"] = q_token_fertility
 ORACLES["q_token_fertility"] = sql_token_fertility
+
+
+# --- wave 26: scorer/blocking evaluation and curation priors ---
+
+_PRIOR_ALPHA = 20
+
+
+def q_quality_auc(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ROC-AUC of the quality scorer as an English-document ranker
+    (operators/stats.ranking_auc): the Mann-Whitney identity over the
+    GROUPED score histogram — the corpus collapses to at most |score
+    domain| = 1e6+1 rows in one map-side-combined shuffle, so the
+    ordered cumulative window never sees data-sized input at any
+    corpus size. Ties earn exact half credit in BIGINT; no floats,
+    no global rank over rows. The calibration readout every scorer
+    change should gate on."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import ranking_auc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        quality_score_u(F.col("text")).alias("quality_u"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return ranking_auc(scored, "quality_u", "is_en")
+
+
+def sql_quality_auc() -> str:
+    return f"""WITH scored AS (
+  SELECT quality_u, (lang = 'en') AS is_en
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+),
+hist AS (
+  SELECT quality_u AS s,
+         SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY quality_u
+),
+terms AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+  FROM hist
+),
+agg AS (
+  SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+         SUM(2 * np * cum_nn + np * nn) AS u2
+  FROM terms
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (u2 * 1000000) // (2 * n_pos * n_neg)
+                 ELSE 0 END AS BIGINT) AS auc_u
+FROM agg"""
+
+
+QUERIES["q_quality_auc"] = q_quality_auc
+ORACLES["q_quality_auc"] = sql_quality_auc
+
+
+def q_source_prior(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source quality prior with additive shrinkage
+    (operators/stats.shrunk_group_prior): small sources inherit the
+    corpus mean, large sources earn their own — the per-domain prior
+    a curation loop feeds back into crawl scheduling. Exact BIGINT
+    rational (sum_g*T + alpha*S) div ((n_g+alpha)*T); one grouped
+    shuffle plus a one-row broadcast of the corpus totals."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import shrunk_group_prior
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "source", quality_score_u(F.col("text")).alias("quality_u")
+    )
+    return shrunk_group_prior(
+        scored, "source", "quality_u", alpha=_PRIOR_ALPHA
+    )
+
+
+def sql_source_prior() -> str:
+    a = _PRIOR_ALPHA
+    return f"""WITH scored AS (
+  SELECT source, quality_u
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(quality_u) AS sv
+  FROM scored GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS t_cnt, SUM(quality_u) AS t_sum FROM scored)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sv // n_docs AS BIGINT) AS mean_u,
+       CAST((sv * t_cnt + {a} * t_sum) // ((n_docs + {a}) * t_cnt)
+            AS BIGINT) AS prior_u
+FROM per CROSS JOIN tot"""
+
+
+QUERIES["q_source_prior"] = q_source_prior
+ORACLES["q_source_prior"] = sql_source_prior
+
+
+def q_signal_corr(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Pearson correlation (signed, squared micro-units) between
+    curation signals — (tokens, subwords) and (chars, quality) — the
+    signal-redundancy readout that decides whether a new filter adds
+    information or re-measures an old one. Sums are exact BIGINTs in
+    ONE map-side-combined aggregation; the final ratio is a fixed
+    double expression tree evaluated in the identical shape on both
+    engines (bigint->double casts and IEEE ops are deterministic), so
+    floor(corr^2 * 1e6) cannot drift. Zero-variance signals report 0."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..functions.text import quality_score_u
+
+    base = docs.select(
+        token_count(F.col("text")).cast("long").alias("x1"),
+        subword_count(F.col("text")).cast("long").alias("y1"),
+        F.col("n_chars").cast("long").alias("x2"),
+        quality_score_u(F.col("text")).cast("long").alias("y2"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.expr(e)).cast("long").alias(a)
+            for e, a in [
+                ("x1", "sx1"), ("y1", "sy1"), ("x1 * x1", "sxx1"),
+                ("y1 * y1", "syy1"), ("x1 * y1", "sxy1"),
+                ("x2", "sx2"), ("y2", "sy2"), ("x2 * x2", "sxx2"),
+                ("y2 * y2", "syy2"), ("x2 * y2", "sxy2"),
+            ]
+        ],
+    )
+
+    def corr_exprs(i: str):
+        num = (
+            f"cast(n as double) * cast(sxy{i} as double)"
+            f" - cast(sx{i} as double) * cast(sy{i} as double)"
+        )
+        dx = (
+            f"cast(n as double) * cast(sxx{i} as double)"
+            f" - cast(sx{i} as double) * cast(sx{i} as double)"
+        )
+        dy = (
+            f"cast(n as double) * cast(syy{i} as double)"
+            f" - cast(sy{i} as double) * cast(sy{i} as double)"
+        )
+        corr2 = (
+            f"CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN"
+            f" cast(floor((({num}) * ({num})) / (({dx}) * ({dy}))"
+            f" * 1000000.0) as bigint) ELSE 0 END"
+        )
+        sign = (
+            f"CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1"
+            f" ELSE 0 END"
+        )
+        return corr2, sign
+
+    c1, s1 = corr_exprs("1")
+    c2, s2 = corr_exprs("2")
+    return agg.select(
+        "n",
+        F.expr(c1).alias("corr2_tok_sub_u"),
+        F.expr(s1).cast("long").alias("sign_tok_sub"),
+        F.expr(c2).alias("corr2_len_q_u"),
+        F.expr(s2).cast("long").alias("sign_len_q"),
+    )
+
+
+def sql_signal_corr() -> str:
+    toks = _TOKS.format(c="text")
+
+    def corr_sql(i: str):
+        num = (
+            f"CAST(n AS DOUBLE) * CAST(sxy{i} AS DOUBLE)"
+            f" - CAST(sx{i} AS DOUBLE) * CAST(sy{i} AS DOUBLE)"
+        )
+        dx = (
+            f"CAST(n AS DOUBLE) * CAST(sxx{i} AS DOUBLE)"
+            f" - CAST(sx{i} AS DOUBLE) * CAST(sx{i} AS DOUBLE)"
+        )
+        dy = (
+            f"CAST(n AS DOUBLE) * CAST(syy{i} AS DOUBLE)"
+            f" - CAST(sy{i} AS DOUBLE) * CAST(sy{i} AS DOUBLE)"
+        )
+        corr2 = (
+            f"CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN"
+            f" CAST(floor((({num}) * ({num})) / (({dx}) * ({dy}))"
+            f" * 1000000.0) AS BIGINT) ELSE 0 END"
+        )
+        sign = (
+            f"CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1"
+            f" ELSE 0 END"
+        )
+        return corr2, sign
+
+    c1, s1 = corr_sql("1")
+    c2, s2 = corr_sql("2")
+    return f"""WITH base AS (
+  SELECT
+    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END) AS x1,
+    COALESCE(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS y1,
+    n_chars AS x2,
+    q.quality_u AS y2
+  FROM documents JOIN ({sql_quality()}) q USING (doc_id)
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(x1) AS sx1, SUM(y1) AS sy1, SUM(x1 * x1) AS sxx1,
+         SUM(y1 * y1) AS syy1, SUM(x1 * y1) AS sxy1,
+         SUM(x2) AS sx2, SUM(y2) AS sy2, SUM(x2 * x2) AS sxx2,
+         SUM(y2 * y2) AS syy2, SUM(x2 * y2) AS sxy2
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {c1} AS corr2_tok_sub_u,
+       CAST({s1} AS BIGINT) AS sign_tok_sub,
+       {c2} AS corr2_len_q_u,
+       CAST({s2} AS BIGINT) AS sign_len_q
+FROM agg"""
+
+
+QUERIES["q_signal_corr"] = q_signal_corr
+ORACLES["q_signal_corr"] = sql_signal_corr
+
+
+def q_pack_efficiency(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Packing utilization per token-stream bucket — used positions
+    over chunk capacity, the padding-waste readout of the packing
+    layout (composes the verified pack_sequences oracle). The groupBy
+    key equals the pack window's partition key, so AQE reuses the
+    existing hash partitioning: no second data shuffle."""
+    packed = q_pack_sequences(spark, sf_dir)
+    agg = packed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("used_tokens"),
+        (F.max("last_chunk") + 1).cast("long").alias("n_chunks"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "used_tokens",
+        "n_chunks",
+        (F.col("n_chunks") * _PACK_SEQ_LEN).cast("long").alias("capacity"),
+        F.expr(
+            f"(used_tokens * 1000000) div (n_chunks * {_PACK_SEQ_LEN})"
+        ).cast("long").alias("util_u"),
+    )
+
+
+def sql_pack_efficiency() -> str:
+    L = _PACK_SEQ_LEN
+    return f"""WITH packed AS ({sql_pack_sequences()}),
+agg AS (
+  SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS used_tokens,
+         MAX(last_chunk) + 1 AS n_chunks
+  FROM packed GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(used_tokens AS BIGINT) AS used_tokens,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_chunks * {L} AS BIGINT) AS capacity,
+       CAST((used_tokens * 1000000) // (n_chunks * {L}) AS BIGINT) AS util_u
+FROM agg"""
+
+
+QUERIES["q_pack_efficiency"] = q_pack_efficiency
+ORACLES["q_pack_efficiency"] = sql_pack_efficiency
+
+
+def q_blocking_agreement(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Jaccard agreement between the two near-dup blocking families'
+    candidate-pair sets (MinHash-LSH banding vs 63-bit SimHash
+    hamming) — with per-family recall/precision already measured, this
+    closes the eval triangle: do the families flag the SAME pairs or
+    complementary ones (union-worth-it signal)? Pair sets are
+    blocking-sized, not corpus-sized; one full outer join on the pair
+    key, one-row output."""
+    mh = q_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("m")
+    )
+    sh = q_simhash_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("s")
+    )
+    j = mh.join(sh, ["doc_id_a", "doc_id_b"], "full")
+    return j.agg(
+        F.count("m").cast("long").alias("n_minhash"),
+        F.count("s").cast("long").alias("n_simhash"),
+        F.sum(
+            F.when(F.col("m").isNotNull() & F.col("s").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+    ).select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        F.when(
+            F.col("n_minhash") + F.col("n_simhash") - F.col("n_both") > 0,
+            F.expr(
+                "(n_both * 1000000)"
+                " div (n_minhash + n_simhash - n_both)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jaccard_u"),
+    )
+
+
+def sql_blocking_agreement() -> str:
+    return f"""WITH mh AS (SELECT doc_id_a, doc_id_b FROM ({sql_minhash_lsh_pairs()})),
+sh AS (SELECT doc_id_a, doc_id_b FROM ({sql_simhash_pairs()})),
+j AS (
+  SELECT mh.doc_id_a AS ma, sh.doc_id_a AS sa
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_id_a = sh.doc_id_a AND mh.doc_id_b = sh.doc_id_b
+),
+agg AS (
+  SELECT COUNT(ma) AS n_minhash, COUNT(sa) AS n_simhash,
+         SUM(CASE WHEN ma IS NOT NULL AND sa IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_both
+  FROM j
+)
+SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+       CAST(n_simhash AS BIGINT) AS n_simhash,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(CASE WHEN n_minhash + n_simhash - n_both > 0
+                 THEN (n_both * 1000000)
+                      // (n_minhash + n_simhash - n_both)
+                 ELSE 0 END AS BIGINT) AS jaccard_u
+FROM agg"""
+
+
+QUERIES["q_blocking_agreement"] = q_blocking_agreement
+ORACLES["q_blocking_agreement"] = sql_blocking_agreement

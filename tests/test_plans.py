@@ -954,3 +954,104 @@ def test_token_fertility_single_shuffle(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_ranking_auc_semantics(spark):
+    """Perfect separator -> 1e6; inverted -> 0; fully tied -> 5e5
+    (exact half credit, no floats)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        ranking_auc,
+    )
+
+    perfect = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)],
+        "s long, y boolean",
+    )
+    assert ranking_auc(perfect, "s", "y").collect()[0]["auc_u"] == 1_000_000
+    inverted = spark.createDataFrame(
+        [(1, True), (2, True), (9, False), (10, False)],
+        "s long, y boolean",
+    )
+    assert ranking_auc(inverted, "s", "y").collect()[0]["auc_u"] == 0
+    tied = spark.createDataFrame(
+        [(5, True), (5, True), (5, False), (5, False)],
+        "s long, y boolean",
+    )
+    row = ranking_auc(tied, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_u"]) == (2, 2, 500_000)
+
+
+def test_ranking_auc_windows_over_histogram(spark, sf_dir):
+    """The ordered window must consume the grouped score histogram
+    (bounded domain), not ranked data rows: exactly one aggregate
+    BEFORE the window in the plan, and no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_quality_auc,
+    )
+
+    plan = plan_str(q_quality_auc(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    # groupBy(score) exchange + single-partition window + final agg
+    # (formatted plans print each node twice: tree line + detail line)
+    assert plan.count("Exchange") <= 6
+
+
+def test_shrunk_prior_pulls_small_groups_to_corpus_mean(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        shrunk_group_prior,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 100)] * 50 + [("big", 200)] * 50 + [("tiny", 900)],
+        "g string, v long",
+    )
+    rows = {
+        r["g"]: r for r in shrunk_group_prior(df, "g", "v", alpha=20).collect()
+    }
+    # corpus mean = (100*50 + 200*50 + 900) / 101 = 15900/101 ~ 157.4
+    assert rows["big"]["mean_u"] == 150
+    assert 150 <= rows["big"]["prior_u"] <= 160       # barely moves
+    assert rows["tiny"]["mean_u"] == 900
+    assert 160 <= rows["tiny"]["prior_u"] <= 200      # shrunk hard toward 157
+    # exact check: (900*101 + 20*15900) div (21*101) = (90900+318000)//2121
+    assert rows["tiny"]["prior_u"] == (900 * 101 + 20 * 15900) // (21 * 101)
+
+
+def test_signal_corr_single_pass(spark, sf_dir):
+    """One scan, one aggregation, no join, all JVM-side; identical
+    signals would read corr2 = 1e6 (verified on a planted frame)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_signal_corr,
+    )
+
+    plan = plan_str(q_signal_corr(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one single-partition exchange
+    row = q_signal_corr(spark, sf_dir).collect()[0]
+    # tokens vs subwords are strongly positively correlated on text
+    assert row["sign_tok_sub"] == 1
+    assert 0 <= row["corr2_tok_sub_u"] <= 1_000_000
+
+
+def test_pack_efficiency_bounds(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_pack_efficiency,
+    )
+
+    rows = q_pack_efficiency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["util_u"] <= 1_000_000
+        assert r["used_tokens"] <= r["capacity"]
+
+
+def test_blocking_agreement_is_a_valid_jaccard(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_blocking_agreement,
+    )
+
+    r = q_blocking_agreement(spark, sf_dir).collect()[0]
+    assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
+    assert 0 <= r["jaccard_u"] <= 1_000_000
