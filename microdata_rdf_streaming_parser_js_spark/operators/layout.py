@@ -252,3 +252,65 @@ def rendezvous_assign(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn(out_col, expr)
+
+
+def range_partition_bounds(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    buckets: int = 8,
+    sample_mod: int = 20,
+) -> "DataFrame":
+    """(bucket, n_rows, v_min, v_max): Spark-RangePartitioner-style
+    boundary estimation plus the balance readout — deterministically
+    sample ~1/sample_mod of the rows (md5(id) residue, engine-portable
+    and reproducible, never an engine RNG), NTILE the sample into
+    ``buckets`` equal-depth tiles ordered by (value, id), take each
+    tile's max value as a boundary, then assign EVERY row scan-side
+    and count per bucket. This is exactly what a global sort / range
+    write does before shuffling 100 TB: boundaries come from a bounded
+    sample, the data itself is touched once with a codegen CASE chain.
+
+    The sample-sized NTILE window is single-partition by construction
+    (that is the point: the sample is bounded by rate, the data never
+    sorts globally). The ``buckets - 1`` boundary values are collected
+    as plan literals — the same bounded collect the built-in
+    RangePartitioner performs (boundaries ARE the partitioner).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    v = F.col(value_col).cast("long")
+    rid = F.col(id_col).cast("long")
+    h8 = F.conv(
+        F.substring(F.md5(F.concat(rid.cast("string"), F.lit("#rb"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    sample = df.where(F.pmod(h8, F.lit(sample_mod)) == 0).select(
+        v.alias("v"), rid.alias("rid")
+    )
+    tiles = sample.select(
+        "v",
+        F.ntile(buckets).over(Window.orderBy("v", "rid")).alias("tile"),
+    )
+    bounds = (
+        tiles.groupBy("tile")
+        .agg(F.max("v").alias("hi"))
+        .where(F.col("tile") < buckets)
+        .orderBy("tile")
+    )
+    his = [r["hi"] for r in bounds.collect()]  # <= buckets-1 literals
+    bucket = F.lit(0).cast("long")
+    for hi in his:
+        bucket = bucket + F.when(v > F.lit(hi), 1).otherwise(0)
+    return (
+        df.select(bucket.cast("long").alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+    )

@@ -386,3 +386,38 @@ def quantile_sketch(
             "sample_n",
         )
     )
+
+
+def count_min_inner_product(
+    sketch_a: "DataFrame",
+    sketch_b: "DataFrame",
+    depth: int = 4,
+) -> "DataFrame":
+    """One row (est): AMS/CMS inner-product estimate of
+    sum_k count_a(k) * count_b(k) — the equi-join CARDINALITY of the
+    two sketched relations (Cormode & Muthukrishnan 2005 §4.2, the
+    join-size estimator an optimizer consults before picking a
+    shuffle strategy). Per row r: sum_b a[r,b]*b[r,b] contains every
+    true product plus non-negative collision cross-terms, so each row
+    overestimates; the min over rows is the estimate and
+    est >= true ALWAYS — the one-sided guarantee that makes it safe
+    for worst-case planning (never under-provisions the join).
+
+    Both inputs are <= depth*width rows whatever the corpora sized;
+    the join/aggregate here touches only sketch cells. Missing cells
+    count 0 — the join is LEFT from sketch_a (a sketch built over a
+    non-empty relation populates every row), so a row with no
+    overlapping buckets correctly contributes a 0 estimate.
+    """
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("ca"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("cb"))
+    per_row = (
+        a.join(F.broadcast(b), ["row", "bucket"], "left")
+        .groupBy("row")
+        .agg(
+            F.sum(F.expr("ca * coalesce(cb, 0)")).cast("long").alias("ip")
+        )
+    )
+    return per_row.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("est")
+    )

@@ -1281,3 +1281,160 @@ def shrunk_group_prior(
             ).cast("long").alias("prior_u"),
         )
     )
+
+
+def linreg_fit(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+) -> "DataFrame":
+    """One row (n, slope_u, intercept_u): ordinary-least-squares fit
+    y = slope * x + intercept via the closed-form normal equations —
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2) — over moment sums
+    accumulated as exact BIGINTs in ONE map-side-combined aggregation.
+    The trend-line fit a curation dashboard runs over (length, quality)
+    or (rank, log-freq) pairs; at 100 TB it is still one linear agg
+    producing five numbers.
+
+    Determinism: sums are exact; the final ratios are a fixed double
+    expression tree (bigint->double casts, one multiply-subtract, one
+    divide, floor) evaluated in the identical shape on both engines —
+    IEEE ops on identical inputs cannot drift. Zero x-variance reports
+    slope_u = intercept_u = 0.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    num_s = (
+        "cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double)"
+    )
+    num_i = (
+        "cast(sy as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sxy as double)"
+    )
+    den = (
+        "cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)"
+    )
+    return agg.select(
+        "n",
+        F.expr(
+            f"CASE WHEN ({den}) > 0 THEN"
+            f" cast(floor(({num_s}) / ({den}) * 1000000.0) as bigint)"
+            f" ELSE 0 END"
+        ).alias("slope_u"),
+        F.expr(
+            f"CASE WHEN ({den}) > 0 THEN"
+            f" cast(floor(({num_i}) / ({den}) * 1000000.0) as bigint)"
+            f" ELSE 0 END"
+        ).alias("intercept_u"),
+    )
+
+
+def calibration_bins(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(bin, n, n_pos, rate_u): reliability-diagram buckets — the
+    micro-unit score domain [0, scale] cut into ``bins`` equal-width
+    bins (top edge folded into the last bin), each reporting its
+    positive-label rate. The companion readout to ranking_auc: AUC
+    says the scorer ORDERS well, the calibration bins say whether the
+    score VALUE means what it claims. One map-side-combined groupBy
+    over at most ``bins`` output rows at any corpus size.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    b = F.least(
+        F.lit(bins - 1),
+        F.expr(f"(cast({score_col} as bigint) * {bins}) div {scale}"),
+    ).cast("long").alias("bin")
+    agg = (
+        df.select(
+            b,
+            F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0)).alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").cast("long").alias("n_pos"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("(n_pos * 1000000) div n").cast("long").alias("rate_u"),
+    )
+
+
+def vocab_saturation(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    buckets: int = 8,
+) -> "DataFrame":
+    """(bucket, new_terms, cum_vocab, bucket_tokens, cum_tokens):
+    Heaps-law vocabulary-growth curve — the corpus is cut into
+    ``buckets`` equal id-order prefixes and each bucket reports how
+    many NEVER-SEEN-BEFORE terms it contributes, i.e. the marginal
+    vocabulary return of ingesting one more corpus slice. Flattening
+    cum_vocab = the "more data stops adding words" saturation signal
+    a crawl-budget decision reads.
+
+    Shape: exact, no sketch — each token's FIRST bucket is
+    min(bucket) in one map-side-combined groupBy(token) (the same
+    token-domain-sized shuffle as corpus_ngrams); per-bucket
+    histograms and the cumulative window then run over at most
+    ``buckets`` rows. The corpus is scanned once; nothing data-sized
+    is sorted. Empty tokens are excluded on both engines.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from .dedup import shingles
+
+    total = df.agg(F.count("*").cast("long").alias("t_n"))
+    toks = (
+        df.crossJoin(F.broadcast(total))
+        .select(
+            F.least(
+                F.lit(buckets - 1),
+                F.expr(f"(cast({id_col} as bigint) * {buckets}) div t_n"),
+            ).cast("long").alias("bucket"),
+            F.explode(shingles(F.col(text_col), 1)).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("b"))
+    newv = firsts.groupBy(F.col("b").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_terms")
+    )
+    btoks = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("bucket_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = btoks.join(newv, "bucket", "left").select(
+        "bucket",
+        F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        "bucket_tokens",
+    )
+    return joined.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+    )

@@ -11495,3 +11495,271 @@ FROM agg"""
 
 QUERIES["q_blocking_agreement"] = q_blocking_agreement
 ORACLES["q_blocking_agreement"] = sql_blocking_agreement
+
+
+# --- wave 27: regression fit, calibration, join-size estimate,
+# range-partitioner bounds, vocabulary saturation ---
+
+_CAL_BINS = 10
+_RB_BUCKETS = 8
+_RB_MOD = 20
+_VS_BUCKETS = 8
+
+
+def q_linreg_fit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """OLS trend line quality_u ~ n_chars (operators/stats.linreg_fit)
+    via closed-form normal equations: exact BIGINT moment sums in ONE
+    map-side-combined aggregation, then a fixed double expression tree
+    for the two ratios (identical shape both engines — IEEE ops on
+    identical inputs cannot drift). The does-length-predict-quality
+    readout; at 100 TB still one linear agg producing five numbers."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import linreg_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("n_chars").alias("x"),
+        quality_score_u(F.col("text")).alias("y"),
+    )
+    return linreg_fit(base, "x", "y")
+
+
+def sql_linreg_fit() -> str:
+    num_s = (
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    num_i = (
+        "CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    )
+    den = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    return f"""WITH base AS (
+  SELECT n_chars AS x, q.quality_u AS y
+  FROM documents JOIN ({sql_quality()}) q USING (doc_id)
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN ({den}) > 0
+                 THEN CAST(floor(({num_s}) / ({den}) * 1000000.0) AS BIGINT)
+                 ELSE 0 END AS BIGINT) AS slope_u,
+       CAST(CASE WHEN ({den}) > 0
+                 THEN CAST(floor(({num_i}) / ({den}) * 1000000.0) AS BIGINT)
+                 ELSE 0 END AS BIGINT) AS intercept_u
+FROM agg"""
+
+
+QUERIES["q_linreg_fit"] = q_linreg_fit
+ORACLES["q_linreg_fit"] = sql_linreg_fit
+
+
+def q_calibration_bins(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Reliability diagram for the quality scorer as an English
+    predictor (operators/stats.calibration_bins): equal-width decile
+    bins of quality_u, each with its is_en rate. The companion to
+    q_quality_auc — AUC checks ORDER, calibration checks whether the
+    score VALUE means its claim. One grouped shuffle into <= 10 rows
+    at any corpus size."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import calibration_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        quality_score_u(F.col("text")).alias("quality_u"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(scored, "quality_u", "is_en", bins=_CAL_BINS)
+
+
+def sql_calibration_bins() -> str:
+    b = _CAL_BINS
+    return f"""WITH scored AS (
+  SELECT quality_u, (lang = 'en') AS is_en
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+),
+binned AS (
+  SELECT LEAST({b - 1}, (quality_u * {b}) // 1000000) AS bin,
+         CASE WHEN is_en THEN 1 ELSE 0 END AS p
+  FROM scored
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n, SUM(p) AS n_pos FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST((n_pos * 1000000) // n AS BIGINT) AS rate_u
+FROM agg"""
+
+
+QUERIES["q_calibration_bins"] = q_calibration_bins
+ORACLES["q_calibration_bins"] = sql_calibration_bins
+
+
+def q_join_size_estimate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CMS/AMS join-cardinality estimation
+    (operators/sketch.count_min_inner_product): the self-equi-join
+    size of lineitem on l_partkey — exact sum_k c(k)^2 from a grouped
+    count vs the sketch inner product min_r sum_b cnt[r,b]^2. The
+    estimator an optimizer consults before committing a shuffle
+    strategy; one-sided (est >= exact ALWAYS) so worst-case planning
+    never under-provisions. The estimate path touches only
+    depth x width sketch cells however large the relation."""
+    from ..operators.sketch import count_min_build, count_min_inner_product
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select("l_partkey")
+    sk = count_min_build(keys, "l_partkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = count_min_inner_product(sk, sk, depth=_CMS_DEPTH).select(
+        F.col("est").alias("est_pairs")
+    )
+    exact = (
+        keys.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.expr("c * c")).cast("long").alias("exact_pairs"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est))
+
+
+def sql_join_size_estimate() -> str:
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS row,"
+        f" {_sql_hex8(f'''md5(CAST(l_partkey AS VARCHAR) || '#{j}')''')}"
+        f" % {_CMS_WIDTH} AS bucket FROM lineitem"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""WITH cnts AS (
+  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+),
+exact AS (
+  SELECT COUNT(*) AS n_keys, SUM(c * c) AS exact_pairs FROM cnts
+),
+cells AS (
+{cells}
+),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket
+),
+ip AS (
+  SELECT row, SUM(cnt * cnt) AS ip FROM sketch GROUP BY row
+),
+est AS (SELECT MIN(ip) AS est_pairs FROM ip)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(exact_pairs AS BIGINT) AS exact_pairs,
+       CAST(est_pairs AS BIGINT) AS est_pairs
+FROM exact CROSS JOIN est"""
+
+
+QUERIES["q_join_size_estimate"] = q_join_size_estimate
+ORACLES["q_join_size_estimate"] = sql_join_size_estimate
+
+
+def q_range_bounds(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Range-partitioner boundary estimation + balance readout
+    (operators/layout.range_partition_bounds) over the events stream's
+    epoch seconds: deterministic md5-residue sample -> NTILE
+    boundaries over the bounded sample -> scan-side CASE-chain
+    assignment of every row -> per-bucket counts. Exactly the global
+    sort / sorted-write preparation step at 100 TB: the data never
+    sorts globally, boundaries are the partitioner (bounded plan
+    literals, the same collect Spark's own RangePartitioner does)."""
+    from ..operators.layout import range_partition_bounds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.unix_timestamp("ts").alias("v"),
+        F.col("event_id").alias("rid"),
+    )
+    return range_partition_bounds(
+        base, "v", "rid", buckets=_RB_BUCKETS, sample_mod=_RB_MOD
+    )
+
+
+def sql_range_bounds() -> str:
+    b = _RB_BUCKETS
+    h = _sql_hex8("md5(CAST(d.rid AS VARCHAR) || '#rb')")
+    return f"""WITH data AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v, event_id AS rid
+  FROM events
+),
+sample AS (
+  SELECT d.v, d.rid FROM data d
+  WHERE {h} % {_RB_MOD} = 0
+),
+tiles AS (
+  SELECT v, NTILE({b}) OVER (ORDER BY v, rid) AS tile FROM sample
+),
+bounds AS (
+  SELECT tile, MAX(v) AS hi FROM tiles GROUP BY tile HAVING tile < {b}
+),
+assigned AS (
+  SELECT d.rid, d.v, COUNT(bo.hi) AS bucket
+  FROM data d LEFT JOIN bounds bo ON d.v > bo.hi
+  GROUP BY d.rid, d.v
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(v) AS BIGINT) AS v_min, CAST(MAX(v) AS BIGINT) AS v_max
+FROM assigned GROUP BY bucket"""
+
+
+QUERIES["q_range_bounds"] = q_range_bounds
+ORACLES["q_range_bounds"] = sql_range_bounds
+
+
+def q_vocab_saturation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Heaps-law vocabulary-growth curve
+    (operators/stats.vocab_saturation): the corpus in 8 id-order
+    prefixes, each reporting its NEVER-seen-before term count plus
+    cumulative vocabulary and token totals — the marginal-return-of-
+    more-data signal a crawl-budget decision reads. Exact (token ->
+    min(first bucket) in one token-domain groupBy, the same shuffle
+    as corpus_ngrams); cumulative window over <= 8 rows."""
+    from ..operators.stats import vocab_saturation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_saturation(docs, "text", "doc_id", buckets=_VS_BUCKETS)
+
+
+def sql_vocab_saturation() -> str:
+    b = _VS_BUCKETS
+    toks = _TOKS.format(c="text")
+    return f"""WITH tot AS (SELECT COUNT(*) AS t_n FROM documents),
+toks AS (
+  SELECT LEAST({b - 1}, (doc_id * {b}) // t_n) AS bucket,
+         unnest({toks}) AS tok
+  FROM documents CROSS JOIN tot
+),
+toks2 AS (SELECT bucket, tok FROM toks WHERE tok <> ''),
+firsts AS (SELECT tok, MIN(bucket) AS fb FROM toks2 GROUP BY tok),
+newv AS (SELECT fb AS bucket, COUNT(*) AS new_terms FROM firsts GROUP BY fb),
+btoks AS (
+  SELECT bucket, COUNT(*) AS bucket_tokens FROM toks2 GROUP BY bucket
+),
+j AS (
+  SELECT bt.bucket, COALESCE(nv.new_terms, 0) AS new_terms,
+         bt.bucket_tokens
+  FROM btoks bt LEFT JOIN newv nv ON nv.bucket = bt.bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(new_terms AS BIGINT) AS new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab,
+       CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+       CAST(SUM(bucket_tokens) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM j"""
+
+
+QUERIES["q_vocab_saturation"] = q_vocab_saturation
+ORACLES["q_vocab_saturation"] = sql_vocab_saturation

@@ -1055,3 +1055,101 @@ def test_blocking_agreement_is_a_valid_jaccard(spark, sf_dir):
     r = q_blocking_agreement(spark, sf_dir).collect()[0]
     assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
     assert 0 <= r["jaccard_u"] <= 1_000_000
+
+
+def test_linreg_fit_recovers_planted_line(spark):
+    """Exact line y = 3x + 7 -> slope_u 3e6, intercept_u 7e6;
+    zero x-variance -> both 0 (guard, not NaN)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        linreg_fit,
+    )
+
+    line = spark.createDataFrame(
+        [(x, 3 * x + 7) for x in range(1, 30)], "x long, y long"
+    )
+    r = linreg_fit(line, "x", "y").collect()[0]
+    assert (r["slope_u"], r["intercept_u"]) == (3_000_000, 7_000_000)
+    flat = spark.createDataFrame([(5, 1), (5, 9)], "x long, y long")
+    r2 = linreg_fit(flat, "x", "y").collect()[0]
+    assert (r2["slope_u"], r2["intercept_u"]) == (0, 0)
+
+
+def test_linreg_fit_single_aggregation(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_linreg_fit,
+    )
+
+    plan = plan_str(q_linreg_fit(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one single-partition exchange
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_calibration_bins,
+    )
+
+    rows = q_calibration_bins(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0 <= r["rate_u"] <= 1_000_000
+
+
+def test_join_size_estimate_is_one_sided(spark, sf_dir):
+    """CMS inner product must NEVER underestimate the true join size
+    (collision terms are non-negative)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_join_size_estimate,
+    )
+
+    r = q_join_size_estimate(spark, sf_dir).collect()[0]
+    assert r["n_keys"] > 0
+    assert r["est_pairs"] >= r["exact_pairs"] > 0
+
+
+def test_range_bounds_cover_and_order(spark, sf_dir):
+    """Every row lands in exactly one bucket; bucket value ranges are
+    disjoint and ordered (the range-partitioner contract)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_range_bounds,
+    )
+
+    rows = sorted(q_range_bounds(spark, sf_dir).collect(),
+                  key=lambda r: r["bucket"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == ev
+    for a, b in zip(rows, rows[1:]):
+        assert a["v_max"] < b["v_min"]  # strict: boundaries split cleanly
+        assert a["v_min"] <= a["v_max"]
+
+
+def test_vocab_saturation_exact_accounting(spark, sf_dir):
+    """cum_vocab is nondecreasing and its total equals the exact
+    distinct-token count; cum_tokens totals the token count."""
+    from pyspark.sql import functions as F
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        shingles,
+    )
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_vocab_saturation,
+    )
+
+    rows = sorted(q_vocab_saturation(spark, sf_dir).collect(),
+                  key=lambda r: r["bucket"])
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(shingles(F.col("text"), 1)).alias("t")) \
+        .where(F.col("t") != "")
+    n_tokens = toks.count()
+    n_vocab = toks.distinct().count()
+    assert rows[-1]["cum_tokens"] == n_tokens
+    assert rows[-1]["cum_vocab"] == n_vocab
+    assert sum(r["new_terms"] for r in rows) == n_vocab
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_vocab"] >= a["cum_vocab"]
+        # marginal new vocabulary should not trend UP as data grows
+    assert rows[0]["new_terms"] == max(r["new_terms"] for r in rows)
