@@ -314,3 +314,28 @@ def range_partition_bounds(
             F.max("v").cast("long").alias("v_max"),
         )
     )
+
+
+def minmax_file_stats(
+    df: "DataFrame",
+    file_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """(file_id, n_rows, v_min, v_max): the per-file min/max column
+    statistics every lakehouse format (parquet footers, Iceberg/Delta
+    manifests) keeps, computed in one map-side-combined groupBy. A
+    range predicate can SKIP any file whose [v_min, v_max] interval
+    misses it — the pruning arithmetic that lets a 100 TB scan touch
+    only the files that can match. Output is file-count-sized."""
+    return (
+        df.select(
+            F.col(file_col).cast("long").alias("file_id"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+    )

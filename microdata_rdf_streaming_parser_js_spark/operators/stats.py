@@ -1438,3 +1438,86 @@ def vocab_saturation(
         "bucket_tokens",
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
     )
+
+
+def spearman_rho(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+) -> "DataFrame":
+    """One row (n, rho2_u, sign): Spearman rank correlation between
+    two integer signals, tie-exact, computed WITHOUT ranking the data
+    rows — each side collapses to its grouped value histogram, the
+    average rank of a tied value v is cum_count(<v) + (n_v + 1)/2,
+    held exact in DOUBLED half-units 2*cum + n_v + 1 (always an
+    integer), and rows get their two ranks back by joining on the
+    value. Pearson over the paired half-unit ranks (the constant
+    factor 2 cancels) with the same exact-BIGINT-sums + fixed double
+    expression tree as signal_corr, reported as floor(rho^2 * 1e6)
+    plus a sign column.
+
+    Shape: two map-side-combined histograms (bounded by the value
+    domains, e.g. <= 1e6+1 rows for micro-unit scores), two cumulative
+    windows over those bounded histograms, two joins back to the rows
+    (broadcast-sized whenever the domain is), one final aggregation.
+    The data is never globally sorted — ranks come from histograms.
+    Rank products reach ~(2n)^2; past ~3e9 rows lift the sums into
+    DECIMAL(38), shape unchanged.
+    """
+
+    def ranks(col: str, alias: str) -> "DataFrame":
+        hist = (
+            df.select(F.col(col).cast("long").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return hist.select(
+            F.col("v").alias(col),
+            (
+                F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            ).cast("long").alias(alias),
+        )
+
+    paired = (
+        df.select(
+            F.col(x_col).cast("long").alias(x_col),
+            F.col(y_col).cast("long").alias(y_col),
+        )
+        .join(F.broadcast(ranks(x_col, "rx")), x_col)
+        .join(F.broadcast(ranks(y_col, "ry")), y_col)
+    )
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("rx * rx")).cast("long").alias("sxx"),
+        F.sum(F.expr("ry * ry")).cast("long").alias("syy"),
+        F.sum(F.expr("rx * ry")).cast("long").alias("sxy"),
+    )
+    num = (
+        "cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double)"
+    )
+    dx = (
+        "cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)"
+    )
+    dy = (
+        "cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double)"
+    )
+    return agg.select(
+        "n",
+        F.expr(
+            f"CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN"
+            f" cast(floor((({num}) * ({num})) / (({dx}) * ({dy}))"
+            f" * 1000000.0) as bigint) ELSE 0 END"
+        ).alias("rho2_u"),
+        F.expr(
+            f"CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1"
+            f" ELSE 0 END"
+        ).cast("long").alias("sign"),
+    )

@@ -11763,3 +11763,337 @@ FROM j"""
 
 QUERIES["q_vocab_saturation"] = q_vocab_saturation
 ORACLES["q_vocab_saturation"] = sql_vocab_saturation
+
+
+# --- wave 28: rank correlation, min/max pruning, dataset card,
+# CMS heavy hitters ---
+
+_MMP_FILES = 64
+_HH_DENOM = 100  # heavy hitter = >= 1/_HH_DENOM of all tokens
+
+
+def q_spearman(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Spearman rank correlation between document length and quality
+    (operators/stats.spearman_rho), tie-exact WITHOUT ranking data
+    rows: both signals collapse to grouped value histograms, average
+    ranks live in integer half-units (2*cum + n_v + 1), rows re-join
+    their ranks by value, and Pearson runs over the paired ranks with
+    exact BIGINT sums. The monotone-association readout that, next to
+    q_signal_corr's linear one, tells whether a nonlinear quality
+    filter is just re-measuring length."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import spearman_rho
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("n_chars").alias("x"),
+        quality_score_u(F.col("text")).alias("y"),
+    )
+    return spearman_rho(base, "x", "y")
+
+
+def sql_spearman() -> str:
+    num = (
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    dx = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    dy = (
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return f"""WITH base AS (
+  SELECT n_chars AS x, q.quality_u AS y
+  FROM documents JOIN ({sql_quality()}) q USING (doc_id)
+),
+hx AS (SELECT x AS v, COUNT(*) AS c FROM base GROUP BY x),
+rx AS (
+  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+  FROM hx
+),
+hy AS (SELECT y AS v, COUNT(*) AS c FROM base GROUP BY y),
+ry AS (
+  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+  FROM hy
+),
+paired AS (
+  SELECT rx.r AS rx, ry.r AS ry
+  FROM base JOIN rx ON rx.v = base.x JOIN ry ON ry.v = base.y
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM paired
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN
+         CAST(floor((({num}) * ({num})) / (({dx}) * ({dy}))
+              * 1000000.0) AS BIGINT)
+       ELSE 0 END AS rho2_u,
+       CAST(CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS sign
+FROM agg"""
+
+
+QUERIES["q_spearman"] = q_spearman
+ORACLES["q_spearman"] = sql_spearman
+
+
+def q_minmax_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """File-skipping readout (operators/layout.minmax_file_stats):
+    events cut into {_MMP_FILES} id-order "files", per-file min/max
+    epoch stats (the parquet-footer / Iceberg-manifest statistics),
+    then a 30-40%-of-timespan range predicate counts the files it can
+    SKIP outright vs the rows it must scan vs the rows that match.
+    The arithmetic that lets a 100 TB time-range query touch a sliver:
+    stats are file-count-sized, the predicate range is a one-row
+    broadcast, only the matching-rows count rescans data (with the
+    predicate pushed down)."""
+    from ..operators.layout import minmax_file_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.unix_timestamp("ts").alias("v"),
+        F.col("event_id").alias("rid"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("t_n"),
+        F.min("v").alias("t_lo"),
+        F.max("v").alias("t_hi"),
+    )
+    rng = tot.select(
+        "t_n",
+        F.expr("t_lo + ((t_hi - t_lo) * 30) div 100").alias("p_lo"),
+        F.expr("t_lo + ((t_hi - t_lo) * 40) div 100").alias("p_hi"),
+    )
+    filed = base.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.lit(_MMP_FILES - 1),
+            F.expr(f"(rid * {_MMP_FILES}) div t_n"),
+        ).cast("long").alias("file_id"),
+        "v",
+    )
+    stats = minmax_file_stats(filed, "file_id", "v")
+    pruned = (
+        stats.crossJoin(F.broadcast(rng))
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("v_max") < F.col("p_lo"))
+                    | (F.col("v_min") > F.col("p_hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_pruned"),
+            F.sum(
+                F.when(
+                    (F.col("v_max") >= F.col("p_lo"))
+                    & (F.col("v_min") <= F.col("p_hi")),
+                    F.col("n_rows"),
+                ).otherwise(0)
+            ).cast("long").alias("rows_scanned"),
+        )
+    )
+    matching = (
+        base.crossJoin(F.broadcast(rng))
+        .where((F.col("v") >= F.col("p_lo")) & (F.col("v") <= F.col("p_hi")))
+        .agg(F.count("*").cast("long").alias("rows_matching"))
+    )
+    return pruned.crossJoin(F.broadcast(matching))
+
+
+def sql_minmax_prune() -> str:
+    m = _MMP_FILES
+    return f"""WITH base AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v, event_id AS rid
+  FROM events
+),
+tot AS (
+  SELECT COUNT(*) AS t_n, MIN(v) AS t_lo, MAX(v) AS t_hi FROM base
+),
+rng AS (
+  SELECT t_lo + ((t_hi - t_lo) * 30) // 100 AS p_lo,
+         t_lo + ((t_hi - t_lo) * 40) // 100 AS p_hi
+  FROM tot
+),
+filed AS (
+  SELECT LEAST({m - 1}, (rid * {m}) // t_n) AS file_id, v
+  FROM base CROSS JOIN tot
+),
+stats AS (
+  SELECT file_id, COUNT(*) AS n_rows, MIN(v) AS v_min, MAX(v) AS v_max
+  FROM filed GROUP BY file_id
+),
+pruned AS (
+  SELECT COUNT(*) AS n_files,
+         SUM(CASE WHEN v_max < p_lo OR v_min > p_hi THEN 1 ELSE 0 END)
+           AS n_pruned,
+         SUM(CASE WHEN v_max >= p_lo AND v_min <= p_hi THEN n_rows
+                  ELSE 0 END) AS rows_scanned
+  FROM stats CROSS JOIN rng
+),
+matching AS (
+  SELECT COUNT(*) AS rows_matching
+  FROM base CROSS JOIN rng WHERE v >= p_lo AND v <= p_hi
+)
+SELECT CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_pruned AS BIGINT) AS n_pruned,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(rows_matching AS BIGINT) AS rows_matching
+FROM pruned CROSS JOIN matching"""
+
+
+QUERIES["q_minmax_prune"] = q_minmax_prune
+ORACLES["q_minmax_prune"] = sql_minmax_prune
+
+
+def q_dataset_card(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source datasheet — the "dataset card" table a corpus
+    release ships: document count, exact token total, English share,
+    mean quality, mean length, all integer micro-units, ONE map-side-
+    combined groupBy(source) whatever the corpus size. Composes the
+    verified token/quality kernels; 100 TB cost = one scan plus a
+    source-count-sized shuffle."""
+    from ..functions.text import quality_score_u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "source",
+        token_count(F.col("text")).cast("long").alias("toks"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
+        quality_score_u(F.col("text")).cast("long").alias("q"),
+        F.col("n_chars").cast("long").alias("ch"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens"),
+        F.sum("en").cast("long").alias("en_docs"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("ch").cast("long").alias("sch"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("(en_docs * 1000000) div n_docs").cast("long")
+        .alias("en_share_u"),
+        F.expr("sq div n_docs").cast("long").alias("mean_quality_u"),
+        F.expr("sch div n_docs").cast("long").alias("mean_chars"),
+    )
+
+
+def sql_dataset_card() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH base AS (
+  SELECT source,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({toks}) END) AS toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         q.quality_u AS q, n_chars AS ch
+  FROM documents JOIN ({sql_quality()}) q USING (doc_id)
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(toks) AS tokens,
+         SUM(en) AS en_docs, SUM(q) AS sq, SUM(ch) AS sch
+  FROM base GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST((en_docs * 1000000) // n_docs AS BIGINT) AS en_share_u,
+       CAST(sq // n_docs AS BIGINT) AS mean_quality_u,
+       CAST(sch // n_docs AS BIGINT) AS mean_chars
+FROM agg"""
+
+
+QUERIES["q_dataset_card"] = q_dataset_card
+ORACLES["q_dataset_card"] = sql_dataset_card
+
+
+def q_heavy_hitters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CMS phi-heavy-hitters with exact verification: every token the
+    depth-{_CMS_DEPTH} x width-{_CMS_WIDTH} sketch estimates at
+    >= 1/{_HH_DENOM} of all token occurrences, beside its exact count
+    and whether it truly clears the bar. est >= exact means the CMS
+    can only OVER-report (false positives, never false negatives) —
+    the guarantee that makes sketch-first heavy-hitter mining safe:
+    the expensive exact pass touches only the sketch's shortlist. The
+    oracle rebuilds the identical md5 sketch so even the false
+    positives match exactly."""
+    from ..operators.dedup import shingles
+    from ..operators.sketch import count_min_build, count_min_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(shingles(F.col("text"), 1)).alias("tok")
+    ).where(F.col("tok") != "")
+    sketch = count_min_build(toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact"))
+    est = count_min_estimate(
+        sketch, exact.select("tok"), "tok",
+        depth=_CMS_DEPTH, width=_CMS_WIDTH,
+    )
+    thr = toks.agg(
+        F.expr(f"(count(*) div {_HH_DENOM})").cast("long").alias("thr")
+    )
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("est") >= F.col("thr"))
+        .select(
+            "tok",
+            "exact",
+            F.col("est").cast("long").alias("est"),
+            (F.col("exact") >= F.col("thr")).alias("true_hh"),
+        )
+    )
+
+
+def sql_heavy_hitters() -> str:
+    toks = _TOKS.format(c="text")
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS row,"
+        f" {_sql_hex8(f'''md5(tok || '#{j}')''')} % {_CMS_WIDTH} AS bucket"
+        f" FROM toks"
+        for j in range(_CMS_DEPTH)
+    )
+    probe_cells = "\n  UNION ALL\n".join(
+        f"  SELECT tok, {j} AS row,"
+        f" {_sql_hex8(f'''md5(tok || '#{j}')''')} % {_CMS_WIDTH} AS bucket"
+        f" FROM exact"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest({toks}) AS tok FROM documents
+  ) t WHERE tok <> ''
+),
+exact AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok),
+thr AS (SELECT COUNT(*) // {_HH_DENOM} AS thr FROM toks),
+cells AS (
+{cells}
+),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket
+),
+probe_cells AS (
+{probe_cells}
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM probe_cells p
+  LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+  GROUP BY p.tok
+)
+SELECT e.tok, CAST(x.exact AS BIGINT) AS exact, CAST(e.est AS BIGINT) AS est,
+       (x.exact >= t.thr) AS true_hh
+FROM est e JOIN exact x ON x.tok = e.tok CROSS JOIN thr t
+WHERE e.est >= t.thr"""
+
+
+QUERIES["q_heavy_hitters"] = q_heavy_hitters
+ORACLES["q_heavy_hitters"] = sql_heavy_hitters

@@ -1153,3 +1153,81 @@ def test_vocab_saturation_exact_accounting(spark, sf_dir):
         assert b["cum_vocab"] >= a["cum_vocab"]
         # marginal new vocabulary should not trend UP as data grows
     assert rows[0]["new_terms"] == max(r["new_terms"] for r in rows)
+
+
+def test_spearman_monotone_and_ties(spark):
+    """Any strictly monotone (even nonlinear) map -> rho^2 = 1e6;
+    anti-monotone -> sign -1; ties handled with exact half-credit."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        spearman_rho,
+    )
+
+    mono = spark.createDataFrame(
+        [(x, x * x * x) for x in range(1, 20)], "x long, y long"
+    )
+    r = spearman_rho(mono, "x", "y").collect()[0]
+    assert (r["rho2_u"], r["sign"]) == (1_000_000, 1)
+    anti = spark.createDataFrame(
+        [(x, -x * x) for x in range(1, 20)], "x long, y long"
+    )
+    r2 = spearman_rho(anti, "x", "y").collect()[0]
+    assert (r2["rho2_u"], r2["sign"]) == (1_000_000, -1)
+    tied = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 5), (2, 9)], "x long, y long"
+    )
+    r3 = spearman_rho(tied, "x", "y").collect()[0]
+    assert 0 <= r3["rho2_u"] <= 1_000_000
+
+
+def test_minmax_prune_skips_files(spark, sf_dir):
+    """id-order files over a time-correlated stream: a 10%-of-span
+    predicate must prune most files, and scanned >= matching."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_minmax_prune, _MMP_FILES,
+    )
+
+    r = q_minmax_prune(spark, sf_dir).collect()[0]
+    assert r["n_files"] == _MMP_FILES
+    assert r["n_pruned"] > _MMP_FILES // 2
+    assert r["rows_scanned"] >= r["rows_matching"] > 0
+
+
+def test_dataset_card_accounts_every_document(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dataset_card,
+    )
+
+    rows = q_dataset_card(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs
+    for r in rows:
+        assert 0 <= r["en_share_u"] <= 1_000_000
+        assert r["tokens"] > 0 and r["mean_chars"] > 0
+
+
+def test_heavy_hitters_no_false_negatives(spark, sf_dir):
+    """CMS one-sidedness: every truly-heavy token MUST be in the
+    shortlist (est >= exact), false positives are flagged not hidden."""
+    from pyspark.sql import functions as F
+    from microdata_rdf_streaming_parser_js_spark.operators.dedup import (
+        shingles,
+    )
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_heavy_hitters, _HH_DENOM,
+    )
+
+    rows = q_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["exact"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(shingles(F.col("text"), 1)).alias("t")) \
+        .where(F.col("t") != "")
+    thr = toks.count() // _HH_DENOM
+    true_heavy = {
+        r["t"] for r in toks.groupBy("t").count()
+        .where(F.col("count") >= thr).collect()
+    }
+    listed = {r["tok"] for r in rows}
+    assert true_heavy <= listed
+    assert {r["tok"] for r in rows if r["true_hh"]} == true_heavy
