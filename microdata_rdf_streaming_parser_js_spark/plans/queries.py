@@ -12097,3 +12097,179 @@ WHERE e.est >= t.thr"""
 
 QUERIES["q_heavy_hitters"] = q_heavy_hitters
 ORACLES["q_heavy_hitters"] = sql_heavy_hitters
+
+
+# --- wave 29: sliding windows (batch + streaming) and native
+# session windows ---
+
+_SLIDE_DUR_S = 600
+_SLIDE_STEP_S = 300
+
+
+def q_events_sliding(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sliding (overlapping) windows via Spark's NATIVE
+    F.window(ts, '600 seconds', '300 seconds'): every event lands in
+    exactly duration/slide = 2 windows, the hopping-aggregation shape
+    a rate monitor runs. Integer-exact: per-row floor(value*1e6)
+    longs. The oracle replays the window assignment arithmetic
+    (epoch-floored seconds are exact here because boundaries are
+    whole multiples of the slide). One shuffle, 2x row expansion
+    inside the aggregate — no joins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window(
+        "ts", f"{_SLIDE_DUR_S} seconds", f"{_SLIDE_STEP_S} seconds"
+    )
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("sum_value_u"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_u",
+        )
+    )
+
+
+def sql_events_sliding() -> str:
+    d, s = _SLIDE_DUR_S, _SLIDE_STEP_S
+    k = d // s
+    starts = ", ".join(f"(fs // {s}) * {s} - {i * s}" for i in range(k))
+    return f"""WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS fs, event_type,
+         CAST(floor(value * 1e6) AS BIGINT) AS v_u
+  FROM events
+),
+x AS (
+  SELECT unnest([{starts}]) AS window_start, event_type, v_u FROM e
+)
+SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+       COUNT(*) AS n_events, CAST(SUM(v_u) AS BIGINT) AS sum_value_u
+FROM x GROUP BY 1, 2"""
+
+
+QUERIES["q_events_sliding"] = q_events_sliding
+ORACLES["q_events_sliding"] = sql_events_sliding
+
+
+def q_events_sliding_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The sliding-window aggregation as a REAL Structured Streaming
+    job (file readStream -> stateful hopping-window aggregation ->
+    memory sink, availableNow) — same integer-exact aggregate as
+    q_events_sliding so state-store merge order cannot drift the
+    result; the oracle is the identical window-assignment replay."""
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_events_{tag}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(path, link)
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    win = F.window(
+        "ts", f"{_SLIDE_DUR_S} seconds", f"{_SLIDE_STEP_S} seconds"
+    )
+    agg = (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("sum_value_u"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_u",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_sliding_stream_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES["q_events_sliding_stream"] = q_events_sliding_stream
+ORACLES["q_events_sliding_stream"] = sql_events_sliding
+
+
+def q_events_session_native(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """Spark's NATIVE F.session_window(ts, '30 minutes') — the
+    merge-overlapping-[t, t+gap) session operator (vs
+    q_events_sessionize's handwritten gaps-and-islands): window.end
+    is last_event + gap by definition. The oracle replays the merge
+    rule EXACTLY in microsecond integers (epoch_us; new session iff
+    the gap to the previous event is >= 30 min — an event at exactly
+    prev + gap falls outside [prev, prev+gap)), so sub-second
+    timestamps cannot drift the boundaries. One shuffle on user_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def sql_events_session_native() -> str:
+    gap_us = _SESSION_GAP_S * 1_000_000
+    return f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN us - LAG(us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) >= {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+g AS (
+  SELECT user_id, sid, MIN(us) AS mn, MAX(us) AS mx,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, CAST(mn // 1000000 AS BIGINT) AS session_start,
+       CAST((mx + {gap_us}) // 1000000 AS BIGINT) AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM g"""
+
+
+QUERIES["q_events_session_native"] = q_events_session_native
+ORACLES["q_events_session_native"] = sql_events_session_native

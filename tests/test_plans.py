@@ -1231,3 +1231,41 @@ def test_heavy_hitters_no_false_negatives(spark, sf_dir):
     listed = {r["tok"] for r in rows}
     assert true_heavy <= listed
     assert {r["tok"] for r in rows if r["true_hh"]} == true_heavy
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """duration/slide = 2 -> every event lands in exactly 2 windows:
+    total windowed count is exactly 2x the event count."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_events_sliding,
+    )
+
+    rows = q_events_sliding(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == 2 * ev
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_events_sliding, q_events_sliding_stream,
+    )
+
+    batch = {tuple(r) for r in q_events_sliding(spark, sf_dir).collect()}
+    stream = {
+        tuple(r) for r in q_events_sliding_stream(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_session_native_invariants(spark, sf_dir):
+    """Native session_window: end = last event + gap (so end - start
+    >= gap always), sessions partition the events exactly."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_events_session_native, _SESSION_GAP_S,
+    )
+
+    rows = q_events_session_native(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == ev
+    for r in rows:
+        assert r["session_end"] - r["session_start"] >= _SESSION_GAP_S
