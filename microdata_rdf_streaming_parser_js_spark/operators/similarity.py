@@ -900,3 +900,60 @@ def ivfpq_topk(
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_drift(
+    df: "DataFrame",
+    vec_col: str,
+    split_col: str,
+) -> "DataFrame":
+    """One row (n_a, n_b, cos_u): cosine similarity between the mean
+    embedding of split 0 and split 1 — the embedding-space corpus
+    drift readout (token-distribution drift has q_corpus_drift; this
+    is its semantic twin: did the crawl's MEANING move between
+    snapshots?). Cosine of the per-split SUM vectors equals cosine of
+    the means (scalar factors cancel), so no division happens until
+    the final expression.
+
+    Determinism/scale shape: elements floor to micro-unit longs
+    scan-side (float->double->*1e6->floor, identical IEEE steps both
+    engines); per-dimension sums are ONE posexplode + map-side-
+    combined groupBy(split, dim) shuffle into 2*dim rows; the final
+    dot/norm aggregation runs over dim rows. Element sums fit BIGINT
+    to ~9e12 rows; past that lift to DECIMAL(38) — shape unchanged.
+    """
+    vu = df.select(
+        F.col(split_col).cast("long").alias("half"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+        ).alias("v"),
+    )
+    dims = (
+        vu.select("half", F.posexplode("v").alias("pos", "val"))
+        .groupBy("half", "pos")
+        .agg(F.sum("val").cast("long").alias("s"))
+    )
+    a = dims.where(F.col("half") == 0).select("pos", F.col("s").alias("sa"))
+    b = dims.where(F.col("half") == 1).select("pos", F.col("s").alias("sb"))
+    ip = a.join(b, "pos").agg(
+        F.sum(F.expr("sa * sb")).cast("long").alias("dot"),
+        F.sum(F.expr("sa * sa")).cast("long").alias("na2"),
+        F.sum(F.expr("sb * sb")).cast("long").alias("nb2"),
+    )
+    cnts = vu.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    return cnts.crossJoin(F.broadcast(ip)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CASE WHEN na2 > 0 AND nb2 > 0 THEN"
+            " cast(floor(cast(dot as double)"
+            " / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double)))"
+            " * 1000000.0) as bigint) ELSE 0 END"
+        ).alias("cos_u"),
+    )

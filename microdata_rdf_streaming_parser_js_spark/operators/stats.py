@@ -1521,3 +1521,131 @@ def spearman_rho(
             f" ELSE 0 END"
         ).cast("long").alias("sign"),
     )
+
+
+def grouped_ranking_auc(
+    df: "DataFrame",
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> "DataFrame":
+    """(group, n_pos, n_neg, auc_u): ranking_auc per group — the
+    scorer-fairness-by-domain readout (a scorer can rank well globally
+    while inverting inside one source). Same histogram trick, now
+    partitioned: the cumulative window runs over per-group score
+    histograms (bounded by the score domain per group), never over
+    data rows; groups lacking both classes report auc_u = 0. One
+    map-side-combined groupBy(group, score) shuffle plus a
+    group-partitioned window."""
+    hist = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(score_col).cast("long").alias("s"),
+            F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0)).alias("p"),
+        )
+        .groupBy("grp", "s")
+        .agg(
+            F.sum("p").cast("long").alias("np"),
+            F.sum(F.lit(1) - F.col("p")).cast("long").alias("nn"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = hist.select(
+        "grp",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn"),
+    )
+    agg = terms.groupBy("grp").agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.expr("2 * np * cum_nn + np * nn")).cast("long").alias("u2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("auc_u"),
+    )
+
+
+def welch_z(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> "DataFrame":
+    """One row (n_a, n_b, mean_a_u, mean_b_u, z_u): Welch's
+    two-sample z statistic for mean(value | group_a) vs
+    mean(value | group_b) — z = (ma - mb) / sqrt(va/na + vb/nb) with
+    sample variances — the A/B readout for "did the new filter change
+    quality on this slice". Both groups' moments come from ONE
+    map-side-combined pass (sum/sumsq per group); the statistic is a
+    fixed double expression tree over exact BIGINT sums, reported as
+    floor(z * 1e6). Degenerate inputs (n < 2 or zero variance both
+    sides) report z_u = 0."""
+    agg = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .select(
+            F.when(F.col(group_col) == group_a, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long").alias("na"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long").alias("nb"),
+            F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0))
+            .cast("long").alias("sa"),
+            F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+            .cast("long").alias("sb"),
+            F.sum(
+                F.when(F.col("g") == 0, F.expr("v * v")).otherwise(0)
+            ).cast("long").alias("qa"),
+            F.sum(
+                F.when(F.col("g") == 1, F.expr("v * v")).otherwise(0)
+            ).cast("long").alias("qb"),
+        )
+    )
+    # va/na + vb/nb with sample variance v = (n*q - s^2) / (n*(n-1))
+    se2 = (
+        "(cast(na as double) * cast(qa as double)"
+        " - cast(sa as double) * cast(sa as double))"
+        " / (cast(na as double) * cast(na as double)"
+        " * (cast(na as double) - 1.0))"
+        " + (cast(nb as double) * cast(qb as double)"
+        " - cast(sb as double) * cast(sb as double))"
+        " / (cast(nb as double) * cast(nb as double)"
+        " * (cast(nb as double) - 1.0))"
+    )
+    diff = (
+        "cast(sa as double) / cast(na as double)"
+        " - cast(sb as double) / cast(nb as double)"
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("CASE WHEN na > 0 THEN sa div na ELSE 0 END")
+        .cast("long").alias("mean_a_u"),
+        F.expr("CASE WHEN nb > 0 THEN sb div nb ELSE 0 END")
+        .cast("long").alias("mean_b_u"),
+        F.expr(
+            f"CASE WHEN na >= 2 AND nb >= 2 AND ({se2}) > 0 THEN"
+            f" cast(floor(({diff}) / sqrt({se2}) * 1000000.0) as bigint)"
+            f" ELSE 0 END"
+        ).alias("z_u"),
+    )

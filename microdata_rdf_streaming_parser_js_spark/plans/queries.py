@@ -12273,3 +12273,180 @@ FROM g"""
 
 QUERIES["q_events_session_native"] = q_events_session_native
 ORACLES["q_events_session_native"] = sql_events_session_native
+
+
+# --- wave 30: embedding drift, A/B test, per-group AUC ---
+
+_AB_SRC_A = "src0"
+_AB_SRC_B = "src1"
+
+
+def q_embed_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Embedding-space corpus drift (operators/similarity.
+    centroid_drift): cosine between the centroid of the first and
+    second id-order half of the embeddings table — q_corpus_drift's
+    semantic twin (token distributions vs meaning). Scan-side
+    micro-unit flooring, one posexplode groupBy(split, dim) shuffle
+    into 2*64 rows, final dot/norms over 64 rows; cosine of sums ==
+    cosine of means so no division until the last expression."""
+    from ..operators.similarity import centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tot = emb.agg(F.count("*").cast("long").alias("t_n"))
+    base = emb.crossJoin(F.broadcast(tot)).select(
+        F.least(F.lit(1), F.expr("(vec_id * 2) div t_n")).alias("half"),
+        "embedding",
+    )
+    return centroid_drift(base, "embedding", "half")
+
+
+def sql_embed_drift() -> str:
+    return """WITH tot AS (SELECT COUNT(*) AS t_n FROM embeddings),
+vu AS (
+  SELECT LEAST(1, (vec_id * 2) // t_n) AS half,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+  FROM embeddings CROSS JOIN tot
+),
+dims AS (
+  SELECT half, d.i AS pos, SUM(v[d.i]) AS s
+  FROM vu CROSS JOIN range(1, 65) d(i)
+  GROUP BY half, d.i
+),
+ip AS (
+  SELECT SUM(a.s * b.s) AS dot, SUM(a.s * a.s) AS na2,
+         SUM(b.s * b.s) AS nb2
+  FROM (SELECT pos, s FROM dims WHERE half = 0) a
+  JOIN (SELECT pos, s FROM dims WHERE half = 1) b USING (pos)
+),
+cnts AS (
+  SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM vu
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(CASE WHEN na2 > 0 AND nb2 > 0 THEN
+         CAST(floor(CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+           * 1000000.0) AS BIGINT)
+       ELSE 0 END AS BIGINT) AS cos_u
+FROM cnts CROSS JOIN ip"""
+
+
+QUERIES["q_embed_drift"] = q_embed_drift
+ORACLES["q_embed_drift"] = sql_embed_drift
+
+
+def q_ab_ttest(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Welch two-sample z (operators/stats.welch_z) on quality between
+    sources {_AB_SRC_A} and {_AB_SRC_B} — the filter-change A/B
+    readout. Exact BIGINT moments from one pass over the two slices
+    (predicate pushed to the scan); the statistic is a fixed double
+    tree, floor(z * 1e6)."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import welch_z
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "source", quality_score_u(F.col("text")).alias("quality_u")
+    )
+    return welch_z(scored, "source", "quality_u", _AB_SRC_A, _AB_SRC_B)
+
+
+def sql_ab_ttest() -> str:
+    se2 = (
+        "(CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+        " / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) - 1.0))"
+        " + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+        " / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * (CAST(nb AS DOUBLE) - 1.0))"
+    )
+    diff = (
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"
+    )
+    return f"""WITH scored AS (
+  SELECT source, quality_u
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+  WHERE source IN ('{_AB_SRC_A}', '{_AB_SRC_B}')
+),
+agg AS (
+  SELECT
+    SUM(CASE WHEN source = '{_AB_SRC_A}' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN source = '{_AB_SRC_B}' THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN source = '{_AB_SRC_A}' THEN quality_u ELSE 0 END) AS sa,
+    SUM(CASE WHEN source = '{_AB_SRC_B}' THEN quality_u ELSE 0 END) AS sb,
+    SUM(CASE WHEN source = '{_AB_SRC_A}'
+             THEN quality_u * quality_u ELSE 0 END) AS qa,
+    SUM(CASE WHEN source = '{_AB_SRC_B}'
+             THEN quality_u * quality_u ELSE 0 END) AS qb
+  FROM scored
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(CASE WHEN na > 0 THEN sa // na ELSE 0 END AS BIGINT)
+         AS mean_a_u,
+       CAST(CASE WHEN nb > 0 THEN sb // nb ELSE 0 END AS BIGINT)
+         AS mean_b_u,
+       CAST(CASE WHEN na >= 2 AND nb >= 2 AND ({se2}) > 0 THEN
+         CAST(floor(({diff}) / sqrt({se2}) * 1000000.0) AS BIGINT)
+       ELSE 0 END AS BIGINT) AS z_u
+FROM agg"""
+
+
+QUERIES["q_ab_ttest"] = q_ab_ttest
+ORACLES["q_ab_ttest"] = sql_ab_ttest
+
+
+def q_grouped_auc(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source scorer AUC (operators/stats.grouped_ranking_auc) —
+    the fairness-by-domain readout: a scorer can rank well globally
+    (q_quality_auc) while inverting inside one source. The cumulative
+    window is PARTITIONED by source over per-source score histograms;
+    sources lacking both classes report 0."""
+    from ..functions.text import quality_score_u
+    from ..operators.stats import grouped_ranking_auc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "source",
+        quality_score_u(F.col("text")).alias("quality_u"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return grouped_ranking_auc(scored, "source", "quality_u", "is_en")
+
+
+def sql_grouped_auc() -> str:
+    return f"""WITH scored AS (
+  SELECT source, quality_u, (lang = 'en') AS is_en
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+),
+hist AS (
+  SELECT source, quality_u AS s,
+         SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY source, quality_u
+),
+terms AS (
+  SELECT source, np, nn,
+         COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+  FROM hist
+),
+agg AS (
+  SELECT source, SUM(np) AS n_pos, SUM(nn) AS n_neg,
+         SUM(2 * np * cum_nn + np * nn) AS u2
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (u2 * 1000000) // (2 * n_pos * n_neg)
+                 ELSE 0 END AS BIGINT) AS auc_u
+FROM agg"""
+
+
+QUERIES["q_grouped_auc"] = q_grouped_auc
+ORACLES["q_grouped_auc"] = sql_grouped_auc

@@ -1269,3 +1269,68 @@ def test_session_native_invariants(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) == ev
     for r in rows:
         assert r["session_end"] - r["session_start"] >= _SESSION_GAP_S
+
+
+def test_centroid_drift_identical_halves(spark):
+    """Identical centroids -> cos_u = 1e6 (well, floor-exact);
+    opposite centroids -> negative."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 4.0, 6.0])],
+        "half long, v array<float>",
+    )
+    r = centroid_drift(same, "v", "half").collect()[0]
+    assert r["cos_u"] >= 999_990  # colinear up to micro-unit flooring
+    opp = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "half long, v array<float>"
+    )
+    r2 = centroid_drift(opp, "v", "half").collect()[0]
+    assert r2["cos_u"] <= -999_999
+
+
+def test_welch_z_direction_and_symmetry(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        welch_z,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 11, 12, 13)]
+        + [("b", v) for v in (1, 2, 3, 4)],
+        "g string, v long",
+    )
+    r = welch_z(df, "g", "v", "a", "b").collect()[0]
+    assert r["z_u"] > 0 and r["mean_a_u"] == 11 and r["mean_b_u"] == 2
+    r2 = welch_z(df, "g", "v", "b", "a").collect()[0]
+    # floor() makes the swap anti-symmetric up to one micro-unit
+    assert abs(r2["z_u"] + r["z_u"]) <= 1
+    flat = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+    )
+    assert welch_z(flat, "g", "v", "a", "b").collect()[0]["z_u"] == 0
+
+
+def test_grouped_auc_matches_global_on_single_group(spark, sf_dir):
+    """With one group, grouped AUC must equal the global ranking_auc
+    on the same data."""
+    from pyspark.sql import functions as F
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        grouped_ranking_auc, ranking_auc,
+    )
+    from microdata_rdf_streaming_parser_js_spark.functions.text import (
+        quality_score_u,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        F.lit("all").alias("g"),
+        quality_score_u(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    g = grouped_ranking_auc(scored, "g", "s", "y").collect()[0]
+    a = ranking_auc(scored, "s", "y").collect()[0]
+    assert (g["n_pos"], g["n_neg"], g["auc_u"]) == (
+        a["n_pos"], a["n_neg"], a["auc_u"]
+    )
