@@ -293,6 +293,31 @@ def main() -> None:
         "q_fineweb_rules",
         "q_url_path_rollup",
         "q_minhash_precision",
+        "q_token_fertility",
+        "q_bloom_ingest",
+        "q_simhash_recall",
+        "q_quality_auc",
+        "q_source_prior",
+        "q_signal_corr",
+        "q_pack_efficiency",
+        "q_blocking_agreement",
+        "q_linreg_fit",
+        "q_calibration_bins",
+        "q_join_size_estimate",
+        "q_range_bounds",
+        "q_vocab_saturation",
+        "q_spearman",
+        "q_minmax_prune",
+        "q_dataset_card",
+        "q_heavy_hitters",
+        "q_events_sliding",
+        "q_events_session_native",
+        "q_embed_drift",
+        "q_ab_ttest",
+        "q_grouped_auc",
+        "q_market_share",
+        "q_pr_curve",
+        "q_graph_reciprocity",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -12450,3 +12450,272 @@ FROM agg"""
 
 QUERIES["q_grouped_auc"] = q_grouped_auc
 ORACLES["q_grouped_auc"] = sql_grouped_auc
+
+
+# --- wave 31: TPC-H Q8 market share, P/R threshold sweep,
+# host-graph reciprocity ---
+
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "PROMO"
+_Q8_NATION = "NATION_5"
+_PRC_STEP_U = 100_000
+
+
+def q_market_share(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q8-shaped national market share: within region
+    {_Q8_REGION} and part type {_Q8_TYPE}, the share of yearly revenue
+    supplied by {_Q8_NATION}. 8-way join whose 100 TB plan shape is:
+    part filter, supplier->nation dim, and region->nation->customer
+    scope all broadcast into the lineitem scan (each a few MB at any
+    SF); the only shuffles are lineitem><orders on orderkey and
+    ><customer on custkey plus a years-sized aggregate. Revenue in
+    floor-cents, share as integer micro-units — fold order cannot
+    drift either engine."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    cust_scope = (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_dim = supp.join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        supp["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_dim), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_scope, orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("long").alias("total_rev_c"),
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0)
+            ).cast("long").alias("nation_rev_c"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "total_rev_c",
+        "nation_rev_c",
+        F.expr(
+            "CASE WHEN total_rev_c > 0 THEN"
+            " (nation_rev_c * 1000000) div total_rev_c ELSE 0 END"
+        ).cast("long").alias("share_u"),
+    )
+
+
+def sql_market_share() -> str:
+    return f"""WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+             AS BIGINT)) AS total_rev_c,
+         SUM(CASE WHEN sn.n_name = {_sql_str(_Q8_NATION)}
+                  THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+                       * 100) AS BIGINT)
+                  ELSE 0 END) AS nation_rev_c
+  FROM lineitem, part, supplier, orders, customer,
+       nation cn, nation sn, region
+  WHERE l_partkey = p_partkey AND p_type = {_sql_str(_Q8_TYPE)}
+    AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+    AND r_name = {_sql_str(_Q8_REGION)}
+  GROUP BY 1
+)
+SELECT o_year, CAST(total_rev_c AS BIGINT) AS total_rev_c,
+       CAST(nation_rev_c AS BIGINT) AS nation_rev_c,
+       CAST(CASE WHEN total_rev_c > 0
+                 THEN (nation_rev_c * 1000000) // total_rev_c
+                 ELSE 0 END AS BIGINT) AS share_u
+FROM agg"""
+
+
+QUERIES["q_market_share"] = q_market_share
+ORACLES["q_market_share"] = sql_market_share
+
+
+def q_pr_curve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Precision/recall/F1 sweep of the quality>=t classifier for 11
+    evenly-spaced thresholds — the operating-point table a filter
+    deployment picks its cutoff from. Pure integers end to end:
+    confusion counts come from the bounded score HISTOGRAM (never the
+    data) left-joined to an 11-row threshold frame, so every
+    threshold row exists even when nothing clears it."""
+    from ..functions.text import quality_score_u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = (
+        docs.select(
+            quality_score_u(F.col("text")).alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("p"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("p").cast("long").alias("np"),
+            F.sum(F.expr("1 - p")).cast("long").alias("nn"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(k * _PRC_STEP_U,) for k in range(11)], "thr_u long"
+    )
+    tot = hist.agg(F.sum("np").cast("long").alias("pos"))
+    conf = (
+        thr.join(hist, hist["s"] >= thr["thr_u"], "left")
+        .groupBy("thr_u")
+        .agg(
+            F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return conf.select(
+        "thr_u",
+        "tp",
+        "fp",
+        (F.col("pos") - F.col("tp")).cast("long").alias("fn"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp)"
+            " ELSE 0 END"
+        ).cast("long").alias("precision_u"),
+        F.expr(
+            "CASE WHEN pos > 0 THEN (tp * 1000000) div pos ELSE 0 END"
+        ).cast("long").alias("recall_u"),
+        F.expr(
+            "CASE WHEN (CASE WHEN tp + fp > 0 THEN (tp * 1000000)"
+            " div (tp + fp) ELSE 0 END)"
+            " + (CASE WHEN pos > 0 THEN (tp * 1000000) div pos"
+            " ELSE 0 END) > 0 THEN"
+            " (2 * (CASE WHEN tp + fp > 0 THEN (tp * 1000000)"
+            " div (tp + fp) ELSE 0 END)"
+            " * (CASE WHEN pos > 0 THEN (tp * 1000000) div pos"
+            " ELSE 0 END))"
+            " div ((CASE WHEN tp + fp > 0 THEN (tp * 1000000)"
+            " div (tp + fp) ELSE 0 END)"
+            " + (CASE WHEN pos > 0 THEN (tp * 1000000) div pos"
+            " ELSE 0 END)) ELSE 0 END"
+        ).cast("long").alias("f1_u"),
+    )
+
+
+def sql_pr_curve() -> str:
+    ks = ", ".join(str(k * _PRC_STEP_U) for k in range(11))
+    prec = "CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END"
+    rec = "CASE WHEN pos > 0 THEN (tp * 1000000) // pos ELSE 0 END"
+    return f"""WITH scored AS (
+  SELECT quality_u AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM ({sql_quality()}) q JOIN documents USING (doc_id)
+),
+hist AS (
+  SELECT s, SUM(p) AS np, SUM(1 - p) AS nn FROM scored GROUP BY s
+),
+thr AS (SELECT unnest([{ks}]) AS thr_u),
+tot AS (SELECT SUM(np) AS pos FROM hist),
+conf AS (
+  SELECT t.thr_u, COALESCE(SUM(h.np), 0) AS tp,
+         COALESCE(SUM(h.nn), 0) AS fp
+  FROM thr t LEFT JOIN hist h ON h.s >= t.thr_u
+  GROUP BY t.thr_u
+)
+SELECT CAST(thr_u AS BIGINT) AS thr_u, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(pos - tp AS BIGINT) AS fn,
+       CAST({prec} AS BIGINT) AS precision_u,
+       CAST({rec} AS BIGINT) AS recall_u,
+       CAST(CASE WHEN ({prec}) + ({rec}) > 0 THEN
+              (2 * ({prec}) * ({rec})) // (({prec}) + ({rec}))
+            ELSE 0 END AS BIGINT) AS f1_u
+FROM conf CROSS JOIN tot"""
+
+
+QUERIES["q_pr_curve"] = q_pr_curve
+ORACLES["q_pr_curve"] = sql_pr_curve
+
+
+def q_graph_reciprocity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Host-graph reciprocity: of the distinct non-loop host->host
+    link edges (same tokenizer-grade extraction + RFC 3986 resolution
+    as q_host_pagerank), the fraction whose REVERSE edge also exists —
+    the mutual-linking signal that separates organic link neighborhoods
+    from link farms. One self-intersect of the deduped edge list (a
+    hash join on the reversed key); output is one row."""
+    from ..operators.links import extract_links, host_edges, resolve_links
+
+    pages = spark.createDataFrame(
+        _linked_page_rows(), "url string, html string"
+    ).repartition(4)
+    edges = (
+        host_edges(resolve_links(extract_links(pages)))
+        .select("subj", "obj")
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    n = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    r = edges.intersect(rev).agg(
+        F.count("*").cast("long").alias("n_recip")
+    )
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_edges",
+        "n_recip",
+        F.expr(
+            "CASE WHEN n_edges > 0 THEN (n_recip * 1000000) div n_edges"
+            " ELSE 0 END"
+        ).cast("long").alias("reciprocity_u"),
+    )
+
+
+def sql_graph_reciprocity() -> str:
+    import re as _re
+
+    edges = []
+    for url, html in _linked_page_rows():
+        src = _re.match(r"^https?://([^/]+)", url).group(1)
+        for dst_url in _replay_links_py(url, html):
+            m = _re.match(r"^https?://([^/]+)", dst_url)
+            if m:
+                edges.append((src, m.group(1)))
+    e_values = ",\n".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in edges)
+    return f"""WITH e AS (SELECT subj, obj FROM (VALUES
+{e_values}
+) t(subj, obj)),
+d AS (SELECT DISTINCT subj, obj FROM e WHERE subj <> obj),
+n AS (SELECT COUNT(*) AS n_edges FROM d),
+r AS (
+  SELECT COUNT(*) AS n_recip FROM d
+  WHERE EXISTS (SELECT 1 FROM d d2
+                WHERE d2.subj = d.obj AND d2.obj = d.subj)
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_recip,
+       CAST(CASE WHEN n_edges > 0 THEN (n_recip * 1000000) // n_edges
+                 ELSE 0 END AS BIGINT) AS reciprocity_u
+FROM n CROSS JOIN r"""
+
+
+QUERIES["q_graph_reciprocity"] = q_graph_reciprocity
+ORACLES["q_graph_reciprocity"] = sql_graph_reciprocity

@@ -1334,3 +1334,51 @@ def test_grouped_auc_matches_global_on_single_group(spark, sf_dir):
     assert (g["n_pos"], g["n_neg"], g["auc_u"]) == (
         a["n_pos"], a["n_neg"], a["auc_u"]
     )
+
+
+def test_market_share_plan_and_bounds(spark, sf_dir):
+    """Q8 shape: dims broadcast (no cartesian), shares valid, nation
+    revenue never exceeds the year total."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_market_share,
+    )
+
+    df = q_market_share(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 7  # 1995..2001
+    for r in rows:
+        assert 0 <= r["nation_rev_c"] <= r["total_rev_c"]
+        assert 0 <= r["share_u"] <= 1_000_000
+
+
+def test_pr_curve_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink tp and recall; threshold
+    0 accepts everything (recall = 1)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_pr_curve,
+    )
+
+    rows = sorted(q_pr_curve(spark, sf_dir).collect(),
+                  key=lambda r: r["thr_u"])
+    assert len(rows) == 11
+    assert rows[0]["thr_u"] == 0 and rows[0]["recall_u"] == 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"]
+        assert b["recall_u"] <= a["recall_u"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == rows[0]["tp"]  # pos is constant
+
+
+def test_graph_reciprocity_pinned(spark, sf_dir):
+    """The linked-page fixture graph has exactly 38 distinct non-loop
+    host edges of which 4 are mutual."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_graph_reciprocity,
+    )
+
+    r = q_graph_reciprocity(spark, sf_dir).collect()[0]
+    assert (r["n_edges"], r["n_recip"]) == (38, 4)
+    assert r["reciprocity_u"] == (4 * 1_000_000) // 38
