@@ -318,6 +318,9 @@ def main() -> None:
         "q_market_share",
         "q_pr_curve",
         "q_graph_reciprocity",
+        "q_filter_kappa",
+        "q_dedup_audit",
+        "q_robots_loss",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

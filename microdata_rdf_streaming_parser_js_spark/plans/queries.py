@@ -12719,3 +12719,194 @@ FROM n CROSS JOIN r"""
 
 QUERIES["q_graph_reciprocity"] = q_graph_reciprocity
 ORACLES["q_graph_reciprocity"] = sql_graph_reciprocity
+
+
+# --- wave 32: filter agreement, dedup survivorship audit,
+# robots crawl-loss ---
+
+
+def q_filter_kappa(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cohen's kappa between the two quality gates (Gopher keep vs
+    FineWeb keep): chance-corrected agreement from the 2x2 confusion
+    table — the redundancy check that says whether stacking the
+    second filter changes the kept set or re-applies the first. One
+    equi-join of two scan-side rule frames, one global aggregate; the
+    kappa ratio is a fixed double tree over exact BIGINT cells
+    (floor is identical both engines, including negative kappa)."""
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gk")
+    )
+    f = q_fineweb_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("fk")
+    )
+    cells = g.join(f, "doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("gk") & F.col("fk"), 1).otherwise(0))
+        .cast("long").alias("n11"),
+        F.sum(F.when(F.col("gk") & ~F.col("fk"), 1).otherwise(0))
+        .cast("long").alias("n10"),
+        F.sum(F.when(~F.col("gk") & F.col("fk"), 1).otherwise(0))
+        .cast("long").alias("n01"),
+        F.sum(F.when(~F.col("gk") & ~F.col("fk"), 1).otherwise(0))
+        .cast("long").alias("n00"),
+    )
+    num = (
+        "cast((n11 + n00) as double) * cast(n as double)"
+        " - (cast((n11 + n10) as double) * cast((n11 + n01) as double)"
+        " + cast((n00 + n01) as double) * cast((n00 + n10) as double))"
+    )
+    den = (
+        "cast(n as double) * cast(n as double)"
+        " - (cast((n11 + n10) as double) * cast((n11 + n01) as double)"
+        " + cast((n00 + n01) as double) * cast((n00 + n10) as double))"
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CASE WHEN ({den}) > 0 THEN"
+            f" cast(floor(({num}) / ({den}) * 1000000.0) as bigint)"
+            f" ELSE 0 END"
+        ).alias("kappa_u"),
+    )
+
+
+def sql_filter_kappa() -> str:
+    num = (
+        "CAST((n11 + n00) AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - (CAST((n11 + n10) AS DOUBLE) * CAST((n11 + n01) AS DOUBLE)"
+        " + CAST((n00 + n01) AS DOUBLE) * CAST((n00 + n10) AS DOUBLE))"
+    )
+    den = (
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - (CAST((n11 + n10) AS DOUBLE) * CAST((n11 + n01) AS DOUBLE)"
+        " + CAST((n00 + n01) AS DOUBLE) * CAST((n00 + n10) AS DOUBLE))"
+    )
+    return f"""WITH g AS (
+  SELECT doc_id, keep AS gk FROM ({sql_gopher_rules()})
+),
+f AS (
+  SELECT doc_id, keep AS fk FROM ({sql_fineweb_rules()})
+),
+cells AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN gk AND fk THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN gk AND NOT fk THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN NOT gk AND fk THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN NOT gk AND NOT fk THEN 1 ELSE 0 END) AS n00
+  FROM g JOIN f USING (doc_id)
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+       CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+       CAST(n00 AS BIGINT) AS n00,
+       CAST(CASE WHEN ({den}) > 0 THEN
+         CAST(floor(({num}) / ({den}) * 1000000.0) AS BIGINT)
+       ELSE 0 END AS BIGINT) AS kappa_u
+FROM cells"""
+
+
+QUERIES["q_filter_kappa"] = q_filter_kappa
+ORACLES["q_filter_kappa"] = sql_filter_kappa
+
+
+def q_dedup_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Survivorship audit of the end-to-end near-dup resolution: what
+    did dedup actually delete? One row over q_dedup_clusters joined
+    back to the corpus — docs kept/removed, characters kept/removed,
+    and the removed-character share in micro-units. The before/after
+    accounting a dedup deployment reports next to its cluster count;
+    all counts exact, one join + one aggregate on top of the verified
+    cluster oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("ch")
+    )
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    j = clusters.join(docs, "doc_id")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.sum("ch").cast("long").alias("chars_total"),
+        F.sum(F.when(~F.col("keep"), F.col("ch")).otherwise(0))
+        .cast("long").alias("chars_removed"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_removed"),
+        "chars_total",
+        "chars_removed",
+        F.expr(
+            "CASE WHEN chars_total > 0 THEN"
+            " (chars_removed * 1000000) div chars_total ELSE 0 END"
+        ).cast("long").alias("removed_share_u"),
+    )
+
+
+def sql_dedup_audit() -> str:
+    return f"""WITH clusters AS ({sql_dedup_clusters()}),
+j AS (
+  SELECT c.keep, d.n_chars AS ch
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         SUM(ch) AS chars_total,
+         SUM(CASE WHEN NOT keep THEN ch ELSE 0 END) AS chars_removed
+  FROM j
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_docs - n_kept AS BIGINT) AS n_removed,
+       CAST(chars_total AS BIGINT) AS chars_total,
+       CAST(chars_removed AS BIGINT) AS chars_removed,
+       CAST(CASE WHEN chars_total > 0
+                 THEN (chars_removed * 1000000) // chars_total
+                 ELSE 0 END AS BIGINT) AS removed_share_u
+FROM agg"""
+
+
+QUERIES["q_dedup_audit"] = q_dedup_audit
+ORACLES["q_dedup_audit"] = sql_dedup_audit
+
+
+def q_robots_loss(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Crawl loss to robots.txt: of the discovered URL frontier, how
+    many URLs (and what share) the RFC 9309 evaluation refuses — the
+    budget-planning number next to the per-URL q_robots_filter
+    verdicts. One aggregate over the verified filter output."""
+    verdicts = q_robots_filter(spark, sf_dir)
+    agg = verdicts.agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("long").alias("n_blocked"),
+    )
+    return agg.select(
+        "n_urls",
+        "n_blocked",
+        F.expr(
+            "CASE WHEN n_urls > 0 THEN (n_blocked * 1000000) div n_urls"
+            " ELSE 0 END"
+        ).cast("long").alias("blocked_share_u"),
+    )
+
+
+def sql_robots_loss() -> str:
+    return f"""WITH verdicts AS ({sql_robots_filter()}),
+agg AS (
+  SELECT COUNT(*) AS n_urls,
+         SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS n_blocked
+  FROM verdicts
+)
+SELECT CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN n_urls > 0 THEN (n_blocked * 1000000) // n_urls
+                 ELSE 0 END AS BIGINT) AS blocked_share_u
+FROM agg"""
+
+
+QUERIES["q_robots_loss"] = q_robots_loss
+ORACLES["q_robots_loss"] = sql_robots_loss

@@ -1382,3 +1382,40 @@ def test_graph_reciprocity_pinned(spark, sf_dir):
     r = q_graph_reciprocity(spark, sf_dir).collect()[0]
     assert (r["n_edges"], r["n_recip"]) == (38, 4)
     assert r["reciprocity_u"] == (4 * 1_000_000) // 38
+
+
+def test_filter_kappa_cells_partition(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_filter_kappa,
+    )
+
+    r = q_filter_kappa(spark, sf_dir).collect()[0]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r["n"] == docs
+    assert -1_000_000 <= r["kappa_u"] <= 1_000_000
+
+
+def test_dedup_audit_consistent_with_clusters(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dedup_audit, q_dedup_clusters,
+    )
+
+    r = q_dedup_audit(spark, sf_dir).collect()[0]
+    kept = sum(1 for c in q_dedup_clusters(spark, sf_dir).collect()
+               if c["keep"])
+    assert r["n_kept"] == kept
+    assert r["n_kept"] + r["n_removed"] == r["n_docs"]
+    assert 0 <= r["chars_removed"] <= r["chars_total"]
+    assert 0 <= r["removed_share_u"] < 1_000_000
+
+
+def test_robots_loss_bounds(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_robots_loss,
+    )
+
+    r = q_robots_loss(spark, sf_dir).collect()[0]
+    assert r["n_urls"] > 0
+    assert 0 < r["n_blocked"] < r["n_urls"]  # fixture blocks SOME urls
+    assert 0 < r["blocked_share_u"] < 1_000_000
