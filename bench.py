@@ -321,6 +321,9 @@ def main() -> None:
         "q_filter_kappa",
         "q_dedup_audit",
         "q_robots_loss",
+        "q_kmv_overlap",
+        "q_degree_assortativity",
+        "q_k_anonymity",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

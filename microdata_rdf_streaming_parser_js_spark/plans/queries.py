@@ -12910,3 +12910,312 @@ FROM agg"""
 
 QUERIES["q_robots_loss"] = q_robots_loss
 ORACLES["q_robots_loss"] = sql_robots_loss
+
+
+# --- wave 33: KMV corpus overlap, degree assortativity, k-anonymity ---
+
+_KMV_OV_K = 64
+_KANON_K = 5
+
+
+def q_kmv_overlap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cross-corpus vocabulary overlap from KMV set sketches
+    (operators/sketch.kmv_sketch/kmv_merge/kmv_ndv): the two id-order
+    corpus halves each keep only their k={_KMV_OV_K} smallest token
+    md5s; the union sketch's hit-rate against both sides gives the
+    intersection and Jaccard estimates (Beyer et al. 2007). THE shape
+    for "how much does the new crawl overlap the old corpus" at
+    100 TB: each side collapses to k rows wherever it lives, the
+    comparison is k-row joins. Estimates are exact-rebuildable (md5 +
+    integer-valued 12-nibble fraction), so the oracle matches bit for
+    bit, not approximately."""
+    from ..operators.dedup import shingles
+    from ..operators.sketch import kmv_merge, kmv_ndv, kmv_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tot = docs.agg(F.count("*").cast("long").alias("t_n"))
+    toks = (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            F.least(F.lit(1), F.expr("(doc_id * 2) div t_n")).alias("half"),
+            F.explode(shingles(F.col("text"), 1)).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    k = _KMV_OV_K
+    a = kmv_sketch(toks.where(F.col("half") == 0), "tok", k=k)
+    b = kmv_sketch(toks.where(F.col("half") == 1), "tok", k=k)
+    u = kmv_merge(a, b, k=k)
+    ndv_a = kmv_ndv(a, k=k).select(F.col("ndv_estimate").alias("ndv_a"))
+    ndv_b = kmv_ndv(b, k=k).select(F.col("ndv_estimate").alias("ndv_b"))
+    ndv_u = kmv_ndv(u, k=k).select(
+        F.col("n_seen").alias("u_seen"),
+        F.col("ndv_estimate").alias("ndv_union"),
+    )
+    common = (
+        u.join(a, "h").join(b, "h")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        ndv_a.crossJoin(F.broadcast(ndv_b))
+        .crossJoin(F.broadcast(ndv_u))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "ndv_a",
+            "ndv_b",
+            "ndv_union",
+            "n_common",
+            F.expr(
+                "CASE WHEN u_seen > 0 THEN"
+                " (n_common * ndv_union) div u_seen ELSE 0 END"
+            ).cast("long").alias("inter_est"),
+            F.expr(
+                "CASE WHEN u_seen > 0 THEN"
+                " (n_common * 1000000) div u_seen ELSE 0 END"
+            ).cast("long").alias("jaccard_est_u"),
+        )
+    )
+
+
+def sql_kmv_overlap() -> str:
+    k = _KMV_OV_K
+    toks = _TOKS.format(c="text")
+    frac = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(kth, {i + 1}, 1)) - 1)"
+            f" * {16 ** (11 - i)}.0"
+            for i in range(12)
+        )
+        + f") / {float(16 ** 12)}"
+    )
+    est = (
+        f"CASE WHEN n_seen < {k} THEN n_seen"
+        f" ELSE CAST(floor({k - 1} / ({frac})) AS BIGINT) END"
+    )
+    return f"""WITH tot AS (SELECT COUNT(*) AS t_n FROM documents),
+toks AS (
+  SELECT half, tok FROM (
+    SELECT LEAST(1, (doc_id * 2) // t_n) AS half, unnest({toks}) AS tok
+    FROM documents CROSS JOIN tot
+  ) t WHERE tok <> ''
+),
+a AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 0
+      ORDER BY h LIMIT {k}),
+b AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 1
+      ORDER BY h LIMIT {k}),
+u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) x
+      ORDER BY h LIMIT {k}),
+stats_a AS (
+  SELECT COUNT(*) AS n_seen, MAX(h) AS kth FROM a
+),
+stats_b AS (
+  SELECT COUNT(*) AS n_seen, MAX(h) AS kth FROM b
+),
+stats_u AS (
+  SELECT COUNT(*) AS n_seen, MAX(h) AS kth FROM u
+),
+common AS (
+  SELECT COUNT(*) AS n_common
+  FROM u JOIN a USING (h) JOIN b USING (h)
+)
+SELECT
+  CAST((SELECT {est} FROM stats_a) AS BIGINT) AS ndv_a,
+  CAST((SELECT {est} FROM stats_b) AS BIGINT) AS ndv_b,
+  CAST((SELECT {est} FROM stats_u) AS BIGINT) AS ndv_union,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(CASE WHEN (SELECT n_seen FROM stats_u) > 0 THEN
+    (n_common * (SELECT {est} FROM stats_u))
+      // (SELECT n_seen FROM stats_u)
+  ELSE 0 END AS BIGINT) AS inter_est,
+  CAST(CASE WHEN (SELECT n_seen FROM stats_u) > 0 THEN
+    (n_common * 1000000) // (SELECT n_seen FROM stats_u)
+  ELSE 0 END AS BIGINT) AS jaccard_est_u
+FROM common"""
+
+
+QUERIES["q_kmv_overlap"] = q_kmv_overlap
+ORACLES["q_kmv_overlap"] = sql_kmv_overlap
+
+
+def q_degree_assortativity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Degree assortativity of the host link graph: Pearson
+    correlation between the total degrees at the two ends of every
+    distinct non-loop edge — positive = hubs link hubs (organic core),
+    negative = hubs link leaves (hub-and-spoke/link-farm shape). Same
+    exact-BIGINT-sums + fixed-double-tree recipe as q_signal_corr;
+    degrees come from one union-all groupBy, edges join their endpoint
+    degrees by key (degree table is host-count-sized)."""
+    from ..operators.links import extract_links, host_edges, resolve_links
+
+    pages = spark.createDataFrame(
+        _linked_page_rows(), "url string, html string"
+    ).repartition(4)
+    edges = (
+        host_edges(resolve_links(extract_links(pages)))
+        .select("subj", "obj")
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("subj").alias("host"))
+        .unionAll(edges.select(F.col("obj").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    paired = (
+        edges.join(
+            F.broadcast(deg.select(
+                F.col("host").alias("subj"), F.col("deg").alias("x")
+            )),
+            "subj",
+        )
+        .join(
+            F.broadcast(deg.select(
+                F.col("host").alias("obj"), F.col("deg").alias("y")
+            )),
+            "obj",
+        )
+    )
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    num = (
+        "cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double)"
+    )
+    dx = (
+        "cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)"
+    )
+    dy = (
+        "cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double)"
+    )
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        F.expr(
+            f"CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN"
+            f" cast(floor((({num}) * ({num})) / (({dx}) * ({dy}))"
+            f" * 1000000.0) as bigint) ELSE 0 END"
+        ).alias("r2_u"),
+        F.expr(
+            f"CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1"
+            f" ELSE 0 END"
+        ).cast("long").alias("sign"),
+    )
+
+
+def sql_degree_assortativity() -> str:
+    import re as _re
+
+    edges = []
+    for url, html in _linked_page_rows():
+        src = _re.match(r"^https?://([^/]+)", url).group(1)
+        for dst_url in _replay_links_py(url, html):
+            m = _re.match(r"^https?://([^/]+)", dst_url)
+            if m:
+                edges.append((src, m.group(1)))
+    e_values = ",\n".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in edges)
+    num = (
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    dx = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    dy = (
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return f"""WITH e AS (SELECT subj, obj FROM (VALUES
+{e_values}
+) t(subj, obj)),
+d AS (SELECT DISTINCT subj, obj FROM e WHERE subj <> obj),
+deg AS (
+  SELECT host, COUNT(*) AS deg FROM (
+    SELECT subj AS host FROM d UNION ALL SELECT obj FROM d
+  ) x GROUP BY host
+),
+paired AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM d JOIN deg dx ON dx.host = d.subj
+         JOIN deg dy ON dy.host = d.obj
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM paired
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CASE WHEN ({dx}) > 0 AND ({dy}) > 0 THEN
+         CAST(floor((({num}) * ({num})) / (({dx}) * ({dy}))
+              * 1000000.0) AS BIGINT)
+       ELSE 0 END AS r2_u,
+       CAST(CASE WHEN ({num}) > 0 THEN 1 WHEN ({num}) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS sign
+FROM agg"""
+
+
+QUERIES["q_degree_assortativity"] = q_degree_assortativity
+ORACLES["q_degree_assortativity"] = sql_degree_assortativity
+
+
+def q_k_anonymity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """k-anonymity audit over the (source, lang) quasi-identifier:
+    how many identifier groups — and how many ROWS — sit in groups
+    smaller than k={_KANON_K}, i.e. are re-identification risks if
+    this table were released. The governance readout next to PII
+    redaction (q_redact_pii); one map-side-combined groupBy into a
+    group-count-sized aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = grp.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("c") < _KANON_K, 1).otherwise(0))
+        .cast("long").alias("n_risky_groups"),
+        F.sum(F.when(F.col("c") < _KANON_K, F.col("c")).otherwise(0))
+        .cast("long").alias("n_risky_rows"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    return agg.select(
+        "n_groups",
+        "n_risky_groups",
+        "n_risky_rows",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN (n_risky_rows * 1000000) div n_rows"
+            " ELSE 0 END"
+        ).cast("long").alias("risky_share_u"),
+    )
+
+
+def sql_k_anonymity() -> str:
+    return f"""WITH grp AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+),
+agg AS (
+  SELECT COUNT(*) AS n_groups,
+         SUM(CASE WHEN c < {_KANON_K} THEN 1 ELSE 0 END) AS n_risky_groups,
+         SUM(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END) AS n_risky_rows,
+         SUM(c) AS n_rows
+  FROM grp
+)
+SELECT CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_risky_groups AS BIGINT) AS n_risky_groups,
+       CAST(n_risky_rows AS BIGINT) AS n_risky_rows,
+       CAST(CASE WHEN n_rows > 0
+                 THEN (n_risky_rows * 1000000) // n_rows
+                 ELSE 0 END AS BIGINT) AS risky_share_u
+FROM agg"""
+
+
+QUERIES["q_k_anonymity"] = q_k_anonymity
+ORACLES["q_k_anonymity"] = sql_k_anonymity

@@ -1419,3 +1419,60 @@ def test_robots_loss_bounds(spark, sf_dir):
     assert r["n_urls"] > 0
     assert 0 < r["n_blocked"] < r["n_urls"]  # fixture blocks SOME urls
     assert 0 < r["blocked_share_u"] < 1_000_000
+
+
+def test_kmv_overlap_estimates_are_consistent(spark, sf_dir):
+    """Intersection estimate can never exceed either side's NDV
+    estimate scaled by sketch noise; jaccard in [0, 1e6]; identical
+    halves would read jaccard ~1e6 (sanity: planted identical check)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_kmv_overlap,
+    )
+
+    r = q_kmv_overlap(spark, sf_dir).collect()[0]
+    assert 0 <= r["jaccard_est_u"] <= 1_000_000
+    assert 0 <= r["n_common"] <= 64
+    assert r["inter_est"] <= r["ndv_union"]
+    assert r["ndv_union"] <= r["ndv_a"] + r["ndv_b"]
+
+
+def test_kmv_overlap_identical_sets(spark):
+    """Two identical token sets -> union sketch == both sketches ->
+    jaccard estimate exactly 1e6 and intersection == union NDV."""
+    from pyspark.sql import functions as F
+    from microdata_rdf_streaming_parser_js_spark.operators.sketch import (
+        kmv_merge, kmv_ndv, kmv_sketch,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(500)], "tok string"
+    )
+    a = kmv_sketch(vals, "tok", k=64)
+    b = kmv_sketch(vals, "tok", k=64)
+    u = kmv_merge(a, b, k=64)
+    n_common = u.join(a, "h").join(b, "h").count()
+    assert n_common == 64
+    ndv = kmv_ndv(u, k=64).collect()[0]["ndv_estimate"]
+    assert 300 <= ndv <= 800  # KMV estimate of 500 with k=64
+
+
+def test_degree_assortativity_bounds(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_degree_assortativity,
+    )
+
+    r = q_degree_assortativity(spark, sf_dir).collect()[0]
+    assert r["n_edges"] == 38
+    assert 0 <= r["r2_u"] <= 1_000_000
+    assert r["sign"] in (-1, 0, 1)
+
+
+def test_k_anonymity_accounts_all_rows(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_k_anonymity,
+    )
+
+    r = q_k_anonymity(spark, sf_dir).collect()[0]
+    assert r["n_risky_groups"] <= r["n_groups"]
+    assert r["n_risky_rows"] <= r["n_risky_groups"] * 4
+    assert 0 <= r["risky_share_u"] <= 1_000_000
