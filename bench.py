@@ -324,6 +324,8 @@ def main() -> None:
         "q_kmv_overlap",
         "q_degree_assortativity",
         "q_k_anonymity",
+        "q_meta_extract",
+        "q_canonical_cluster",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -340,3 +340,117 @@ def main_content(
     return pages.select("url", "html").mapInPandas(
         fn, schema=MAIN_CONTENT_SCHEMA
     )
+
+
+PAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("og_title", T.StringType(), True),
+        T.StructField("canonical", T.StringType(), True),
+    ]
+)
+
+
+class _MetaTap:
+    """Standalone parse-event listener harvesting the page-card
+    metadata surface: first <title> text, first
+    <meta name=description>, first <meta property=og:title>, first
+    <link rel=canonical href> — the same single tokenizer pass the
+    extraction uses (reference analogue: IHtmlParseListener,
+    lib/IHtmlParseListener.ts), no second parse of the page."""
+
+    __slots__ = ("stack", "title_parts", "title_done", "description",
+                 "og_title", "canonical_href")
+
+    def __init__(self):
+        self.stack = []
+        self.title_parts = []
+        self.title_done = False
+        self.description = None
+        self.og_title = None
+        self.canonical_href = None
+
+    def on_tag_open(self, name, attributes):
+        self.stack.append(name)
+        if name == "meta":
+            if (
+                self.description is None
+                and str(attributes.get("name", "")).lower() == "description"
+                and "content" in attributes
+            ):
+                self.description = attributes["content"]
+            if (
+                self.og_title is None
+                and str(attributes.get("property", "")).lower() == "og:title"
+                and "content" in attributes
+            ):
+                self.og_title = attributes["content"]
+        elif name == "link":
+            if (
+                self.canonical_href is None
+                and str(attributes.get("rel", "")).lower() == "canonical"
+                and "href" in attributes
+            ):
+                self.canonical_href = attributes["href"]
+
+    def on_text(self, data):
+        if not self.title_done and "title" in self.stack:
+            self.title_parts.append(data)
+
+    def on_tag_close(self):
+        if self.stack:
+            name = self.stack.pop()
+            if name == "title" and self.title_parts:
+                self.title_done = True  # first <title> wins
+
+    def on_end(self):
+        pass
+
+
+def compute_page_meta(url: str, html) -> tuple:
+    """Pure per-page metadata kernel (no Spark): (url, title,
+    description, og_title, canonical) — title whitespace-collapsed,
+    canonical RFC 3986-resolved against the page URL (None when
+    unresolvable). Shared by the distributed UDF and the driver
+    oracle's golden VALUES."""
+    import re as _re
+
+    from ..functions.iri import resolve_iri
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = decode_html(bytes(html))
+    tap = _MetaTap()
+    from ..functions.fast_html import FastHtmlTokenizer
+
+    tokenizer = FastHtmlTokenizer(tap)
+    tokenizer.feed(html)
+    tokenizer.end()
+    title = _re.sub(r"\s+", " ", "".join(tap.title_parts)).strip() or None
+    canonical = None
+    if tap.canonical_href is not None:
+        try:
+            canonical = resolve_iri(tap.canonical_href, url)
+        except Exception:  # noqa: BLE001
+            canonical = None
+    return (url, title, tap.description, tap.og_title, canonical)
+
+
+def page_meta(pages: "DataFrame") -> "DataFrame":
+    """Distributed page-card metadata extraction: one tokenizer pass
+    per page inside an Arrow mapInPandas batch (never a second parse,
+    never a per-row Python UDF)."""
+    import pandas as pd
+
+    cols = [f.name for f in PAGE_META_SCHEMA.fields]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                compute_page_meta(url, html)
+                for url, html in zip(pdf["url"], pdf["html"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(fn, schema=PAGE_META_SCHEMA)

@@ -13219,3 +13219,121 @@ FROM agg"""
 
 QUERIES["q_k_anonymity"] = q_k_anonymity
 ORACLES["q_k_anonymity"] = sql_k_anonymity
+
+
+# --- wave 34: page-card metadata extraction and canonical clustering ---
+
+
+def _meta_page_rows() -> list:
+    """Deterministic page-metadata fixture corpus: quoting styles,
+    case quirks, duplicate titles, entities, relative/protocol-
+    relative canonicals, shared canonical targets. Used by the Spark
+    side AND replayed through the same pure kernel for the oracle."""
+    host = "http://meta.example.org"
+    return [
+        (f"{host}/a1", "<html><head><title>Alpha Page</title>"
+         '<meta name="description" content="first desc">'
+         '<meta property="og:title" content="Alpha OG">'
+         '<link rel="canonical" href="/canon/alpha">'
+         "</head><body>x</body></html>"),
+        (f"{host}/a2", "<HTML><HEAD><TITLE>Alpha   Dup\n Page</TITLE>"
+         "<META NAME='Description' CONTENT='single quoted'>"
+         "<LINK REL=CANONICAL HREF=/canon/alpha></HEAD>"),
+        (f"{host}/b1", "<head><title>Beta &amp; Gamma</title>"
+         '<link rel="canonical" href="//other.example.org/beta">'
+         "</head>"),
+        (f"{host}/b2", "<head><title>First</title><title>Second</title>"
+         '<link rel="canonical" href="http://other.example.org/beta">'
+         "</head>"),
+        (f"{host}/c1", "<head><meta property='og:title' content='OG only'>"
+         "</head><body>no title</body>"),
+        (f"{host}/c2", "<head><title> </title>"
+         '<meta name="DESCRIPTION" content="upper key">'
+         "</head>"),
+        (f"{host}/d1", "<head><title>A<b>B</b>C</title></head>"),
+        (f"{host}/d2", "<body>plain page, nothing to harvest</body>"),
+        (f"{host}/e1", '<head><link rel="Canonical" href="e1">'
+         "<title>Relative canon</title></head>"),
+        (f"{host}/sub/e2", '<head><link rel=canonical href="../canon/alpha">'
+         "<title>Dotdot canon</title></head>"),
+    ]
+
+
+def q_meta_extract(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Page-card metadata surface (operators/extract.page_meta): first
+    <title> (whitespace-collapsed), first meta description, first
+    og:title, and the RFC 3986-resolved rel=canonical — harvested in
+    the SAME single tokenizer pass the triple extraction uses (S5
+    listener tap), one Arrow batch UDF, no second parse. The oracle
+    replays the identical pure kernel into golden VALUES."""
+    from ..operators.extract import page_meta
+
+    pages = spark.createDataFrame(
+        _meta_page_rows(), "url string, html string"
+    ).repartition(4)
+    return page_meta(pages)
+
+
+def sql_meta_extract() -> str:
+    from ..operators.extract import compute_page_meta
+
+    rows = []
+    for url, html in _meta_page_rows():
+        m = compute_page_meta(url, html)
+        rows.append("(" + ", ".join(_sql_str(v) for v in m) + ")")
+    values = ",\n".join(rows)
+    return f"""SELECT CAST(url AS VARCHAR) AS url,
+       CAST(title AS VARCHAR) AS title,
+       CAST(description AS VARCHAR) AS description,
+       CAST(og_title AS VARCHAR) AS og_title,
+       CAST(canonical AS VARCHAR) AS canonical
+FROM (VALUES
+{values}
+) t(url, title, description, og_title, canonical)"""
+
+
+QUERIES["q_meta_extract"] = q_meta_extract
+ORACLES["q_meta_extract"] = sql_meta_extract
+
+
+def q_canonical_cluster(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """rel=canonical dedup clustering: pages group under their
+    resolved canonical target (pages without one stand alone under
+    their own URL) — the crawl-side dedup a search engine applies
+    BEFORE any content hashing: one groupBy on the harvested
+    canonical, cluster sizes out."""
+    from ..operators.extract import page_meta
+
+    pages = spark.createDataFrame(
+        _meta_page_rows(), "url string, html string"
+    ).repartition(4)
+    meta = page_meta(pages)
+    return (
+        meta.select(
+            F.coalesce(F.col("canonical"), F.col("url")).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+def sql_canonical_cluster() -> str:
+    from ..operators.extract import compute_page_meta
+
+    rows = []
+    for url, html in _meta_page_rows():
+        m = compute_page_meta(url, html)
+        rows.append(f"({_sql_str(m[0])}, {_sql_str(m[4])})")
+    values = ",\n".join(rows)
+    return f"""WITH meta AS (
+  SELECT url, canonical FROM (VALUES
+{values}
+) t(url, canonical)
+)
+SELECT COALESCE(canonical, url) AS canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM meta GROUP BY 1"""
+
+
+QUERIES["q_canonical_cluster"] = q_canonical_cluster
+ORACLES["q_canonical_cluster"] = sql_canonical_cluster

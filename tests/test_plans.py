@@ -1476,3 +1476,36 @@ def test_k_anonymity_accounts_all_rows(spark, sf_dir):
     assert r["n_risky_groups"] <= r["n_groups"]
     assert r["n_risky_rows"] <= r["n_risky_groups"] * 4
     assert 0 <= r["risky_share_u"] <= 1_000_000
+
+
+def test_meta_extract_quirks(spark, sf_dir):
+    """First-title-wins, entity decode, whitespace collapse, case-
+    insensitive attrs, RFC 3986 canonical resolution (relative,
+    protocol-relative, dot-segments)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_meta_extract,
+    )
+
+    rows = {r["url"]: r for r in q_meta_extract(spark, sf_dir).collect()}
+    h = "http://meta.example.org"
+    assert rows[f"{h}/a2"]["title"] == "Alpha Dup Page"
+    assert rows[f"{h}/b1"]["title"] == "Beta & Gamma"
+    assert rows[f"{h}/b2"]["title"] == "First"
+    assert rows[f"{h}/b1"]["canonical"] == "http://other.example.org/beta"
+    assert rows[f"{h}/sub/e2"]["canonical"] == f"{h}/canon/alpha"
+    assert rows[f"{h}/c2"]["title"] is None
+    assert rows[f"{h}/c2"]["description"] == "upper key"
+    assert rows[f"{h}/d1"]["title"] == "ABC"
+    assert rows[f"{h}/d2"]["canonical"] is None
+
+
+def test_canonical_cluster_groups_duplicates(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_canonical_cluster,
+    )
+
+    rows = {r["canon_url"]: r["n_pages"]
+            for r in q_canonical_cluster(spark, sf_dir).collect()}
+    assert rows["http://meta.example.org/canon/alpha"] == 3
+    assert rows["http://other.example.org/beta"] == 2
+    assert sum(rows.values()) == 10
