@@ -326,6 +326,8 @@ def main() -> None:
         "q_k_anonymity",
         "q_meta_extract",
         "q_canonical_cluster",
+        "q_anchor_index",
+        "q_freshness_decay",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -13337,3 +13337,114 @@ FROM meta GROUP BY 1"""
 
 QUERIES["q_canonical_cluster"] = q_canonical_cluster
 ORACLES["q_canonical_cluster"] = sql_canonical_cluster
+
+
+# --- wave 35: anchor-text index and freshness decay ---
+
+_FD_HALFLIFE_S = 86_400  # one day
+
+
+def q_anchor_index(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-target anchor-text index: for every link target, how many
+    anchors point at it, how many distinct surface texts, and the
+    dominant anchor (max count, ties broken lexicographically) — the
+    document-expansion signal web search attaches to a page from its
+    INBOUND link texts. One groupBy(dst, text) histogram, then a
+    per-dst argmax window over the (bounded) per-target text
+    histogram; composes the verified tokenizer-pass anchor oracle."""
+    anchors = q_anchor_texts(spark, sf_dir).where(
+        F.col("dst_url").isNotNull()
+    )
+    per_text = anchors.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("c").desc(), F.col("anchor_text").asc()
+    )
+    top = per_text.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    tot = per_text.groupBy("dst_url").agg(
+        F.sum("c").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_texts"),
+    )
+    return tot.join(
+        top.select("dst_url", F.col("anchor_text").alias("top_anchor")),
+        "dst_url",
+    )
+
+
+def sql_anchor_index() -> str:
+    return f"""WITH anchors AS (
+  SELECT dst_url, anchor_text FROM ({sql_anchor_texts()})
+  WHERE dst_url IS NOT NULL
+),
+per_text AS (
+  SELECT dst_url, anchor_text, COUNT(*) AS c
+  FROM anchors GROUP BY dst_url, anchor_text
+),
+top AS (
+  SELECT dst_url, anchor_text AS top_anchor FROM (
+    SELECT dst_url, anchor_text, ROW_NUMBER() OVER (
+      PARTITION BY dst_url ORDER BY c DESC, anchor_text ASC) AS rn
+    FROM per_text) x WHERE rn = 1
+),
+tot AS (
+  SELECT dst_url, SUM(c) AS n_anchors, COUNT(*) AS n_texts
+  FROM per_text GROUP BY dst_url
+)
+SELECT t.dst_url, CAST(t.n_anchors AS BIGINT) AS n_anchors,
+       CAST(t.n_texts AS BIGINT) AS n_texts, p.top_anchor
+FROM tot t JOIN top p USING (dst_url)"""
+
+
+QUERIES["q_anchor_index"] = q_anchor_index
+ORACLES["q_anchor_index"] = sql_anchor_index
+
+
+def q_freshness_decay(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Recency-decayed event mass per type: each event weighs
+    1e6 >> (age / halflife) micro-units (staircase exponential decay,
+    exact integers — pow(2.0, n) is exact in a double for n <= 19, so
+    both engines divide by the identical power) — the freshness signal
+    a crawl scheduler or trending-topics ranker sums. 'now' is the
+    corpus max timestamp (one-row broadcast); one grouped aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    now = base.agg(F.max("ep").alias("now_ep"))
+    hl = _FD_HALFLIFE_S
+    return (
+        base.crossJoin(F.broadcast(now))
+        .select(
+            "event_type",
+            F.expr(
+                f"1000000 div cast(pow(2.0,"
+                f" least((now_ep - ep) div {hl}, 19)) as bigint)"
+            ).cast("long").alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("w").cast("long").alias("decayed_u"),
+        )
+    )
+
+
+def sql_freshness_decay() -> str:
+    hl = _FD_HALFLIFE_S
+    return f"""WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+now_t AS (SELECT MAX(ep) AS now_ep FROM base)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1000000 // CAST(pow(2.0,
+         LEAST((now_ep - ep) // {hl}, 19)) AS BIGINT)) AS BIGINT)
+         AS decayed_u
+FROM base CROSS JOIN now_t
+GROUP BY event_type"""
+
+
+QUERIES["q_freshness_decay"] = q_freshness_decay
+ORACLES["q_freshness_decay"] = sql_freshness_decay

@@ -1509,3 +1509,37 @@ def test_canonical_cluster_groups_duplicates(spark, sf_dir):
     assert rows["http://meta.example.org/canon/alpha"] == 3
     assert rows["http://other.example.org/beta"] == 2
     assert sum(rows.values()) == 10
+
+
+def test_anchor_index_consistency(spark, sf_dir):
+    """top anchor count can't exceed total; distinct texts <= total;
+    every dst from the anchor table appears."""
+    from pyspark.sql import functions as F
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_anchor_index, q_anchor_texts,
+    )
+
+    rows = q_anchor_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_texts"] <= r["n_anchors"]
+        assert r["top_anchor"] is not None
+    n_dst = (
+        q_anchor_texts(spark, sf_dir)
+        .where(F.col("dst_url").isNotNull())
+        .select("dst_url").distinct().count()
+    )
+    assert len(rows) == n_dst
+
+
+def test_freshness_decay_bounds(spark, sf_dir):
+    """Decayed mass is positive and never exceeds the undecayed count
+    in micro-units; the newest events weigh full 1e6."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_freshness_decay,
+    )
+
+    rows = q_freshness_decay(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_u"] <= r["n_events"] * 1_000_000
