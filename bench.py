@@ -328,6 +328,8 @@ def main() -> None:
         "q_canonical_cluster",
         "q_anchor_index",
         "q_freshness_decay",
+        "q_chi2_independence",
+        "q_langid_confusion",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

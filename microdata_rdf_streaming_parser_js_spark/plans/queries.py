@@ -13448,3 +13448,138 @@ GROUP BY event_type"""
 
 QUERIES["q_freshness_decay"] = q_freshness_decay
 ORACLES["q_freshness_decay"] = sql_freshness_decay
+
+
+# --- wave 36: chi-square independence and lang-id confusion matrix ---
+
+
+def q_chi2_independence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Chi-square independence test between source and language — the
+    categorical-association tool next to Pearson (q_signal_corr),
+    Spearman (q_spearman) and kappa (q_filter_kappa): is the language
+    mix a property of the corpus or of individual sources? One
+    (source, lang) contingency aggregate; marginals re-join by key
+    (both sides group-count-sized). Per-CELL statistic floored to
+    micro-units THEN summed as BIGINTs, so cross-engine float fold
+    order cannot exist; the per-cell double tree is fixed-shape
+    ((o*n - rs*cs)^2 / (n*rs*cs), all inputs exact-in-double at any
+    realistic cell count)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("rs"))
+    cs = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("cs"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    # ZERO cells still contribute (e = rs*cs/n > 0): materialize the
+    # full marginal cross product (group-count x group-count rows),
+    # left-join the observed counts
+    cells = (
+        rs.crossJoin(F.broadcast(cs))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "rs", "cs",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    per_cell = (
+        cells.crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "cast(floor("
+                " (cast(o as double) * cast(n as double)"
+                "  - cast(rs as double) * cast(cs as double))"
+                " * (cast(o as double) * cast(n as double)"
+                "  - cast(rs as double) * cast(cs as double))"
+                " / (cast(n as double) * cast(rs as double)"
+                "    * cast(cs as double))"
+                " * 1000000.0) as bigint)"
+            ).alias("cell_u"),
+            F.lit(1).alias("one"),
+        )
+    )
+    agg = per_cell.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("cell_u").cast("long").alias("chi2_u"),
+    )
+    return agg
+
+
+def sql_chi2_independence() -> str:
+    cell = (
+        "CAST(floor("
+        " (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+        "  - CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))"
+        " * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+        "  - CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(rs AS DOUBLE)"
+        "    * CAST(cs AS DOUBLE))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return f"""WITH obs AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+),
+rs AS (SELECT source, SUM(o) AS rs FROM obs GROUP BY source),
+cs AS (SELECT lang, SUM(o) AS cs FROM obs GROUP BY lang),
+n AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT rs.source, cs.lang, rs.rs, cs.cs, COALESCE(obs.o, 0) AS o
+  FROM rs CROSS JOIN cs
+  LEFT JOIN obs ON obs.source = rs.source AND obs.lang = cs.lang
+),
+per_cell AS (
+  SELECT {cell} AS cell_u
+  FROM cells CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_u) AS BIGINT) AS chi2_u
+FROM per_cell"""
+
+
+QUERIES["q_chi2_independence"] = q_chi2_independence
+ORACLES["q_chi2_independence"] = sql_chi2_independence
+
+
+def q_langid_confusion(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Confusion matrix of the n-gram lang-id heuristic against the
+    labeled lang column — the eval that closes the lang-id triangle
+    (the classifier itself is q_lang_id): per (lang, lang_pred) cell
+    count plus the per-true-language recall in micro-units. One join
+    on doc_id, one grouped aggregate; the recall denominator re-joins
+    by true language (language-count-sized)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    pred = q_lang_id(spark, sf_dir)
+    cells = (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("lt"))
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("(n * 1000000) div lt").cast("long").alias("share_u"),
+        )
+    )
+
+
+def sql_langid_confusion() -> str:
+    return f"""WITH pred AS ({sql_lang_id()}),
+cells AS (
+  SELECT d.lang, p.lang_pred, COUNT(*) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.lang_pred
+),
+tot AS (SELECT lang, SUM(n) AS lt FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.lt AS BIGINT) AS share_u
+FROM cells c JOIN tot t USING (lang)"""
+
+
+QUERIES["q_langid_confusion"] = q_langid_confusion
+ORACLES["q_langid_confusion"] = sql_langid_confusion

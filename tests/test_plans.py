@@ -1543,3 +1543,55 @@ def test_freshness_decay_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r["decayed_u"] <= r["n_events"] * 1_000_000
+
+
+def test_chi2_independence_semantics(spark):
+    """A perfectly independent 2x2 table -> chi2 = 0; a perfectly
+    dependent one -> chi2_u == n * 1e6 (phi^2 = 1)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (  # noqa: F401
+        ranking_auc,  # anchor import keeps module loading honest
+    )
+    import pyspark.sql.functions as F  # noqa: F401
+    from microdata_rdf_streaming_parser_js_spark.plans import queries as Q
+
+    spark_df = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "source string, lang string",
+    )
+    # reuse the query's internal shape by monkey-free local rebuild
+    cells = spark_df.groupBy("source", "lang").count() \
+        .withColumnRenamed("count", "o")
+    assert cells.count() == 4
+    dep = spark.createDataFrame(
+        [("a", "x")] * 20 + [("b", "y")] * 20, "source string, lang string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    for name, df in (("ind", spark_df), ("dep", dep)):
+        df.withColumn("doc_id", F.monotonically_increasing_id()) \
+          .withColumn("text", F.lit("t")) \
+          .withColumn("n_chars", F.lit(1)) \
+          .write.mode("overwrite").parquet(
+              os.path.join(d, name, "documents.parquet"))
+    r_ind = Q.q_chi2_independence(spark, os.path.join(d, "ind")).collect()[0]
+    r_dep = Q.q_chi2_independence(spark, os.path.join(d, "dep")).collect()[0]
+    assert r_ind["chi2_u"] == 0
+    assert r_dep["chi2_u"] == 40 * 1_000_000
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_langid_confusion,
+    )
+
+    rows = q_langid_confusion(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == docs
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["share_u"])
+    for lang, shares in by_lang.items():
+        # integer floor division: sum within one micro-unit per cell
+        assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000
