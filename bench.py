@@ -330,6 +330,8 @@ def main() -> None:
         "q_freshness_decay",
         "q_chi2_independence",
         "q_langid_confusion",
+        "q_cusum_drift",
+        "q_topic_purity",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -283,3 +283,88 @@ def gap_fill_locf(
         .cast("int")
         .alias("is_gap"),
     )
+
+
+def cusum_drift(
+    df: "DataFrame",
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 300,
+) -> "DataFrame":
+    """(key, n_buckets, max_s, peak_bucket): one-sided CUSUM change
+    detection over per-key event rates — the drift monitor a streaming
+    pipeline alarms on. Events bucket into ``bucket_s``-second bins on
+    a GAP-FILLED spine (empty bins count 0 — a traffic DROP is drift
+    too); the drift signal per bin is x - k (k = the key's mean bin
+    count, integer div); and the classic recursion
+    S_t = max(0, S_{t-1} + d_t) is rewritten CLOSED-FORM as
+    S_t = P_t - min(0, min_{j<=t} P_j) with P the running sum of d —
+    so the whole detector is two ordered windows per key, no
+    recursion, no Python, engine-portable integers throughout.
+    peak_bucket = the first bin where the maximum is attained.
+
+    Scale shape: one groupBy(key, bucket) with map-side combine; the
+    spine explode and both windows run per key over time-bounded bin
+    counts, partitioned by key — never a global sort.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    ep = F.unix_timestamp(ts_col)
+    binned = (
+        df.select(F.col(key_col).alias("k"),
+                  (F.floor(ep / bucket_s) * bucket_s)
+                  .cast("long").alias("b"))
+        .groupBy("k", "b")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    span = binned.groupBy("k").agg(
+        F.min("b").alias("b_lo"), F.max("b").alias("b_hi"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    spine = span.select(
+        "k",
+        "total",
+        F.explode(
+            F.sequence(F.col("b_lo"), F.col("b_hi"),
+                       F.lit(bucket_s).cast("long"))
+        ).alias("b"),
+    )
+    n_b = spine.groupBy("k").agg(F.count("*").cast("long").alias("nb"))
+    filled = (
+        spine.join(binned, ["k", "b"], "left")
+        .join(n_b, "k")
+        .select(
+            "k", "b",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.expr("total div nb").cast("long").alias("mean_x"),
+            "nb",
+        )
+    )
+    w = Window.partitionBy("k").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cur = filled.select(
+        "k", "b", "nb",
+        F.sum(F.expr("x - mean_x")).over(w).cast("long").alias("p"),
+    )
+    s = cur.select(
+        "k", "b", "nb",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w)))
+        .cast("long").alias("s"),
+    )
+    peak = s.groupBy("k", "nb").agg(F.max("s").cast("long").alias("max_s"))
+    first_peak = (
+        s.join(peak, "k")
+        .where(F.col("s") == F.col("max_s"))
+        .groupBy("k")
+        .agg(F.min("b").cast("long").alias("peak_bucket"))
+    )
+    return (
+        peak.join(first_peak, "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("nb").alias("n_buckets"),
+            "max_s",
+            "peak_bucket",
+        )
+    )

@@ -13583,3 +13583,144 @@ FROM cells c JOIN tot t USING (lang)"""
 
 QUERIES["q_langid_confusion"] = q_langid_confusion
 ORACLES["q_langid_confusion"] = sql_langid_confusion
+
+
+# --- wave 37: CUSUM drift detection and cluster purity ---
+
+_CUSUM_BUCKET_S = 300
+
+
+def q_cusum_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """One-sided CUSUM drift detector per event type
+    (operators/temporal.cusum_drift): 300-second rate bins on a
+    gap-filled spine, drift signal x - mean, and the recursion
+    S_t = max(0, S_{t-1} + d_t) rewritten closed-form as
+    P_t - min(0, running_min(P)) — two ordered per-key windows, no
+    recursion, no Python, exact integers. The oracle replays the
+    identical closed form (so the recursive definition is checked
+    through its algebraic equivalent on a second engine)."""
+    from ..operators.temporal import cusum_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_drift(ev, "event_type", "ts", bucket_s=_CUSUM_BUCKET_S)
+
+
+def sql_cusum_drift() -> str:
+    bs = _CUSUM_BUCKET_S
+    return f"""WITH binned AS (
+  SELECT event_type AS k,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {bs}) * {bs} AS b,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT k, MIN(b) AS b_lo, MAX(b) AS b_hi, SUM(x) AS total
+  FROM binned GROUP BY k
+),
+spine AS (
+  SELECT k, total, unnest(generate_series(b_lo, b_hi, {bs})) AS b
+  FROM span
+),
+n_b AS (SELECT k, COUNT(*) AS nb FROM spine GROUP BY k),
+filled AS (
+  SELECT s.k, s.b, COALESCE(bi.x, 0) AS x, s.total // n.nb AS mean_x, n.nb
+  FROM spine s
+  LEFT JOIN binned bi ON bi.k = s.k AND bi.b = s.b
+  JOIN n_b n ON n.k = s.k
+),
+cur AS (
+  SELECT k, b, nb,
+         SUM(x - mean_x) OVER (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM filled
+),
+s AS (
+  SELECT k, b, nb,
+         p - LEAST(0, MIN(p) OVER (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM cur
+),
+peak AS (SELECT k, nb, MAX(s) AS max_s FROM s GROUP BY k, nb),
+first_peak AS (
+  SELECT s.k, MIN(s.b) AS peak_bucket
+  FROM s JOIN peak ON peak.k = s.k AND s.s = peak.max_s
+  GROUP BY s.k
+)
+SELECT peak.k AS event_type, CAST(peak.nb AS BIGINT) AS n_buckets,
+       CAST(peak.max_s AS BIGINT) AS max_s,
+       CAST(first_peak.peak_bucket AS BIGINT) AS peak_bucket
+FROM peak JOIN first_peak ON first_peak.k = peak.k"""
+
+
+QUERIES["q_cusum_drift"] = q_cusum_drift
+ORACLES["q_cusum_drift"] = sql_cusum_drift
+
+
+def q_topic_purity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cluster purity of the integer-exact Lloyd k-means assignment
+    against the labeled embedding classes — the unsupervised-
+    clustering eval that closes the k-means triangle: per cluster, the
+    majority label (ties to the smaller label id), its count, and
+    purity in micro-units. Composes the verified unrolled-Lloyd
+    oracle; per-(cluster, label) counts are cluster-count-sized."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    asg = q_kmeans_clusters(spark, sf_dir).select("vec_id", "cid")
+    cells = (
+        asg.join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    top = cells.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    tot = cells.groupBy("cid").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        tot.join(
+            top.select(
+                "cid",
+                F.col("label").alias("top_label"),
+                F.col("c").alias("top_n"),
+            ),
+            "cid",
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n",
+            "top_label",
+            "top_n",
+            F.expr("(top_n * 1000000) div n").cast("long")
+            .alias("purity_u"),
+        )
+    )
+
+
+def sql_topic_purity() -> str:
+    return f"""WITH asg AS (
+  SELECT vec_id, cid FROM ({sql_kmeans_clusters()})
+),
+cells AS (
+  SELECT a.cid, CAST(e.label AS BIGINT) AS label, COUNT(*) AS c
+  FROM asg a JOIN embeddings e USING (vec_id)
+  GROUP BY a.cid, e.label
+),
+top AS (
+  SELECT cid, label AS top_label, c AS top_n FROM (
+    SELECT cid, label, c, ROW_NUMBER() OVER (
+      PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+    FROM cells) x WHERE rn = 1
+),
+tot AS (SELECT cid, SUM(c) AS n FROM cells GROUP BY cid)
+SELECT CAST(t.cid AS BIGINT) AS cid, CAST(t.n AS BIGINT) AS n,
+       CAST(p.top_label AS BIGINT) AS top_label,
+       CAST(p.top_n AS BIGINT) AS top_n,
+       CAST((p.top_n * 1000000) // t.n AS BIGINT) AS purity_u
+FROM tot t JOIN top p USING (cid)"""
+
+
+QUERIES["q_topic_purity"] = q_topic_purity
+ORACLES["q_topic_purity"] = sql_topic_purity

@@ -1595,3 +1595,67 @@ def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
     for lang, shares in by_lang.items():
         # integer floor division: sum within one micro-unit per cell
         assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The closed form P_t - min(0, running_min(P)) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + d_t) — checked on a
+    planted step-change series with a known drift peak."""
+    import datetime
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        cusum_drift,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    # 10 calm buckets of 2 events, then 5 hot buckets of 8 events
+    counts = [2] * 10 + [8] * 5
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(("t", base + datetime.timedelta(seconds=300 * i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_drift(df, "event_type", "ts", bucket_s=300).collect()[0]
+    # python recursion replay
+    mean = sum(counts) // len(counts)
+    s = 0
+    best = 0
+    best_i = None
+    for i, c in enumerate(counts):
+        s = max(0, s + (c - mean))
+        if s > best:
+            best, best_i = s, i
+    assert r["n_buckets"] == len(counts)
+    assert r["max_s"] == best
+    assert r["peak_bucket"] == int(
+        (base + datetime.timedelta(seconds=300 * best_i)).timestamp()
+    )
+
+
+def test_cusum_gap_filling_counts_empty_buckets(spark):
+    """A key with a hole in time still spans the full spine."""
+    import datetime
+    from microdata_rdf_streaming_parser_js_spark.operators.temporal import (
+        cusum_drift,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [("t", base), ("t", base + datetime.timedelta(seconds=3000))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_drift(df, "event_type", "ts", bucket_s=300).collect()[0]
+    assert r["n_buckets"] == 11  # 0..3000 inclusive at 300s steps
+
+
+def test_topic_purity_bounds(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_topic_purity,
+    )
+
+    rows = q_topic_purity(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == emb
+    for r in rows:
+        assert 0 < r["top_n"] <= r["n"]
+        assert 0 <= r["top_label"] <= 9
+        assert 0 < r["purity_u"] <= 1_000_000
