@@ -332,6 +332,8 @@ def main() -> None:
         "q_langid_confusion",
         "q_cusum_drift",
         "q_topic_purity",
+        "q_ndcg",
+        "q_mrr",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

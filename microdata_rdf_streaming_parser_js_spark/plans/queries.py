@@ -13724,3 +13724,131 @@ FROM tot t JOIN top p USING (cid)"""
 
 QUERIES["q_topic_purity"] = q_topic_purity
 ORACLES["q_topic_purity"] = sql_topic_purity
+
+
+# --- wave 38: graded ranking evals (nDCG, MRR) for the ANN stack ---
+
+def _ndcg_weights_u(k: int) -> list:
+    """floor(1e6 / log2(p + 1)) for positions 1..k — computed ONCE in
+    Python and embedded as plan-time literals on BOTH engines, so no
+    runtime log2 (whose cross-engine rounding is not guaranteed) ever
+    executes."""
+    import math
+
+    return [int(1_000_000 / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def q_ndcg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """nDCG@{_TOPK_K} of the IVF-agnostic PQ/ADC ranking judged
+    against the exact cosine ranking (gain of an item = K - its exact
+    rank; discount weights are literal micro-units from a shared
+    Python table): the graded, order-sensitive companion to
+    q_pq_recall's set recall. Composes the two verified oracles; all
+    arithmetic integer."""
+    k = _TOPK_K
+    w = _ndcg_weights_u(k)
+    idcg = sum((k - p) * w[p - 1] for p in range(1, k + 1))
+    gains = q_topk_cosine(spark, sf_dir).select(
+        "query_id",
+        "vec_id",
+        (F.lit(k) - F.col("rank")).cast("long").alias("gain"),
+    )
+    w_case = "CASE " + " ".join(
+        f"WHEN rank = {p} THEN {w[p - 1]}" for p in range(1, k + 1)
+    ) + " ELSE 0 END"
+    adc = q_pq_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.expr(w_case).cast("long").alias("w")
+    )
+    per_q = (
+        adc.join(gains, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce("gain", F.lit(0)) * F.col("w")).alias("gw"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("gw").cast("long").alias("dcg_raw"))
+    )
+    return per_q.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "dcg_raw",
+        F.expr(f"(dcg_raw * 1000000) div {idcg}").cast("long")
+        .alias("ndcg_u"),
+    )
+
+
+def sql_ndcg() -> str:
+    k = _TOPK_K
+    w = _ndcg_weights_u(k)
+    idcg = sum((k - p) * w[p - 1] for p in range(1, k + 1))
+    w_case = "CASE " + " ".join(
+        f"WHEN rank = {p} THEN {w[p - 1]}" for p in range(1, k + 1)
+    ) + " ELSE 0 END"
+    return f"""WITH gains AS (
+  SELECT query_id, vec_id, {k} - rank AS gain
+  FROM ({sql_topk_cosine()})
+),
+adc AS (
+  SELECT query_id, vec_id, {w_case} AS w FROM ({sql_pq_topk()})
+),
+per_q AS (
+  SELECT a.query_id, SUM(COALESCE(g.gain, 0) * a.w) AS dcg_raw
+  FROM adc a LEFT JOIN gains g
+    ON g.query_id = a.query_id AND g.vec_id = a.vec_id
+  GROUP BY a.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(dcg_raw AS BIGINT) AS dcg_raw,
+       CAST((dcg_raw * 1000000) // {idcg} AS BIGINT) AS ndcg_u
+FROM per_q"""
+
+
+QUERIES["q_ndcg"] = q_ndcg
+ORACLES["q_ndcg"] = sql_ndcg
+
+
+def q_mrr(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Reciprocal rank of the TRUE nearest non-self neighbor (exact
+    cosine rank 2) inside the PQ/ADC list — where does compressed
+    search put the one answer that matters? rr_u = 1e6 div adc_pos,
+    0 when the true neighbor misses the list entirely. Exact integer
+    division; composes the two verified oracles."""
+    target = q_topk_cosine(spark, sf_dir).where(F.col("rank") == 2).select(
+        "query_id", F.col("vec_id").alias("target_vec")
+    )
+    adc = q_pq_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("target_vec"),
+        F.col("rank").alias("adc_pos"),
+    )
+    j = target.join(adc, ["query_id", "target_vec"], "left")
+    return j.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("target_vec").cast("long").alias("target_vec"),
+        F.coalesce("adc_pos", F.lit(0)).cast("long").alias("adc_pos"),
+        F.expr(
+            "CASE WHEN adc_pos IS NULL OR adc_pos = 0 THEN 0"
+            " ELSE 1000000 div adc_pos END"
+        ).cast("long").alias("rr_u"),
+    )
+
+
+def sql_mrr() -> str:
+    return f"""WITH target AS (
+  SELECT query_id, vec_id AS target_vec
+  FROM ({sql_topk_cosine()}) WHERE rank = 2
+),
+adc AS (
+  SELECT query_id, vec_id AS target_vec, rank AS adc_pos
+  FROM ({sql_pq_topk()})
+)
+SELECT CAST(t.query_id AS BIGINT) AS query_id,
+       CAST(t.target_vec AS BIGINT) AS target_vec,
+       CAST(COALESCE(a.adc_pos, 0) AS BIGINT) AS adc_pos,
+       CAST(CASE WHEN a.adc_pos IS NULL OR a.adc_pos = 0 THEN 0
+                 ELSE 1000000 // a.adc_pos END AS BIGINT) AS rr_u
+FROM target t LEFT JOIN adc a
+  ON a.query_id = t.query_id AND a.target_vec = t.target_vec"""
+
+
+QUERIES["q_mrr"] = q_mrr
+ORACLES["q_mrr"] = sql_mrr

@@ -1659,3 +1659,31 @@ def test_topic_purity_bounds(spark, sf_dir):
         assert 0 < r["top_n"] <= r["n"]
         assert 0 <= r["top_label"] <= 9
         assert 0 < r["purity_u"] <= 1_000_000
+
+
+def test_ndcg_bounds_and_self_hit(spark, sf_dir):
+    """nDCG in [0, 1e6]; the self vector (gain K-1 at some ADC
+    position) guarantees a strictly positive DCG."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_ndcg, _N_QUERIES,
+    )
+
+    rows = q_ndcg(spark, sf_dir).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 < r["ndcg_u"] <= 1_000_000
+
+
+def test_mrr_consistent_with_pq_list(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_mrr, _N_QUERIES, _TOPK_K,
+    )
+
+    rows = q_mrr(spark, sf_dir).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 <= r["adc_pos"] <= _TOPK_K
+        if r["adc_pos"] > 0:
+            assert r["rr_u"] == 1_000_000 // r["adc_pos"]
+        else:
+            assert r["rr_u"] == 0
