@@ -334,6 +334,7 @@ def main() -> None:
         "q_topic_purity",
         "q_ndcg",
         "q_mrr",
+        "q_source_overlap_matrix",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

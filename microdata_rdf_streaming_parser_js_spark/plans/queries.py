@@ -13852,3 +13852,122 @@ FROM target t LEFT JOIN adc a
 
 QUERIES["q_mrr"] = q_mrr
 ORACLES["q_mrr"] = sql_mrr
+
+
+# --- wave 39: pairwise source-overlap matrix from per-source KMV ---
+
+_SOM_K = 32
+
+
+def q_source_overlap_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Pairwise vocabulary-overlap matrix across ALL sources from
+    per-source KMV sketches: each source keeps its k={_SOM_K} smallest
+    distinct-token md5s (ONE grouped window over the hashed token
+    table), every source pair then gets a union sketch (k smallest of
+    the two hash sets) and a Jaccard estimate from the union's
+    hit-rate against both members — the mixture-redundancy matrix a
+    data-mixing decision reads ("is src7 just src3 again?"). Pair work
+    touches ONLY sketch rows: pairs x 2k, never the corpus; sources
+    are the quadratic dimension and sources are few. Exact-
+    rebuildable, so the oracle matches bit for bit."""
+    from ..operators.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = _SOM_K
+    hashed = (
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), 1)).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select("source", F.md5("tok").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    side_a = pairs.join(
+        sk.select(F.col("source").alias("sa"), "h"), "sa"
+    ).select("sa", "sb", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    side_b = pairs.join(
+        sk.select(F.col("source").alias("sb"), "h"), "sb"
+    ).select("sa", "sb", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    topu = merged.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= k
+    )
+    agg = topu.groupBy("sa", "sb").agg(
+        F.count("*").cast("long").alias("u_seen"),
+        F.sum(F.expr("fa * fb")).cast("long").alias("n_common"),
+    )
+    return agg.select(
+        "sa",
+        "sb",
+        "u_seen",
+        "n_common",
+        F.expr("(n_common * 1000000) div u_seen").cast("long")
+        .alias("jaccard_est_u"),
+    )
+
+
+def sql_source_overlap_matrix() -> str:
+    k = _SOM_K
+    toks = _TOKS.format(c="text")
+    return f"""WITH hashed AS (
+  SELECT DISTINCT source, md5(tok) AS h FROM (
+    SELECT source, unnest({toks}) AS tok FROM documents
+  ) t WHERE tok <> ''
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY h) AS rn
+    FROM hashed) x WHERE rn <= {k}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source
+),
+sides AS (
+  SELECT p.sa, p.sb, s.h, 1 AS fa, 0 AS fb
+  FROM pairs p JOIN sk s ON s.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, s.h, 0, 1
+  FROM pairs p JOIN sk s ON s.source = p.sb
+),
+merged AS (
+  SELECT sa, sb, h, MAX(fa) AS fa, MAX(fb) AS fb
+  FROM sides GROUP BY sa, sb, h
+),
+topu AS (
+  SELECT sa, sb, fa, fb FROM (
+    SELECT sa, sb, h, fa, fb, ROW_NUMBER() OVER (
+      PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM merged) x WHERE rn <= {k}
+),
+agg AS (
+  SELECT sa, sb, COUNT(*) AS u_seen, SUM(fa * fb) AS n_common
+  FROM topu GROUP BY sa, sb
+)
+SELECT sa, sb, CAST(u_seen AS BIGINT) AS u_seen,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST((n_common * 1000000) // u_seen AS BIGINT) AS jaccard_est_u
+FROM agg"""
+
+
+QUERIES["q_source_overlap_matrix"] = q_source_overlap_matrix
+ORACLES["q_source_overlap_matrix"] = sql_source_overlap_matrix

@@ -1687,3 +1687,18 @@ def test_mrr_consistent_with_pq_list(spark, sf_dir):
             assert r["rr_u"] == 1_000_000 // r["adc_pos"]
         else:
             assert r["rr_u"] == 0
+
+
+def test_source_overlap_matrix_shape_and_bounds(spark, sf_dir):
+    """All 20*19/2 ordered pairs present; estimates within [0, 1e6];
+    n_common can never exceed the union sketch size."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_source_overlap_matrix,
+    )
+
+    rows = q_source_overlap_matrix(spark, sf_dir).collect()
+    assert len(rows) == 190
+    for r in rows:
+        assert r["sa"] < r["sb"]
+        assert 0 <= r["n_common"] <= r["u_seen"] <= 32
+        assert 0 <= r["jaccard_est_u"] <= 1_000_000
