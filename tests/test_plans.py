@@ -1702,3 +1702,20 @@ def test_source_overlap_matrix_shape_and_bounds(spark, sf_dir):
         assert r["sa"] < r["sb"]
         assert 0 <= r["n_common"] <= r["u_seen"] <= 32
         assert 0 <= r["jaccard_est_u"] <= 1_000_000
+
+
+def test_new_eval_queries_plan_invariants(spark, sf_dir):
+    """Waves 27-39 risky shapes: every join broadcasts (threshold
+    frames, sketches, marginals — all bounded), nothing falls back to
+    sort-merge or cartesian, and no Python executes."""
+    from microdata_rdf_streaming_parser_js_spark.plans import queries as Q
+
+    for name in (
+        "q_pr_curve", "q_heavy_hitters", "q_source_overlap_matrix",
+        "q_kmv_overlap", "q_minmax_prune", "q_join_size_estimate",
+        "q_filter_kappa", "q_chi2_independence",
+    ):
+        plan = plan_str(Q.QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
