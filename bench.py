@@ -335,6 +335,7 @@ def main() -> None:
         "q_ndcg",
         "q_mrr",
         "q_source_overlap_matrix",
+        "q_bm25_prf",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

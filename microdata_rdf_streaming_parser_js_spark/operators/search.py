@@ -211,3 +211,57 @@ def rrf_fuse(
         F.sum("_c").cast("long").alias("rrf_u"),
         F.count("*").cast("int").alias("n_lists"),
     )
+
+
+def bm25_topk_df_terms(
+    docs: "DataFrame",
+    terms_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 20,
+    scale: int = 1_000_000,
+    k1_u: int = 1_200_000,
+    b_u: int = 750_000,
+    idf_cap_u: int = 1_000_000_000_000,
+) -> "DataFrame":
+    """:func:`bm25_topk` with a DATA-DERIVED query-term frame (single
+    column ``t``) instead of plan-time literals — the second round of
+    pseudo-relevance feedback, where the expanded term set comes from
+    the corpus itself. ``terms_df`` is broadcast (feedback expansions
+    are a handful of rows by construction); everything else is the
+    identical integer BM25 algebra."""
+    c2 = (k1_u * b_u) // scale
+    c1 = k1_u - c2
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).localCheckpoint(eager=False)
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("t"))
+        .join(F.broadcast(terms_df.select("t").distinct()), "t")
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(least(((n_docs - df + 1) * {scale}) div (df + 1), "
+                f"       {idf_cap_u})"
+                f" * ((tf * {k1_u + scale} * {scale}) div "
+                f"     (tf * {scale} + {c1} + ({c2} * dl) div "
+                f"      greatest(1, total_dl div n_docs)))"
+                f") div {scale}"
+            ).alias("contrib_u"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib_u").alias("score_u"))
+    )
+    return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)

@@ -13971,3 +13971,101 @@ FROM agg"""
 
 QUERIES["q_source_overlap_matrix"] = q_source_overlap_matrix
 ORACLES["q_source_overlap_matrix"] = sql_source_overlap_matrix
+
+
+# --- wave 40: BM25 pseudo-relevance feedback ---
+
+_PRF_FB_DOCS = 3
+
+
+def q_bm25_prf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two-round retrieval with pseudo-relevance feedback (Rocchio-
+    style): round 1 = integer BM25 for the literal query; the top
+    {_PRF_FB_DOCS} docs donate their tf-idf keywords (the verified
+    q_tfidf_terms pipeline) as expansion terms; round 2 re-scores the
+    corpus against the EXPANDED term set via
+    operators/search.bm25_topk_df_terms (the term frame is data-
+    derived, broadcast, a handful of rows). Fully distributed — no
+    collect anywhere; the oracle replays both rounds with the
+    deterministic (score DESC, doc_id) cuts."""
+    from ..operators.search import bm25_topk, bm25_topk_df_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = bm25_topk(
+        docs,
+        _BM25_TERMS,
+        topk=_PRF_FB_DOCS,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    )
+    fb = q_tfidf_terms(spark, sf_dir).join(
+        r1.select("doc_id"), "doc_id"
+    ).select(F.col("term").alias("t"))
+    orig = spark.createDataFrame(
+        [(t,) for t in sorted(set(_BM25_TERMS))], "t string"
+    )
+    terms_df = fb.unionByName(orig).distinct()
+    return bm25_topk_df_terms(
+        docs,
+        terms_df,
+        topk=_BM25_TOPK,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    )
+
+
+def sql_bm25_prf() -> str:
+    s, k1, b, cap = _BM25_SCALE, _BM25_K1_U, _BM25_B_U, _BM25_IDF_CAP_U
+    c2 = (k1 * b) // s
+    c1 = k1 - c2
+    toks = _TOKS.format(c="text")
+    orig = ", ".join(_sql_str(t) for t in sorted(set(_BM25_TERMS)))
+    return f"""WITH r1 AS (
+  SELECT doc_id FROM ({sql_bm25_topk()})
+  ORDER BY score_u DESC, doc_id LIMIT {_PRF_FB_DOCS}
+),
+fbt AS (
+  SELECT tt.term AS t FROM ({sql_tfidf_terms()}) tt
+  JOIN r1 USING (doc_id)
+),
+qterms AS (
+  SELECT DISTINCT t FROM (
+    SELECT t FROM fbt UNION ALL SELECT unnest([{orig}]) AS t
+  ) x
+),
+base AS (
+  SELECT doc_id, {toks} AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM base)
+  WHERE t IN (SELECT t FROM qterms)
+  GROUP BY doc_id, dl, t
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT doc_id,
+         SUM(
+           (LEAST(((n_docs - df + 1) * {s}) // (df + 1), {cap})
+            * ((tf * {k1 + s} * {s})
+               // (tf * {s} + {c1} + ({c2} * dl) // GREATEST(1, total_dl // n_docs)))
+           ) // {s}
+         ) AS score_u
+  FROM tf JOIN dfq USING (t) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(score_u AS BIGINT) AS score_u
+FROM scored
+ORDER BY score_u DESC, doc_id
+LIMIT {_BM25_TOPK}"""
+
+
+QUERIES["q_bm25_prf"] = q_bm25_prf
+ORACLES["q_bm25_prf"] = sql_bm25_prf

@@ -1719,3 +1719,22 @@ def test_new_eval_queries_plan_invariants(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_bm25_prf_expands_beyond_round_one(spark, sf_dir):
+    """PRF must (a) return the full top-k, (b) score a superset term
+    pool: every round-1 hit keeps a positive score in round 2, and
+    the result is deterministic across two runs."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bm25_prf, q_bm25_topk, _BM25_TOPK,
+    )
+
+    r2 = q_bm25_prf(spark, sf_dir).collect()
+    assert len(r2) == _BM25_TOPK
+    assert all(r["score_u"] > 0 for r in r2)
+    again = q_bm25_prf(spark, sf_dir).collect()
+    assert [tuple(r) for r in r2] == [tuple(r) for r in again]
+    r1_ids = {r["doc_id"] for r in q_bm25_topk(spark, sf_dir).collect()[:3]}
+    # feedback docs score highly against their own keywords
+    r2_ids = {r["doc_id"] for r in r2}
+    assert r1_ids & r2_ids
