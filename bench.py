@@ -419,6 +419,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench full-record write error: {exc}", file=sys.stderr)
 
+    print(json.dumps(build_headline(result)))
+
+
+def build_headline(result: dict) -> dict:
+    """Compact final-stdout-line record. MUST stay well under 2,000 chars
+    when serialized: the driver captures only a bounded stdout tail, and
+    rounds 3-4 recorded ``parsed: null`` because the per-query best-of map
+    (~6 KB at 230+ queries) pushed the JSON line past that window. The
+    per-query seconds and raw passes live only in
+    ``BENCH/BENCH_full_latest.json`` (reference analogue: the perf harness
+    prints three short lines, perf/MicrodataRdfParser-perf.ts:30-32)."""
     headline = {
         "metric": result["metric"],
         "value": result["value"],
@@ -428,9 +439,7 @@ def main() -> None:
         "n_pages": result["n_pages"],
         "n_triples": result["n_triples"],
         "pages_per_sec": result["pages_per_sec"],
-        # per-query best-of-N seconds only (~5 KB for 150 queries); the
-        # raw passes that made round 3's line unparseable live in the file
-        "queries": {k: round(v, 3) for k, v in query_secs.items()},
+        "n_queries": len(result.get("queries", {})),
         "full_record": "BENCH/BENCH_full_latest.json",
     }
     if "scaling" in result:
@@ -438,7 +447,7 @@ def main() -> None:
             k: (v if isinstance(v, (int, float)) else v.get("triples_per_sec"))
             for k, v in result["scaling"].items()
         }
-    print(json.dumps(headline))
+    return headline
 
 
 def simhash_candidate_counts(spark, sf_dir: str) -> dict:

@@ -1,0 +1,62 @@
+"""The bench stdout headline must fit the driver's bounded tail capture.
+
+Rounds 3 and 4 recorded ``parsed: null`` in BENCH_r{N}.json because the
+final stdout line carried the per-query best-of map (~6 KB at 230+
+queries), overflowing the driver's ~2,000-char tail window. These tests
+pin the contract: the serialized headline stays far below the window at
+any realistic registry size, carries the fields the driver grades
+(metric/value/pages_per_sec/sf/cpus), and includes the scaling block
+when present — but never the per-query map.
+"""
+
+import json
+
+from bench import build_headline
+
+
+def _result(n_queries: int, scaling: bool) -> dict:
+    r = {
+        "metric": "triples_per_sec",
+        "value": 593771.2,
+        "unit": "sec",
+        "sf": 0.1,
+        "cpus": "32",
+        "n_pages": 48_850,
+        "n_triples": 1_234_567,
+        "pages_per_sec": 6123.4,
+        "queries": {f"q_name_{i:04d}": 1.234 for i in range(n_queries)},
+        "queries_raw": {f"q_name_{i:04d}": [1.3, 1.25, 1.234] for i in range(n_queries)},
+    }
+    if scaling:
+        r["scaling"] = {
+            "local4": {"triples_per_sec": 106898.0, "wall_sec": 12.3, "cores": 4},
+            "local16": {"triples_per_sec": 384615.0, "wall_sec": 3.4, "cores": 16},
+            "efficiency_4_to_16": 0.899,
+        }
+    return r
+
+
+def test_headline_fits_driver_tail_window():
+    for n in (0, 233, 1000):
+        for scaling in (False, True):
+            line = json.dumps(build_headline(_result(n, scaling)))
+            assert len(line) < 1000, (n, scaling, len(line))
+
+
+def test_headline_fields_and_no_query_map():
+    h = build_headline(_result(233, scaling=True))
+    for key in ("metric", "value", "unit", "sf", "cpus", "pages_per_sec",
+                "n_pages", "n_triples", "n_queries", "full_record", "scaling"):
+        assert key in h, key
+    assert "queries" not in h and "queries_raw" not in h
+    assert h["n_queries"] == 233
+    assert h["scaling"]["efficiency_4_to_16"] == 0.899
+    assert h["scaling"]["local4"] == 106898.0
+    assert h["scaling"]["local16"] == 384615.0
+    # round-trips as the single JSON line the driver parses
+    assert json.loads(json.dumps(h)) == h
+
+
+def test_headline_without_scaling_block():
+    h = build_headline(_result(5, scaling=False))
+    assert "scaling" not in h
