@@ -336,6 +336,9 @@ def main() -> None:
         "q_mrr",
         "q_source_overlap_matrix",
         "q_bm25_prf",
+        # wave 41: semantic decontamination + curation composition
+        "q_semantic_decontaminate",
+        "q_curation_pipeline",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -76,3 +76,73 @@ def ngram_contamination(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def semantic_contamination(
+    corpus: "DataFrame",
+    eval_vecs: "DataFrame",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 24,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    eval_id_col: str = "eval_vec_id",
+    vec_col: str = "embedding",
+    broadcast_eval: bool = True,
+) -> "DataFrame":
+    """(vec_id, eval_vec_id, cos_sim): corpus vectors within cosine
+    ``threshold`` of an eval vector — the paraphrase-level eval leakage
+    the n-gram leg (:func:`ngram_contamination`) cannot see, since a
+    reworded eval answer shares embeddings but no long word-k-grams.
+
+    Same 100 TB contract as the n-gram leg: the eval side is
+    benchmark-sized, so its LSH band index is BROADCAST and the corpus
+    is one scan — the sign-bit signature is a plan-time literal
+    projection (functions/lattice.py) inside whole-stage codegen, band
+    probe hits go straight to the exact-cosine verify, and the corpus
+    never shuffles (the only shuffle is the pair-dedup over the
+    candidate set, bounded by eval_size x band collisions, not by the
+    corpus). Candidates missed by every band are below-threshold with
+    overwhelming probability at cos >= 0.95 (P[bit differs] = angle/pi
+    ~ 0.035 per plane), and both engines compute identical bands, so
+    the result stays deterministic either way.
+    """
+    from .similarity import cosine, lsh_buckets
+
+    c_b = lsh_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    e_b = lsh_buckets(
+        eval_vecs.select(
+            F.col(eval_id_col).alias("eval_vec_id"), F.col(vec_col).alias("e_vec")
+        ),
+        "e_vec",
+        dim,
+        n_planes,
+        n_bands,
+    )
+    if broadcast_eval:
+        e_b = F.broadcast(e_b)
+    cand = (
+        c_b.join(e_b, ["band_id", "band_key"])
+        .select("vec_id", "eval_vec_id", "c_vec", "e_vec")
+        .dropDuplicates(["vec_id", "eval_vec_id"])
+    )
+    return (
+        cand.withColumn(
+            "cos_sim",
+            F.round(
+                cosine(
+                    F.col("c_vec").cast("array<double>"),
+                    F.col("e_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_id", "eval_vec_id", "cos_sim")
+    )

@@ -14069,3 +14069,194 @@ LIMIT {_BM25_TOPK}"""
 
 QUERIES["q_bm25_prf"] = q_bm25_prf
 ORACLES["q_bm25_prf"] = sql_bm25_prf
+
+
+# --- wave 41a: semantic decontamination (embedding-level eval leakage) ---
+
+# eval set = every 89th vector; each eval vector gets ONE planted
+# paraphrase in the training corpus (same fixed noise as the near-dup
+# family -> cos ~ 0.998), so the flagged count scales linearly with the
+# table and the n-gram-invisible leak is the thing detected.
+_SDC_EVAL_MOD = 89
+_SDC_ID_OFFSET = 2_000_000  # 2e6 % 89 = 81, so offset ids never look eval
+
+
+def q_semantic_decontaminate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Embedding-level decontamination
+    (operators/decontaminate.semantic_contamination): the paraphrase
+    twin of q_decontaminate — eval docs reworded enough to share no
+    word-5-gram still sit at cos ~0.998 in embedding space. Corpus =
+    non-eval vectors + one planted paraphrase per eval vector (fixed
+    noise, both engines construct it identically); eval LSH band index
+    broadcast, corpus scanned once, exact-cosine verify on band hits
+    only. Output: (vec_id, eval_vec_id, cos_u) contaminated pairs."""
+    from ..operators.decontaminate import semantic_contamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_eval = F.pmod(F.col("vec_id"), F.lit(_SDC_EVAL_MOD)) == 0
+    ev = base.where(is_eval).select(
+        F.col("vec_id").alias("eval_vec_id"), "embedding"
+    )
+    noise = F.array(*[F.lit(x) for x in _noise_vector()])
+    para = base.where(is_eval).select(
+        (F.col("vec_id") + _SDC_ID_OFFSET).alias("vec_id"),
+        F.zip_with("embedding", noise, lambda v, n: v + n).alias("embedding"),
+    )
+    corpus = base.where(~is_eval).unionByName(para)
+    out = semantic_contamination(
+        corpus,
+        ev,
+        threshold=_ND_THRESHOLD,
+        dim=_LSH_DIM,
+        n_planes=_ND_PLANES,
+        n_bands=_ND_BANDS,
+    )
+    return out.select(
+        "vec_id",
+        "eval_vec_id",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+    )
+
+
+def sql_semantic_decontaminate() -> str:
+    noise = "[" + ", ".join(repr(x) for x in _noise_vector()) + "]::DOUBLE[]"
+    dot = _SQL_DOT.format(dim=_LSH_DIM, a="a.e", b="b.e")
+    M, OFF = _SDC_EVAL_MOD, _SDC_ID_OFFSET
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+noise(n) AS (VALUES ({noise})),
+vecs AS (
+  SELECT vec_id, e FROM base WHERE vec_id % {M} <> 0
+  UNION ALL
+  SELECT vec_id + {OFF},
+         list_transform(range(1, {_LSH_DIM} + 1), i -> e[i] + noise.n[i])
+  FROM base CROSS JOIN noise WHERE vec_id % {M} = 0
+  UNION ALL
+  SELECT vec_id, e FROM base WHERE vec_id % {M} = 0
+),
+{_lsh_bands_cte(_LSH_DIM, _ND_PLANES, _ND_BANDS)},
+cand AS (
+  SELECT DISTINCT c.vec_id, e.vec_id AS eval_vec_id
+  FROM bands c JOIN bands e USING (band_id, band_key)
+  WHERE e.vec_id % {M} = 0 AND e.vec_id < {OFF}
+    AND NOT (c.vec_id % {M} = 0 AND c.vec_id < {OFF})
+),
+scored AS (
+  SELECT cand.vec_id, cand.eval_vec_id,
+         round({dot} / ({_SQL_NORM.format(v="a.e")} * {_SQL_NORM.format(v="b.e")}), 6)
+           AS cos_sim
+  FROM cand
+  JOIN vecs a ON a.vec_id = cand.vec_id
+  JOIN vecs b ON b.vec_id = cand.eval_vec_id
+)
+SELECT vec_id, eval_vec_id,
+       CAST(floor(cos_sim * 1e6) AS BIGINT) AS cos_u
+FROM scored WHERE cos_sim >= {_ND_THRESHOLD}"""
+
+
+QUERIES["q_semantic_decontaminate"] = q_semantic_decontaminate
+ORACLES["q_semantic_decontaminate"] = sql_semantic_decontaminate
+
+
+# --- wave 41b: end-to-end curation pipeline composition ---
+
+_CUR_SALT = "curate"
+
+
+def q_curation_pipeline(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The curation twin of q_crawl_frontier: CCNet-ordered (Wenzek et
+    al. 2020) composition of five separately-verified legs — MinHash
+    dedup survivors (q_dedup_clusters) ∧ Gopher gate (q_gopher_rules)
+    ∧ FineWeb line gate (q_fineweb_rules) ∧ C4 blocklist gate
+    (q_blocklist_filter) → deterministic temperature mixture
+    (operators/split.mixture_sample, md5-bucket, scan-side) → packed
+    training sequences (operators/pack.pack_sequences). The gate legs
+    keep their documented corpus augmentations, exactly as verified.
+    Every leg is a broadcast/one-shuffle shape, so the composition
+    adds joins on doc_id but no new blow-up; the oracle composes the
+    identical verified SQL as subqueries."""
+    from ..operators.pack import pack_sequences
+    from ..operators.split import mixture_sample
+
+    dk = q_dedup_clusters(spark, sf_dir).where("keep").select("doc_id")
+    g = q_gopher_rules(spark, sf_dir).where("keep").select("doc_id")
+    fw = q_fineweb_rules(spark, sf_dir).where("keep").select("doc_id")
+    bl = q_blocklist_filter(spark, sf_dir).where("keep").select("doc_id")
+    gated = dk.join(g, "doc_id").join(fw, "doc_id").join(bl, "doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    kept = mixture_sample(
+        docs.join(gated, "doc_id"),
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS_U,
+        default_u=_MIX_DEFAULT_U,
+        salt=_CUR_SALT,
+    )
+    return pack_sequences(
+        kept.select("doc_id", "text"),
+        seq_len=_PACK_SEQ_LEN,
+        bucket_size=_PACK_BUCKET,
+        sep_tokens=_PACK_SEP,
+    )
+
+
+def sql_curation_pipeline() -> str:
+    nib = _sql_hex8("h")
+    whens = " ".join(
+        f"WHEN source = '{g}' THEN {w}"
+        for g, w in sorted(_MIX_WEIGHTS_U.items())
+    )
+    L, B, S = _PACK_SEQ_LEN, _PACK_BUCKET, _PACK_SEP
+    toks = _TOKS.format(c="text")
+    return f"""WITH dk AS (SELECT doc_id FROM ({sql_dedup_clusters()}) WHERE keep),
+gg AS (SELECT doc_id FROM ({sql_gopher_rules()}) WHERE keep),
+fw AS (SELECT doc_id FROM ({sql_fineweb_rules()}) WHERE keep),
+bl AS (SELECT doc_id FROM ({sql_blocklist_filter()}) WHERE keep),
+gated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN dk USING (doc_id) JOIN gg USING (doc_id)
+  JOIN fw USING (doc_id) JOIN bl USING (doc_id)
+),
+mixh AS (
+  SELECT doc_id, source, text,
+         md5(CAST(doc_id AS VARCHAR) || '|{_CUR_SALT}') AS h
+  FROM gated
+),
+mixed AS (
+  SELECT doc_id, text FROM mixh
+  WHERE {nib} % 1000000 < (CASE {whens} ELSE {_MIX_DEFAULT_U} END)
+),
+t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({toks}) END) + {S} AS ntok,
+         doc_id // {B} AS bucket
+  FROM mixed
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({toks}) END) > 0 AND text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, bucket, ntok,
+         COALESCE(SUM(ntok) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT doc_id, bucket, CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(off // {L} AS BIGINT) AS first_chunk,
+       CAST((off + ntok - 1) // {L} AS BIGINT) AS last_chunk
+FROM c"""
+
+
+QUERIES["q_curation_pipeline"] = q_curation_pipeline
+ORACLES["q_curation_pipeline"] = sql_curation_pipeline

@@ -220,6 +220,22 @@ def test_decontaminate_broadcasts_eval_index(spark, sf_dir):
     assert len(_shuffle_nodes(plan)) == 1, plan
 
 
+def test_semantic_decontaminate_broadcasts_eval_bands(spark, sf_dir):
+    """The semantic leg mirrors the n-gram leg's contract: the eval LSH
+    band index broadcasts (the corpus side never shuffles for the
+    probe), the sign-bit signatures are pure codegen (no Python eval
+    nodes), and the only exchange is the bounded candidate-pair
+    dedup."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_semantic_decontaminate,
+    )
+
+    plan = plan_str(q_semantic_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert len(_shuffle_nodes(plan)) == 1, plan
+
+
 def test_bm25_topk_uses_take_ordered(spark, sf_dir):
     """BM25 top-k must end in TakeOrderedAndProject (per-partition heap
     + driver merge of k rows), never a global sort materialization."""

@@ -133,6 +133,10 @@ _QUERY_NAMES = [
     "q_fineweb_rules",
     "q_url_path_rollup",
     "q_minhash_precision",
+    # wave 41b: the five-leg curation composition — tiny adversarial
+    # corpora drive the gate intersection empty (every downstream CTE
+    # over zero rows) and hit NULL-text packing on the survivor side
+    "q_curation_pipeline",
 ]
 
 
@@ -168,6 +172,11 @@ _EMB_QUERY_NAMES = [
     "q_pq_topk",
     "q_pq_recall",
     "q_ivfpq_topk",
+    # wave 41a: paraphrase-leak scan — tiny corpora make the eval set a
+    # single vector (vec_id 0) and stress the band-miss determinism
+    # claim (both engines compute identical bands, so a recall miss is
+    # still a value-exact match)
+    "q_semantic_decontaminate",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
