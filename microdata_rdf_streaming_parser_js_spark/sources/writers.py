@@ -105,7 +105,7 @@ def materialize_wave(
     spark: "SparkSession",
     triples: "DataFrame",
     out_dir: str,
-    buckets: list[int],
+    buckets: list[int] | None,
     salt_n: int = 8,
     input_fingerprint: str = "",
     run_id: str = "",
@@ -117,24 +117,31 @@ def materialize_wave(
     ``buckets``. The data write happens first; the _progress append is
     the commit point (a crash in between re-does the wave
     idempotently via dynamic partition overwrite).
+
+    ``buckets=None`` derives the bucket list from the per-bucket
+    counts this function computes anyway over the PERSISTED frame —
+    the streaming foreachBatch path uses this so each micro-batch is
+    read exactly once (a caller-side ``distinct().collect()`` would
+    re-scan the un-persisted batch).
     """
     t0 = time.time()
     triples = triples.persist()
     try:
-        n_triples = triples.count()
-        n_parts = max(1, len(buckets)) * salt_n
-        _write_partitioned(triples, f"{out_dir}/triples", salt_n, mode, n_parts)
-        nodes = nodes_from_triples(triples)
-        _write_partitioned(nodes, f"{out_dir}/nodes", salt_n, mode, n_parts)
-        edges = edges_from_triples(triples)
-        _write_partitioned(edges, f"{out_dir}/edges", salt_n, mode, n_parts)
-
         per_bucket = {
             r["host_bucket"]: r
             for r in triples.groupBy("host_bucket")
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        n_triples = sum(r["n"] for r in per_bucket.values())
+        if buckets is None:
+            buckets = sorted(per_bucket)
+        n_parts = max(1, len(buckets)) * salt_n
+        _write_partitioned(triples, f"{out_dir}/triples", salt_n, mode, n_parts)
+        nodes = nodes_from_triples(triples)
+        _write_partitioned(nodes, f"{out_dir}/nodes", salt_n, mode, n_parts)
+        edges = edges_from_triples(triples)
+        _write_partitioned(edges, f"{out_dir}/edges", salt_n, mode, n_parts)
         n_nodes = {r["host_bucket"]: r["n"] for r in nodes.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()}
         n_edges = {r["host_bucket"]: r["n"] for r in edges.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()}
     finally:

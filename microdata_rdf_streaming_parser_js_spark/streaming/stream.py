@@ -56,9 +56,11 @@ def start_pipeline_stream(
 
     def write_batch(batch_df: "DataFrame", batch_id: int) -> None:
         b = with_host_bucket(batch_df, n_buckets)
-        buckets = [r.host_bucket for r in b.select("host_bucket").distinct().collect()]
+        # buckets=None: the writer derives the bucket list from the
+        # per-bucket counts it computes over the persisted batch — one
+        # read of each micro-batch, not two (round-4 review item)
         materialize_wave(
-            spark, b, out_dir, buckets, salt_n=salt_n,
+            spark, b, out_dir, buckets=None, salt_n=salt_n,
             input_fingerprint=f"stream-batch-{batch_id}", run_id=f"batch{batch_id}",
             mode="append",
         )
