@@ -36,7 +36,7 @@ def log(rec: dict) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1"
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    if not os.path.isdir(f"{sf_dir}/documents.parquet"):
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
         raise SystemExit(f"{sf_dir} missing — run tools/make_sf1.py first")
 
     import duckdb
