@@ -27,7 +27,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH", "quiet_samples_r04.jsonl")
+OUT = os.environ.get(
+    "QUIET_HUNTER_OUT", os.path.join(REPO, "BENCH", "quiet_samples_r04.jsonl"))
 QUIET_WALL_S = 14.5
 
 
