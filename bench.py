@@ -399,22 +399,38 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench error ivf_list_balance: {exc}", file=sys.stderr)
 
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "BENCH_full_latest.json"
+    )
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         result["scaling"] = run_scaling(sf_dir)
+        result["scaling"]["measured_unix"] = int(time.time())
+    else:
+        # This file is rewritten on every run, so a run WITHOUT
+        # SPARK_GRAFT_SCALING=1 (e.g. the driver's round-close bench) must
+        # not silently erase the last measured scaling evidence (round-4
+        # verdict item 3). Carry it forward, explicitly labeled: the
+        # `carried_forward` flag + `measured_unix` stamp keep the
+        # provenance honest — it is the previous measurement, not this
+        # run's.
+        try:
+            with open(full_path) as fh:
+                prev_scaling = json.load(fh).get("scaling")
+            if prev_scaling:
+                result["scaling"] = {**prev_scaling, "carried_forward": True}
+        except Exception:  # noqa: BLE001
+            pass
 
     try:
         write_delta(result)
     except Exception as exc:  # noqa: BLE001
         print(f"# bench delta error: {exc}", file=sys.stderr)
 
-    # The full record (148 queries x raw passes) is several hundred KB —
+    # The full record (216+ queries x raw passes) is several hundred KB —
     # larger than the driver's bounded stdout tail, which truncated the
     # round-3 record into an unparseable line. Persist the full result to
     # a file and make the LAST stdout line a compact headline-only JSON.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "BENCH_full_latest.json"
-    )
     try:
         with open(full_path, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
@@ -446,8 +462,11 @@ def build_headline(result: dict) -> dict:
         "full_record": "BENCH/BENCH_full_latest.json",
     }
     if "scaling" in result:
+        # Per-level dicts compact to their triples/s; scalar metadata
+        # (efficiency, carried_forward, measured_unix, window notes) pass
+        # through as-is so provenance survives into the driver's record.
         headline["scaling"] = {
-            k: (v if isinstance(v, (int, float)) else v.get("triples_per_sec"))
+            k: (v.get("triples_per_sec") if isinstance(v, dict) else v)
             for k, v in result["scaling"].items()
         }
     return headline

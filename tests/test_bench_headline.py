@@ -60,3 +60,22 @@ def test_headline_fields_and_no_query_map():
 def test_headline_without_scaling_block():
     h = build_headline(_result(5, scaling=False))
     assert "scaling" not in h
+
+
+def test_headline_scaling_metadata_passthrough():
+    # A carried-forward scaling block (written when a run without
+    # SPARK_GRAFT_SCALING=1 inherits the last measured block) carries
+    # scalar provenance fields; they must pass through the compaction
+    # unchanged and keep the line inside the driver's tail window.
+    r = _result(233, scaling=True)
+    r["scaling"]["carried_forward"] = True
+    r["scaling"]["measured_unix"] = 1787197516
+    r["scaling"]["window"] = "quiet (probe local16 <= 14.5s)"
+    h = build_headline(r)
+    assert h["scaling"]["carried_forward"] is True
+    assert h["scaling"]["measured_unix"] == 1787197516
+    assert h["scaling"]["window"] == "quiet (probe local16 <= 14.5s)"
+    assert h["scaling"]["local4"] == 106898.0
+    line = json.dumps(h)
+    assert len(line) < 1000, len(line)
+    assert json.loads(line) == h
