@@ -339,6 +339,8 @@ def main() -> None:
         # wave 41: semantic decontamination + curation composition
         "q_semantic_decontaminate",
         "q_curation_pipeline",
+        "q_chunk_windows",
+        "q_chunk_dedup",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -14260,3 +14260,75 @@ FROM c"""
 
 QUERIES["q_curation_pipeline"] = q_curation_pipeline
 ORACLES["q_curation_pipeline"] = sql_curation_pipeline
+
+
+# ---------------------------------------------------------------------------
+# wave 42: sliding-window chunking + chunk-level duplicate scan
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+def q_chunk_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Overlapping token-window chunking (operators/chunk.chunk_windows):
+    the RAG-indexing / long-context prep step. Window starts are an
+    integer ``sequence`` exploded scan-side — zero shuffles, zero
+    Python; the chunk digest is md5 of the space-joined token slice so
+    the oracle recomputes it bit-identically."""
+    from ..operators.chunk import chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+def sql_chunk_windows() -> str:
+    toks = ("regexp_split_to_array(regexp_replace(lower(trim(coalesce("
+            "text, ''))), '\\s+', ' ', 'g'), ' ')")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, {_CHUNK_S})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(least({_CHUNK_W}, n - start_tok) AS INTEGER) AS n_toks,
+       md5(array_to_string(
+         list_slice(toks, start_tok + 1,
+                    start_tok + least({_CHUNK_W}, n - start_tok)), ' '))
+         AS chunk_hash
+FROM s"""
+
+
+QUERIES["q_chunk_windows"] = q_chunk_windows
+ORACLES["q_chunk_windows"] = sql_chunk_windows
+
+
+def q_chunk_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Chunk-granularity duplicate scan (operators/chunk.
+    chunk_dup_stats): boilerplate shared between documents that
+    whole-doc digests miss. Plans as the two-exchange distinct
+    rewrite on top of the zero-shuffle chunker — the memory-safe
+    shape for viral chunks (pinned in test_plans)."""
+    from ..operators.chunk import chunk_dup_stats, chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dup_stats(chunk_windows(docs, window=_CHUNK_W, stride=_CHUNK_S))
+
+
+def sql_chunk_dedup() -> str:
+    return f"""WITH c AS ({sql_chunk_windows()})
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1"""
+
+
+QUERIES["q_chunk_dedup"] = q_chunk_dedup
+ORACLES["q_chunk_dedup"] = sql_chunk_dedup

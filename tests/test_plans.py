@@ -1754,3 +1754,32 @@ def test_bm25_prf_expands_beyond_round_one(spark, sf_dir):
     # feedback docs score highly against their own keywords
     r2_ids = {r["doc_id"] for r in r2}
     assert r1_ids & r2_ids
+
+
+def test_chunk_windows_is_scan_side_explode(spark, sf_dir):
+    """Sliding-window chunking must compile to scan -> generate
+    (explode of the integer start sequence) -> project with no
+    exchange and no Python eval — chunk generation is embarrassingly
+    parallel at any corpus size."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_chunk_windows
+
+    plan = plan_str(q_chunk_windows(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_chunk_dedup_two_shuffle_distinct_rewrite(spark, sf_dir):
+    """The chunk-level duplicate scan pins Spark's two-exchange
+    distinct-aggregate rewrite: partial count keyed on
+    (chunk_hash, doc_id) map-side, exchange, re-aggregate to
+    chunk_hash, exchange. That is the memory-safe scale shape — a
+    single-shuffle collect_set(doc_id) alternative would materialize
+    every doc id of a viral boilerplate chunk in one aggregation
+    buffer. Any third exchange (or a Python eval) is a regression."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_chunk_dedup
+
+    plan = plan_str(q_chunk_dedup(spark, sf_dir))
+    assert len(_shuffle_nodes(plan)) == 2, plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan

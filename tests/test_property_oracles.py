@@ -137,6 +137,12 @@ _QUERY_NAMES = [
     # corpora drive the gate intersection empty (every downstream CTE
     # over zero rows) and hit NULL-text packing on the survivor side
     "q_curation_pipeline",
+    # wave 42: overlapping chunk windows under NULL/empty/whitespace
+    # text (both engines split '' to one empty token -> exactly one
+    # chunk) and the digest dup scan where tiny corpora make EVERY
+    # empty-doc chunk collide
+    "q_chunk_windows",
+    "q_chunk_dedup",
 ]
 
 
