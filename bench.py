@@ -341,6 +341,8 @@ def main() -> None:
         "q_curation_pipeline",
         "q_chunk_windows",
         "q_chunk_dedup",
+        "q_int8_quant",
+        "q_int8_topk",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -957,3 +957,103 @@ def centroid_drift(
             " * 1000000.0) as bigint) ELSE 0 END"
         ).alias("cos_u"),
     )
+
+
+def int8_quantize(
+    embeddings: "DataFrame",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Per-vector symmetric int8 scalar quantization — the SQ8
+    embedding-compression layout an ANN serving tier stores when PQ's
+    64x is too lossy: 4x smaller than float32, decoded by one
+    multiply. scale = 127 / max|x_i| (0 for the all-zero vector),
+    q_i = floor(x_i * scale) in [-128, 127].
+
+    Scale shape: pure scan-side array expressions — zero shuffles,
+    zero Python. Cross-engine: every float op (double cast, one
+    divide, one multiply, floor) and the init-0.0 greatest/sum folds
+    are IEEE-identical in DuckDB, so digests of the int codes match
+    bit-for-bit. Returns (id, e array<double>, scale double,
+    qv array<int>).
+    """
+    e = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(F.col(id_col), e.alias("e"))
+        .withColumn(
+            "_maxabs",
+            F.aggregate(
+                F.transform(F.col("e"), F.abs),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            ),
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "qv",
+            F.transform(
+                F.col("e"), lambda x: F.floor(x * F.col("scale")).cast("int")
+            ),
+        )
+        .select(id_col, "e", "scale", "qv")
+    )
+
+
+def int8_topk(
+    embeddings: "DataFrame",
+    k: int = 10,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> "DataFrame":
+    """Quantized-serving top-k: rank corpus vectors per query by the
+    INTEGER dot product of their int8 codes (the SQ8 probe path —
+    integer SIMD arithmetic, no float work on the big side).
+    (query_id, vec_id, dot_q, rank<=k), dot descending, ties to the
+    smaller vec_id, self-match excluded.
+
+    Scale shape mirrors pq_topk's two-level top-k: the few quantized
+    queries broadcast, every (query, code) pair scores scan-side, and
+    candidates rank first inside ``fanout`` vec_id hash buckets so the
+    global rank sees at most fanout*k survivors per query — the
+    bucket split changes the plan, never the result (the (dot_q,
+    vec_id) order is total). All arithmetic is exact int64.
+    """
+    quant = int8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+    corpus = quant.select(F.col(id_col), F.col("qv"))
+    qs = F.broadcast(
+        quant.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qqv"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(qs)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), dot.alias("dot_q"))
+    )
+    order = [F.col("dot_q").desc(), F.col(id_col).asc()]
+    wb = Window.partitionBy(
+        "query_id", F.pmod(F.hash(id_col), F.lit(fanout))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("r1", F.row_number().over(wb))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

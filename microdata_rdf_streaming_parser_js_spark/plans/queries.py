@@ -14332,3 +14332,123 @@ HAVING COUNT(*) > 1"""
 
 QUERIES["q_chunk_dedup"] = q_chunk_dedup
 ORACLES["q_chunk_dedup"] = sql_chunk_dedup
+
+
+# ---------------------------------------------------------------------------
+# wave 43: int8 scalar quantization + quantized-serving top-k
+# ---------------------------------------------------------------------------
+
+_SQ8_CTES = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+mx AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(e, x -> abs(x)),
+                     (a, b) -> greatest(a, b)) AS maxabs
+  FROM v
+),
+sc AS (
+  SELECT vec_id, e,
+         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+  FROM mx
+),
+qz AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(floor(x * scale) AS INTEGER)) AS qv
+  FROM sc
+)"""
+
+
+def q_int8_quant(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQ8 scalar quantization of the embedding corpus
+    (operators/similarity.int8_quantize): per-vector scale in
+    micro-units, md5 digest of the 64 int8 codes, and the L1
+    reconstruction error in micro-units — all scan-side, zero
+    shuffles; the oracle recomputes codes and error bit-identically
+    (double cast -> divide -> multiply -> floor, init-0.0 folds)."""
+    from ..operators.similarity import int8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    q = int8_quantize(emb)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, c: F.abs(x - c.cast("double") / F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1000000.0).cast("long").alias("scale_u"),
+        F.md5(
+            F.array_join(F.transform(F.col("qv"), lambda x: x.cast("string")), ",")
+        ).alias("q_digest"),
+        F.when(F.col("scale") > 0, F.floor(F.lit(1000000.0) * err))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("err_u"),
+    )
+
+
+def sql_int8_quant() -> str:
+    dim = _LSH_DIM
+    return f"""WITH {_SQ8_CTES}
+SELECT vec_id,
+       CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_u,
+       md5(array_to_string(qv, ',')) AS q_digest,
+       CAST(CASE WHEN scale > 0 THEN floor(1000000.0 * list_reduce(
+         list_transform(range(1, {dim + 1}),
+                        i -> abs(e[i] - CAST(qv[i] AS DOUBLE) / scale)),
+         (a, b) -> a + b)) ELSE 0 END AS BIGINT) AS err_u
+FROM qz"""
+
+
+QUERIES["q_int8_quant"] = q_int8_quant
+ORACLES["q_int8_quant"] = sql_int8_quant
+
+
+def q_int8_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Quantized-serving top-k (operators/similarity.int8_topk): per
+    query, corpus ranked by the exact INTEGER dot product of int8
+    codes — the SQ8 probe path (no float work on the big side).
+    Two-level fanout rank mirrors pq_topk; all arithmetic int64."""
+    from ..operators.similarity import int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    return int8_topk(emb, k=_TOPK_K, n_queries=_N_QUERIES).select(
+        "query_id",
+        "vec_id",
+        F.col("dot_q").cast("long").alias("dot_q"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sql_int8_topk() -> str:
+    dim = _LSH_DIM
+    return f"""WITH {_SQ8_CTES},
+pairs AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                     i -> CAST(c.qv[i] AS BIGINT) * qq.qv[i]),
+                     (a, b) -> a + b) AS dot_q
+  FROM qz c, qz qq
+  WHERE qq.vec_id < {_N_QUERIES} AND c.vec_id <> qq.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, CAST(dot_q AS BIGINT) AS dot_q,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_TOPK_K}"""
+
+
+QUERIES["q_int8_topk"] = q_int8_topk
+ORACLES["q_int8_topk"] = sql_int8_topk

@@ -1783,3 +1783,28 @@ def test_chunk_dedup_two_shuffle_distinct_rewrite(spark, sf_dir):
     assert len(_shuffle_nodes(plan)) == 2, plan
     assert "EvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_int8_quant_is_pure_scan(spark, sf_dir):
+    """SQ8 quantization of a 10^12-row corpus must be a single
+    scan-side pass: no Exchange, no Join, no Python in the plan."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_int8_quant
+
+    plan = plan_str(q_int8_quant(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_int8_topk_broadcasts_queries(spark, sf_dir):
+    """The SQ8 probe path: the quantized query side must arrive as a
+    broadcast (a nested-loop over the tiny side is the flat-scan
+    contract, like pq_topk), never a corpus-side cartesian, and the
+    two-level rank adds exactly its two window exchanges."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import q_int8_topk
+
+    plan = plan_str(q_int8_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    assert len(_shuffle_nodes(plan)) == 2, plan

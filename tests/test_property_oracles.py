@@ -183,6 +183,11 @@ _EMB_QUERY_NAMES = [
     # claim (both engines compute identical bands, so a recall miss is
     # still a value-exact match)
     "q_semantic_decontaminate",
+    # wave 43: SQ8 scalar quantization — random float32 vectors drive
+    # the scale divide/multiply/floor IEEE-parity claim and the
+    # integer-dot serving rank (ties under coincidental equal dots)
+    "q_int8_quant",
+    "q_int8_topk",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
