@@ -84,3 +84,142 @@ def linear_classify(
             .alias("label"),
         )
     )
+
+
+def confident_learning_joint(
+    scored: "DataFrame",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    prob_col: str = "p_u",
+) -> "DataFrame":
+    """(label, yhat, n, threshold_u): the binary confident joint
+    (Northcutt et al. 2021, "Confident Learning") — the label-noise
+    estimate every large-scale curation loop needs before trusting a
+    filter trained on weak labels.
+
+    Input: one row per example with the given (possibly noisy) binary
+    label and the model's predicted probability of class 1 in
+    micro-units (``p_u`` in [0, 1e6]). Per-class confidence
+    thresholds are the integer-floor mean self-confidence of examples
+    carrying that label, t_c = sum(conf_c | label=c) div count; an
+    example is confidently class c when conf_c >= t_c (both classes
+    eligible -> argmax confidence, tie -> class 1; neither ->
+    abstain, dropped). The output cross-tab of given label vs
+    confident label is the joint; OFF-DIAGONAL mass is the estimated
+    label-error rate and feeds :func:`label_issues`.
+
+    Scale shape: one map-side-combined groupBy for the thresholds
+    (2 rows, broadcast back as a cross join), one scan to assign, one
+    groupBy for the 2x2 counts — the corpus is read twice and never
+    shuffled at data size. Integer-exact end to end (``div``), so the
+    DuckDB oracle replays it with ``//``.
+    """
+    s = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("label"),
+        F.col(prob_col).cast("long").alias("conf1"),
+        (F.lit(1_000_000) - F.col(prob_col).cast("long")).alias("conf0"),
+    ).withColumn(
+        "self_conf",
+        F.when(F.col("label") == 1, F.col("conf1")).otherwise(F.col("conf0")),
+    )
+    th = (
+        s.groupBy("label")
+        .agg(
+            F.sum("self_conf").alias("sc"),
+            F.count("*").alias("cnt"),
+        )
+        .select("label", F.expr("sc div cnt").alias("t"))
+    )
+    tp = th.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("label") == 1, F.col("t"))), F.lit(1_000_001)
+        ).alias("t1"),
+        F.coalesce(
+            F.max(F.when(F.col("label") == 0, F.col("t"))), F.lit(1_000_001)
+        ).alias("t0"),
+    )
+    y = s.crossJoin(F.broadcast(tp)).withColumn(
+        "yhat",
+        F.when(
+            (F.col("conf1") >= F.col("t1")) & (F.col("conf0") >= F.col("t0")),
+            F.when(F.col("conf1") >= F.col("conf0"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .when(F.col("conf1") >= F.col("t1"), F.lit(1))
+        .when(F.col("conf0") >= F.col("t0"), F.lit(0)),
+    )
+    return (
+        y.where(F.col("yhat").isNotNull())
+        .groupBy("label", "yhat")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "label",
+            "yhat",
+            "n",
+            F.when(F.col("yhat") == 1, F.col("t1"))
+            .otherwise(F.col("t0"))
+            .cast("long")
+            .alias("threshold_u"),
+        )
+    )
+
+
+def label_issues(
+    scored: "DataFrame",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    prob_col: str = "p_u",
+) -> "DataFrame":
+    """(id, label, yhat, conf_u): the flagged examples — rows whose
+    CONFIDENT class disagrees with their given label (the confident
+    joint's off-diagonal, materialized per-example for relabeling /
+    pruning). ``conf_u`` is the confidence in the confident class, the
+    ranking key a human-review queue sorts by. Same two-scan shape as
+    :func:`confident_learning_joint`."""
+    s = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("label"),
+        F.col(prob_col).cast("long").alias("conf1"),
+        (F.lit(1_000_000) - F.col(prob_col).cast("long")).alias("conf0"),
+    ).withColumn(
+        "self_conf",
+        F.when(F.col("label") == 1, F.col("conf1")).otherwise(F.col("conf0")),
+    )
+    th = (
+        s.groupBy("label")
+        .agg(F.sum("self_conf").alias("sc"), F.count("*").alias("cnt"))
+        .select("label", F.expr("sc div cnt").alias("t"))
+    )
+    tp = th.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("label") == 1, F.col("t"))), F.lit(1_000_001)
+        ).alias("t1"),
+        F.coalesce(
+            F.max(F.when(F.col("label") == 0, F.col("t"))), F.lit(1_000_001)
+        ).alias("t0"),
+    )
+    y = s.crossJoin(F.broadcast(tp)).withColumn(
+        "yhat",
+        F.when(
+            (F.col("conf1") >= F.col("t1")) & (F.col("conf0") >= F.col("t0")),
+            F.when(F.col("conf1") >= F.col("conf0"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .when(F.col("conf1") >= F.col("t1"), F.lit(1))
+        .when(F.col("conf0") >= F.col("t0"), F.lit(0)),
+    )
+    return y.where(
+        F.col("yhat").isNotNull() & (F.col("yhat") != F.col("label"))
+    ).select(
+        F.col(id_col),
+        "label",
+        "yhat",
+        F.when(F.col("yhat") == 1, F.col("conf1"))
+        .otherwise(F.col("conf0"))
+        .cast("long")
+        .alias("conf_u"),
+    )

@@ -1267,3 +1267,56 @@ def bloom_ingest_gate(
         .select("doc_id", "bloom_hit", F.col("_old").isNull().alias("is_new"))
     )
     return sure_new.unionByName(verified)
+
+
+def edit_distance_verify(
+    docs: "DataFrame",
+    candidates: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 256,
+) -> "DataFrame":
+    """(doc_id_a, doc_id_b, lev, sim_u): exact edit-distance
+    verification of candidate near-dup pairs — the verify leg that
+    turns banding RECALL into dedup PRECISION (the standard
+    candidate-then-verify contract; cf. ngram_jaccard_lsh, which
+    verifies with set Jaccard — Levenshtein additionally penalizes
+    reorderings that shingle sets forgive).
+
+    ``sim_u = floor((maxlen - lev) * 1e6 / maxlen)`` over the first
+    ``prefix`` chars of each text (1_000_000 when both prefixes are
+    empty). Levenshtein is O(prefix^2) PER PAIR, so it runs only on
+    the bounded candidate set (banding already pruned the quadratic
+    all-pairs space) and the prefix caps the per-pair cost — the two
+    knobs that keep an O(n*m) string DP viable at corpus scale.
+
+    Shape: two keyed joins of the slim (id, prefix) projection onto
+    the candidate pairs, then pure JVM column work
+    (``F.levenshtein`` is codegen'd; no Python). Both engines ship
+    the same classic Levenshtein, so the oracle replays it natively.
+    """
+    if prefix < 1:
+        raise ValueError(f"prefix must be >= 1, got {prefix}")
+    t = docs.select(
+        F.col(id_col),
+        F.substring(
+            F.coalesce(F.col(text_col), F.lit("")), 1, prefix
+        ).alias("_p"),
+    )
+    a = t.select(F.col(id_col).alias("doc_id_a"), F.col("_p").alias("_pa"))
+    b = t.select(F.col(id_col).alias("doc_id_b"), F.col("_p").alias("_pb"))
+    lev = F.levenshtein("_pa", "_pb")
+    mx = F.greatest(F.length("_pa"), F.length("_pb"))
+    return (
+        candidates.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            lev.cast("long").alias("lev"),
+            F.when(mx == 0, F.lit(1_000_000))
+            .otherwise(F.floor((mx - lev) * F.lit(1_000_000) / mx))
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )

@@ -1222,3 +1222,103 @@ def modularity(
         .cast("long")
         .alias("q_num"),
     )
+
+
+def cocitation_pairs(
+    edges: "DataFrame",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    direction: str = "in",
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+    max_center_degree_uncapped: int | None = 10_000,
+) -> "DataFrame":
+    """(u, w, common, dice_u): directed neighborhood-sharing
+    similarity over a web/citation graph.
+
+    ``direction='in'`` is co-citation (Small 1973): u and w are
+    related because the SAME pages link to both (shared in-neighbors;
+    the wedge center is the citing source). ``direction='out'`` is
+    bibliographic coupling (Kessler 1963): u and w are related because
+    they link to the SAME pages (shared out-neighbors; the center is
+    the cited target). The classic related-page / KG-entity-similarity
+    pair — and unlike :func:`link_prediction` (undirected, adjacency
+    excluded) existing edges stay eligible: two mutually-linked pages
+    co-cited by many others are still related.
+
+    Score: integer micro-unit Dice ``floor(2 * common * 1e6 /
+    (deg_u + deg_w))`` where deg is the direction-relevant degree
+    (in-degree for co-citation, out-degree for coupling) — a pure
+    function of the graph, so DuckDB replays it exactly with ``//``.
+
+    Shape: directed distinct (1 shuffle), center-keyed self-join,
+    pair-count groupBy (1), two keyed degree joins. The self-join is
+    quadratic in the CENTER's fanout (a hub page linking to 10^5
+    targets emits 10^10 co-citation wedges on its own), so the same
+    two-tier protection as :func:`link_prediction` applies:
+    ``max_center_degree`` excludes high-fanout centers from wedge
+    generation (a directory page citing everything carries no
+    similarity signal anyway; endpoint degrees in the Dice denominator
+    stay exact), and the uncapped path is GUARDED by a one-row
+    max-fanout probe that raises above ``max_center_degree_uncapped``.
+    Disable explicitly with ``max_center_degree_uncapped=None``
+    (test-scale baselines) or pass ``max_center_degree`` (the
+    production shape).
+    """
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_center_degree is not None and max_center_degree < 1:
+        raise ValueError(
+            f"max_center_degree must be >= 1, got {max_center_degree}"
+        )
+    if direction == "in":
+        zv = edges.select(F.col(src_col).alias("z"), F.col(dst_col).alias("v"))
+    else:
+        zv = edges.select(F.col(dst_col).alias("z"), F.col(src_col).alias("v"))
+    zv = zv.where(F.col("z") != F.col("v")).distinct()
+    deg = zv.groupBy("v").agg(F.count("*").alias("deg"))
+    fanout = zv.groupBy("z").agg(F.count("*").alias("fan"))
+    if max_center_degree is None and max_center_degree_uncapped is not None:
+        row = fanout.agg(F.max("fan").alias("m")).first()
+        hub = row["m"] if row is not None else None
+        if hub is not None and hub > max_center_degree_uncapped:
+            raise ValueError(
+                f"cocitation_pairs: uncapped center self-join over a "
+                f"graph whose max center fanout {hub} exceeds "
+                f"{max_center_degree_uncapped} — the wedge join is "
+                "quadratic in center fanout. Pass max_center_degree "
+                "(hub exclusion, the production shape) or explicitly "
+                "disable the guard with max_center_degree_uncapped=None."
+            )
+    e1 = zv.select("z", F.col("v").alias("u"))
+    e2 = zv.select("z", F.col("v").alias("w"))
+    if max_center_degree is not None:
+        centers = fanout.where(
+            F.col("fan") <= F.lit(int(max_center_degree))
+        ).select("z")
+        e1 = e1.join(centers, "z", "semi")
+        e2 = e2.join(centers, "z", "semi")
+    cn = (
+        e1.join(e2, "z")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= F.lit(min_common))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        cn.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common"),
+            F.floor(
+                2 * F.col("common") * F.lit(1_000_000)
+                / (F.col("deg_u") + F.col("deg_w"))
+            ).cast("long").alias("dice_u"),
+        )
+    )

@@ -265,3 +265,73 @@ def bm25_topk_df_terms(
         .agg(F.sum("contrib_u").alias("score_u"))
     )
     return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)
+
+
+def proximity_topk(
+    docs: "DataFrame",
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, n_pairs, rank): sloppy-phrase / proximity retrieval —
+    documents where ``term_a`` and ``term_b`` co-occur within
+    ``window`` token positions, ranked by the number of such position
+    pairs (Lucene's PhraseQuery-with-slop semantics over a positional
+    posting list; the relevance signal BM25's bag-of-words misses).
+
+    Scale shape: positions come from one ``posexplode`` scan whose
+    term filter pushes to the scan (the posting list is two slim
+    (doc, pos) streams, never the corpus); the position predicate
+    ``|i - j| <= window`` is NOT a theta range join — each left
+    posting probes the three position buckets (``pos div (window+1)``
+    ± 1) that can contain a match, making it a keyed EQUI-join with a
+    residual filter, the standard banding trick for bounded-distance
+    joins. Ranking is orderBy+limit (TakeOrderedAndProject — no
+    global sort) with row_number only over the k survivors.
+    """
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if term_a == term_b:
+        raise ValueError("term_a and term_b must differ")
+    bs = window + 1
+    pos = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    pa = pos.where(F.col("tok") == term_a).select(
+        F.col(id_col), F.col("p").alias("i")
+    )
+    pb = pos.where(F.col("tok") == term_b).select(
+        F.col(id_col),
+        F.col("p").alias("j"),
+        (F.col("p") / bs).cast("long").alias("jb"),
+    )
+    pa_exp = pa.select(
+        F.col(id_col),
+        "i",
+        F.explode(
+            F.array(
+                (F.col("i") / bs).cast("long") - 1,
+                (F.col("i") / bs).cast("long"),
+                (F.col("i") / bs).cast("long") + 1,
+            )
+        ).alias("cb"),
+    )
+    pairs = pa_exp.join(
+        pb, (pa_exp[id_col] == pb[id_col]) & (F.col("cb") == F.col("jb"))
+    ).where(F.abs(F.col("i") - F.col("j")) <= window)
+    counts = pairs.groupBy(pa_exp[id_col].alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("n_pairs").desc(), F.col(id_col)).limit(k)
+    win = Window.orderBy(F.col("n_pairs").desc(), F.col(id_col))
+    return top.select(
+        id_col, "n_pairs", F.row_number().over(win).cast("long").alias("rank")
+    )

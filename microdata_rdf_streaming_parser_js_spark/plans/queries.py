@@ -14452,3 +14452,387 @@ FROM r WHERE rank <= {_TOPK_K}"""
 
 QUERIES["q_int8_topk"] = q_int8_topk
 ORACLES["q_int8_topk"] = sql_int8_topk
+
+
+# ---------------------------------------------------------------------------
+# wave 44: co-citation + bibliographic coupling (directed related-page pair)
+# ---------------------------------------------------------------------------
+
+_COCIT_MIN_COMMON = 2
+
+_COCIT_EDGES_CTE = """n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+  UNION ALL
+  SELECT id, (7 * id + 11) % (SELECT n FROM n_docs) FROM ids WHERE id % 2 = 0
+  UNION ALL
+  SELECT id, ((id // 8) * 8) % (SELECT n FROM n_docs) FROM ids
+  UNION ALL
+  SELECT id, ((id // 8) * 8 + 1) % (SELECT n FROM n_docs) FROM ids
+),
+e AS (SELECT DISTINCT a, b FROM e_raw WHERE a <> b)"""
+
+
+def _cocit_edges(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The DIRECTED arithmetic web graph — the three q_link_predict
+    link generators kept directional (who cites vs who is cited),
+    plus two topic-block generators (every source in a block of 8
+    cites the block's two anchor pages) so the graph carries genuine
+    co-citation structure: anchor pairs share ~8 citing sources,
+    block members share ~2 cited anchors."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    e3 = base.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.col("n")).alias("dst"),
+    )
+    e4 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod((F.col("doc_id") / 8).cast("long") * 8, F.col("n")).alias("dst"),
+    )
+    e5 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(
+            (F.col("doc_id") / 8).cast("long") * 8 + 1, F.col("n")
+        ).alias("dst"),
+    )
+    return e1.union(e2).union(e3).union(e4).union(e5)
+
+
+def _sql_cocitation(direction: str) -> str:
+    # center z = citing source (in) or cited target (out); endpoint v.
+    z, v = ("a", "b") if direction == "in" else ("b", "a")
+    return f"""WITH {_COCIT_EDGES_CTE},
+zv AS (SELECT DISTINCT {z} AS z, {v} AS v FROM e WHERE {z} <> {v}),
+deg AS (SELECT v, COUNT(*) AS deg FROM zv GROUP BY v),
+cn AS (
+  SELECT e1.v AS u, e2.v AS w, COUNT(*) AS common
+  FROM zv e1 JOIN zv e2 ON e1.z = e2.z
+  WHERE e1.v < e2.v GROUP BY e1.v, e2.v
+  HAVING COUNT(*) >= {_COCIT_MIN_COMMON}
+)
+SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common,
+       CAST((2 * c.common * 1000000) // (du.deg + dw.deg) AS BIGINT)
+         AS dice_u
+FROM cn c
+JOIN deg du ON du.v = c.u
+JOIN deg dw ON dw.v = c.w"""
+
+
+def q_cocitation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Co-citation similarity (operators/graph.cocitation_pairs,
+    direction='in', Small 1973): page pairs linked-to by >= 2 common
+    sources over the directed arithmetic web graph, scored by integer
+    micro-unit Dice on in-degrees — the related-page signal a KG
+    builder mines from anchor graphs. Center-fanout guard active
+    (test-scale graph passes under the 10k default)."""
+    from ..operators.graph import cocitation_pairs
+
+    out = cocitation_pairs(
+        _cocit_edges(spark, sf_dir), direction="in",
+        min_common=_COCIT_MIN_COMMON,
+    )
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "dice_u",
+    )
+
+
+def sql_cocitation() -> str:
+    return _sql_cocitation("in")
+
+
+QUERIES["q_cocitation"] = q_cocitation
+ORACLES["q_cocitation"] = sql_cocitation
+
+
+def q_bib_coupling(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Bibliographic coupling (operators/graph.cocitation_pairs,
+    direction='out', Kessler 1963): page pairs CITING >= 2 common
+    targets, micro-unit Dice on out-degrees — the outlink twin of
+    q_cocitation; together they bracket the directed related-page
+    family."""
+    from ..operators.graph import cocitation_pairs
+
+    out = cocitation_pairs(
+        _cocit_edges(spark, sf_dir), direction="out",
+        min_common=_COCIT_MIN_COMMON,
+    )
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "dice_u",
+    )
+
+
+def sql_bib_coupling() -> str:
+    return _sql_cocitation("out")
+
+
+QUERIES["q_bib_coupling"] = q_bib_coupling
+ORACLES["q_bib_coupling"] = sql_bib_coupling
+
+
+# ---------------------------------------------------------------------------
+# wave 45: edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+_EDIT_PREFIX = 256
+
+
+def q_edit_verify(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact Levenshtein verification of the MinHash-LSH candidate
+    pairs (operators/dedup.edit_distance_verify): banding recall ->
+    edit-distance precision, the candidate-then-verify near-dup
+    contract. O(prefix^2) string DP runs ONLY on the bounded
+    candidate set; both engines ship classic Levenshtein natively so
+    the verdict is bit-exact cross-engine."""
+    from ..operators.dedup import edit_distance_verify, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    )
+    return edit_distance_verify(docs, cand, prefix=_EDIT_PREFIX)
+
+
+def sql_edit_verify() -> str:
+    return f"""WITH {_minhash_cand_cte()},
+pfx AS (
+  SELECT doc_id,
+         substring(coalesce(text, ''), 1, {_EDIT_PREFIX}) AS p
+  FROM documents
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+       CAST(CASE WHEN greatest(length(a.p), length(b.p)) = 0
+                 THEN 1000000
+                 ELSE floor((greatest(length(a.p), length(b.p))
+                             - levenshtein(a.p, b.p)) * 1000000.0
+                            / greatest(length(a.p), length(b.p)))
+            END AS BIGINT) AS sim_u
+FROM cand c
+JOIN pfx a ON a.doc_id = c.doc_id_a
+JOIN pfx b ON b.doc_id = c.doc_id_b"""
+
+
+QUERIES["q_edit_verify"] = q_edit_verify
+ORACLES["q_edit_verify"] = sql_edit_verify
+
+
+# ---------------------------------------------------------------------------
+# wave 46: confident-learning label-noise detection
+# ---------------------------------------------------------------------------
+
+_CL_SALT = "cl-noise"
+_CL_FLIP_U = 100_000  # 10% deterministic label flips
+
+
+def _cl_scored(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Noisy-label eval bed: true label = (lang == 'en'), flipped for
+    the deterministic 10% of docs whose md5(doc_id|salt) bucket falls
+    under _CL_FLIP_U (the planted noise the method must find);
+    predicted P(en) = the quality scorer's micro-unit output (English
+    docs score high, so quality_u is a usable — imperfect —
+    probability surrogate, exactly the weak-classifier regime
+    confident learning targets)."""
+    from ..functions.text import quality_score_u
+    from ..operators.split import split_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flip = split_bucket(F.col("doc_id"), _CL_SALT) < F.lit(_CL_FLIP_U)
+    return docs.select(
+        "doc_id",
+        ((F.col("lang") == "en") != flip).cast("int").alias("label"),
+        quality_score_u(F.col("text")).alias("p_u"),
+    )
+
+
+def _sql_cl_scored() -> str:
+    nib = _sql_hex8(f"md5(CAST(doc_id AS VARCHAR) || '|{_CL_SALT}')")
+    return f"""scored AS (
+  SELECT d.doc_id AS doc_id,
+         CAST((d.lang = 'en') <> ({nib} % 1000000 < {_CL_FLIP_U})
+              AS INTEGER) AS label,
+         q.quality_u AS p_u
+  FROM documents d JOIN (SELECT doc_id AS q_doc_id, quality_u
+                         FROM ({sql_quality()})) q
+    ON q.q_doc_id = d.doc_id
+),
+s AS (
+  SELECT doc_id, label, p_u AS conf1, 1000000 - p_u AS conf0,
+         CASE WHEN label = 1 THEN p_u ELSE 1000000 - p_u END AS self_conf
+  FROM scored
+),
+th AS (
+  SELECT label, CAST(SUM(self_conf) // COUNT(*) AS BIGINT) AS t
+  FROM s GROUP BY label
+),
+tp AS (
+  SELECT COALESCE(MAX(CASE WHEN label = 1 THEN t END), 1000001) AS t1,
+         COALESCE(MAX(CASE WHEN label = 0 THEN t END), 1000001) AS t0
+  FROM th
+),
+y AS (
+  SELECT s.doc_id, s.label, s.conf1, s.conf0, tp.t1, tp.t0,
+         CASE WHEN s.conf1 >= tp.t1 AND s.conf0 >= tp.t0
+                THEN (CASE WHEN s.conf1 >= s.conf0 THEN 1 ELSE 0 END)
+              WHEN s.conf1 >= tp.t1 THEN 1
+              WHEN s.conf0 >= tp.t0 THEN 0
+         END AS yhat
+  FROM s, tp
+)"""
+
+
+def q_confident_joint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Confident-learning joint (operators/classify.
+    confident_learning_joint, Northcutt et al. 2021) over
+    noisy (lang=='en') labels with 10% planted deterministic flips,
+    scored by the quality classifier: the 2x2 given-label x
+    confident-label cross-tab whose off-diagonal is the estimated
+    label-error mass. Two data scans, thresholds broadcast, integer
+    div throughout."""
+    from ..operators.classify import confident_learning_joint
+
+    return confident_learning_joint(_cl_scored(spark, sf_dir))
+
+
+def sql_confident_joint() -> str:
+    return f"""WITH {_sql_cl_scored()}
+SELECT label, yhat, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CASE WHEN yhat = 1 THEN t1 ELSE t0 END AS BIGINT)
+         AS threshold_u
+FROM y WHERE yhat IS NOT NULL
+GROUP BY label, yhat, CASE WHEN yhat = 1 THEN t1 ELSE t0 END"""
+
+
+QUERIES["q_confident_joint"] = q_confident_joint
+ORACLES["q_confident_joint"] = sql_confident_joint
+
+
+def q_label_issues(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-example label issues (operators/classify.label_issues): the
+    confident joint's off-diagonal materialized as (doc_id, given
+    label, confident label, confidence) — the relabel/prune queue,
+    ranked by conf_u downstream. Same planted-noise bed as
+    q_confident_joint."""
+    from ..operators.classify import label_issues
+
+    return label_issues(_cl_scored(spark, sf_dir))
+
+
+def sql_label_issues() -> str:
+    return f"""WITH {_sql_cl_scored()}
+SELECT doc_id, label, yhat,
+       CAST(CASE WHEN yhat = 1 THEN conf1 ELSE conf0 END AS BIGINT)
+         AS conf_u
+FROM y WHERE yhat IS NOT NULL AND yhat <> label"""
+
+
+QUERIES["q_label_issues"] = q_label_issues
+ORACLES["q_label_issues"] = sql_label_issues
+
+
+# ---------------------------------------------------------------------------
+# wave 47: proximity (sloppy-phrase) search over a positional index
+# ---------------------------------------------------------------------------
+
+_PROX_WINDOW = 5
+_PROX_K = 10
+
+
+def q_proximity_search(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Proximity retrieval (operators/search.proximity_topk): the two
+    highest-df corpus terms (ties broken lexicographically — a
+    deterministic data-derived query, like q_bm25_prf's expansion
+    terms) searched with slop <= 5; docs ranked by in-window position
+    pairs. The |i-j| <= w predicate runs as a bucketed equi-join
+    (pos div (w+1) ± 1), not a theta range join; term filters push to
+    the posting scan. Fewer than two corpus terms -> empty result,
+    same schema."""
+    from ..operators.dedup import tokens
+    from ..operators.search import proximity_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    top2 = (
+        pos.where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok"))
+        .limit(2)
+        .collect()
+    )
+    if len(top2) < 2:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_pairs bigint, rank bigint"
+        )
+    return proximity_topk(
+        docs, top2[0]["tok"], top2[1]["tok"],
+        window=_PROX_WINDOW, k=_PROX_K,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_pairs", "rank"
+    )
+
+
+def sql_proximity_search() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS p FROM t
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df
+  FROM pos WHERE tok <> '' GROUP BY tok
+),
+terms AS (
+  SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS r FROM df
+),
+pa AS (
+  SELECT doc_id, p AS i FROM pos
+  WHERE tok = (SELECT tok FROM terms WHERE r = 1)
+    AND 2 = (SELECT COUNT(*) FROM terms WHERE r <= 2)
+),
+pb AS (
+  SELECT doc_id, p AS j FROM pos
+  WHERE tok = (SELECT tok FROM terms WHERE r = 2)
+),
+c AS (
+  SELECT pa.doc_id, COUNT(*) AS n_pairs
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  WHERE abs(pa.i - pb.j) <= {_PROX_WINDOW}
+  GROUP BY pa.doc_id
+),
+r AS (
+  SELECT doc_id, n_pairs,
+         row_number() OVER (ORDER BY n_pairs DESC, doc_id) AS rank
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_PROX_K}"""
+
+
+QUERIES["q_proximity_search"] = q_proximity_search
+ORACLES["q_proximity_search"] = sql_proximity_search
