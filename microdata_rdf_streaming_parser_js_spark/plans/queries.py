@@ -14642,38 +14642,46 @@ ORACLES["q_edit_verify"] = sql_edit_verify
 
 _CL_SALT = "cl-noise"
 _CL_FLIP_U = 100_000  # 10% deterministic label flips
+_CL_PROB_SALT = "cl-prob"
 
 
 def _cl_scored(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Noisy-label eval bed: true label = (lang == 'en'), flipped for
+    """Noisy-label eval bed: noisy label = (lang == 'en') flipped for
     the deterministic 10% of docs whose md5(doc_id|salt) bucket falls
-    under _CL_FLIP_U (the planted noise the method must find);
-    predicted P(en) = the quality scorer's micro-unit output (English
-    docs score high, so quality_u is a usable — imperfect —
-    probability surrogate, exactly the weak-classifier regime
-    confident learning targets)."""
-    from ..functions.text import quality_score_u
+    under _CL_FLIP_U (the planted noise the method must find).
+    Predicted P(en) is a deterministic md5-jittered model that tracks
+    the TRUE language, not the noisy label — en docs score in
+    [500k, 700k], others in [300k, 500k] micro-units — i.e. a decent
+    classifier scored against corrupted labels, exactly the regime
+    confident learning targets (Northcutt et al. 2021 §5 runs the
+    same planted-noise protocol)."""
     from ..operators.split import split_bucket
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     flip = split_bucket(F.col("doc_id"), _CL_SALT) < F.lit(_CL_FLIP_U)
+    jitter = F.pmod(
+        split_bucket(F.col("doc_id"), _CL_PROB_SALT), F.lit(200_001)
+    )
+    base = F.when(F.col("lang") == "en", F.lit(500_000)).otherwise(
+        F.lit(300_000)
+    )
     return docs.select(
         "doc_id",
         ((F.col("lang") == "en") != flip).cast("int").alias("label"),
-        quality_score_u(F.col("text")).alias("p_u"),
+        (base + jitter).cast("long").alias("p_u"),
     )
 
 
 def _sql_cl_scored() -> str:
     nib = _sql_hex8(f"md5(CAST(doc_id AS VARCHAR) || '|{_CL_SALT}')")
+    pnib = _sql_hex8(f"md5(CAST(doc_id AS VARCHAR) || '|{_CL_PROB_SALT}')")
     return f"""scored AS (
-  SELECT d.doc_id AS doc_id,
-         CAST((d.lang = 'en') <> ({nib} % 1000000 < {_CL_FLIP_U})
+  SELECT doc_id,
+         CAST((lang = 'en') <> ({nib} % 1000000 < {_CL_FLIP_U})
               AS INTEGER) AS label,
-         q.quality_u AS p_u
-  FROM documents d JOIN (SELECT doc_id AS q_doc_id, quality_u
-                         FROM ({sql_quality()})) q
-    ON q.q_doc_id = d.doc_id
+         (CASE WHEN lang = 'en' THEN 500000 ELSE 300000 END)
+           + ({pnib} % 1000000) % 200001 AS p_u
+  FROM documents
 ),
 s AS (
   SELECT doc_id, label, p_u AS conf1, 1000000 - p_u AS conf0,
@@ -14836,3 +14844,117 @@ FROM r WHERE rank <= {_PROX_K}"""
 
 QUERIES["q_proximity_search"] = q_proximity_search
 ORACLES["q_proximity_search"] = sql_proximity_search
+
+
+# ---------------------------------------------------------------------------
+# wave 48: hard-negative mining + quality-argmax canonical selection
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-transformers recipe, Karpukhin et al. 2020): documents
+    the LEXICAL retriever ranks highly (BM25 top-20, same leg as
+    q_hybrid_rrf) that the SEMANTIC retriever does NOT place in its
+    top-10 for query vector 0 — lexically-plausible-but-semantically-
+    wrong examples, the highest-value negatives a contrastive trainer
+    can mine. Pure composition of the two verified retriever legs
+    plus one left_anti join; cost is O(topk), corpus-size-free after
+    the retrievers."""
+    from ..operators.search import bm25_topk
+    from ..operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(
+        docs,
+        _BM25_TERMS,
+        topk=_BM25_TOPK,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    ).select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("score_u").cast("long").alias("score_u"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_u").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk(emb, qv, k=_TOPK_K).select(
+        F.col("vec_id").cast("long").alias("id")
+    )
+    return lex.join(vec, "id", "left_anti")
+
+
+def sql_hard_negatives() -> str:
+    return f"""WITH lex AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(score_u AS BIGINT) AS score_u,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id)
+              AS BIGINT) AS lex_rank
+  FROM ({sql_bm25_topk()}) t
+),
+vec AS (
+  SELECT CAST(vec_id AS BIGINT) AS id
+  FROM ({sql_topk_cosine()}) t WHERE query_id = 0
+)
+SELECT id, score_u, lex_rank FROM lex
+WHERE id NOT IN (SELECT id FROM vec)"""
+
+
+QUERIES["q_hard_negatives"] = q_hard_negatives
+ORACLES["q_hard_negatives"] = sql_hard_negatives
+
+
+def q_cluster_canonical(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Quality-argmax canonical selection: near-dup clusters
+    (operators/dedup.near_dup_clusters' component labels) re-resolved
+    to keep the BEST-quality member instead of the min-id one — the
+    production keep rule (CCNet keeps highest LM score, FineWeb the
+    longest): keep = argmax(quality_u, tie -> min doc_id) per
+    cluster. One extra window over the (tiny) clustered subset; the
+    singleton majority never shuffles on quality."""
+    from ..functions.text import quality_score_u
+    from ..operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = near_dup_clusters(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    ).select("doc_id", "cluster_id")
+    q = docs.select(
+        "doc_id", quality_score_u(F.col("text")).alias("quality_u")
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_u").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(win) == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("quality_u").cast("long").alias("quality_u"),
+            "keep",
+        )
+    )
+
+
+def sql_cluster_canonical() -> str:
+    return f"""WITH labeled AS ({sql_dedup_clusters()}),
+q AS (SELECT doc_id AS q_doc_id, quality_u FROM ({sql_quality()}))
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(q.quality_u AS BIGINT) AS quality_u,
+       (ROW_NUMBER() OVER (
+          PARTITION BY l.cluster_id
+          ORDER BY q.quality_u DESC, l.doc_id) = 1) AS keep
+FROM labeled l JOIN q ON q.q_doc_id = l.doc_id"""
+
+
+QUERIES["q_cluster_canonical"] = q_cluster_canonical
+ORACLES["q_cluster_canonical"] = sql_cluster_canonical

@@ -1808,3 +1808,61 @@ def test_int8_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan
     assert len(_shuffle_nodes(plan)) == 2, plan
+
+
+def test_edit_verify_no_python_and_levenshtein_codegen(spark, sf_dir):
+    """Edit-distance verification must stay JVM-side: F.levenshtein is
+    a codegen'd expression, so the verify leg adds joins but NO
+    Python eval — the O(prefix^2) DP runs inside whole-stage
+    codegen on the bounded candidate set."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_edit_verify,
+    )
+
+    plan = plan_str(q_edit_verify(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_confident_joint_broadcasts_thresholds(spark, sf_dir):
+    """Confident learning at corpus scale: the 2-row threshold frame
+    must come back as a broadcast (BroadcastNestedLoopJoin /
+    BroadcastExchange), never a shuffle of the scored corpus against
+    it, and the whole pipeline stays Python-free."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_confident_joint,
+    )
+
+    plan = plan_str(q_confident_joint(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_proximity_search_is_equi_join_not_cartesian(spark, sf_dir):
+    """The |i-j| <= w predicate must plan as a keyed equi-join on
+    (doc, bucket) — SortMergeJoin or ShuffledHashJoin with the
+    residual abs() as join condition — never a
+    CartesianProduct/BroadcastNestedLoopJoin over the posting lists."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_proximity_search,
+    )
+
+    plan = plan_str(q_proximity_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cocitation_guard_probe_is_linear(spark, sf_dir):
+    """The co-citation uncapped-guard probe must be a plain max agg
+    (one pass over the distinct edge list), and the wedge join itself
+    an equi-join on the center key — no cartesian anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_cocitation,
+    )
+
+    plan = plan_str(q_cocitation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -143,6 +143,18 @@ _QUERY_NAMES = [
     # empty-doc chunk collide
     "q_chunk_windows",
     "q_chunk_dedup",
+    # wave 44-47: tiny-n modular graphs drive the co-citation wedge
+    # into n=1 self-loop emptiness; edit verify hits the
+    # both-prefixes-empty sim=1e6 pin; confident learning runs the
+    # single-class-abstain edge (harness langs are l0/l1, so label=1
+    # exists only via planted flips); proximity search must return
+    # empty-with-schema when the corpus has < 2 distinct tokens
+    "q_cocitation",
+    "q_bib_coupling",
+    "q_edit_verify",
+    "q_confident_joint",
+    "q_label_issues",
+    "q_proximity_search",
 ]
 
 
