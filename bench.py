@@ -343,6 +343,17 @@ def main() -> None:
         "q_chunk_dedup",
         "q_int8_quant",
         "q_int8_topk",
+        # wave 44-48: directed related-page pair, candidate verify,
+        # label-noise evals, positional proximity, hard negatives,
+        # quality-argmax canonicalization
+        "q_cocitation",
+        "q_bib_coupling",
+        "q_edit_verify",
+        "q_confident_joint",
+        "q_label_issues",
+        "q_proximity_search",
+        "q_hard_negatives",
+        "q_cluster_canonical",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -155,6 +155,10 @@ _QUERY_NAMES = [
     "q_confident_joint",
     "q_label_issues",
     "q_proximity_search",
+    # wave 48: keep-best canonicalization — tiny corpora drive
+    # all-singleton clusters and all-tied quality (keep falls back to
+    # min doc_id, which must equal the oracle's window order)
+    "q_cluster_canonical",
 ]
 
 
@@ -200,6 +204,9 @@ _EMB_QUERY_NAMES = [
     # integer-dot serving rank (ties under coincidental equal dots)
     "q_int8_quant",
     "q_int8_topk",
+    # wave 48: the anti-join of the lexical top-20 against the cosine
+    # top-10 — random vectors shift the overlap between lists per draw
+    "q_hard_negatives",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
