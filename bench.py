@@ -354,6 +354,7 @@ def main() -> None:
         "q_proximity_search",
         "q_hard_negatives",
         "q_cluster_canonical",
+        "q_proto_select",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

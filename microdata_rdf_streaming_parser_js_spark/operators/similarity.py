@@ -485,6 +485,51 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_dist(
+    embeddings: "DataFrame",
+    cents_u: list[list[int]],
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """(vec_id, cid, d2): :func:`kmeans_assign` that also emits the
+    winning integer squared-Euclidean distance — the prototypicality
+    signal data-pruning methods rank on (Sorscher et al. 2022 use
+    exactly distance-to-centroid). Same scan-side argmin over
+    plan-time centroid literals (struct array_min orders by (d2, cid),
+    ties to the smaller cid), still zero shuffles and zero Python."""
+    vu = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in enumerate(cents_u)
+        ]
+    )
+    best = F.array_min(scores)
+    return vu.select(
+        "vec_id",
+        best.getField("cid").alias("cid"),
+        best.getField("d2").alias("d2"),
+    )
+
+
 def semantic_dedup(
     embeddings: "DataFrame",
     threshold: float = 0.95,

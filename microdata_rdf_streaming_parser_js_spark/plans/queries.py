@@ -14766,35 +14766,48 @@ _PROX_K = 10
 
 
 def q_proximity_search(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Proximity retrieval (operators/search.proximity_topk): the two
-    highest-df corpus terms (ties broken lexicographically — a
-    deterministic data-derived query, like q_bm25_prf's expansion
-    terms) searched with slop <= 5; docs ranked by in-window position
-    pairs. The |i-j| <= w predicate runs as a bucketed equi-join
-    (pos div (w+1) ± 1), not a theta range join; term filters push to
-    the posting scan. Fewer than two corpus terms -> empty result,
-    same schema."""
+    """Proximity retrieval (operators/search.proximity_topk): the
+    corpus's most frequent adjacent bigram with distinct halves (ties
+    broken lexicographically — a deterministic data-derived query,
+    like q_bm25_prf's expansion terms; bigram-derived so the phrase
+    is GUARANTEED to co-occur, at any scale) searched with slop <= 5;
+    docs ranked by in-window position pairs. The |i-j| <= w predicate
+    runs as a bucketed equi-join (pos div (w+1) ± 1), not a theta
+    range join; term filters push to the posting scan. A corpus with
+    no two-distinct-token bigram -> empty result, same schema."""
     from ..operators.dedup import tokens
     from ..operators.search import proximity_topk
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pos = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
     )
-    top2 = (
-        pos.where(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .orderBy(F.col("df").desc(), F.col("tok"))
-        .limit(2)
+    a, b = pos.alias("a"), pos.alias("b")
+    top = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .where(
+            (F.col("a.tok") != "")
+            & (F.col("b.tok") != "")
+            & (F.col("a.tok") != F.col("b.tok"))
+        )
+        .groupBy(
+            F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1"), F.col("w2"))
+        .limit(1)
         .collect()
     )
-    if len(top2) < 2:
+    if not top:
         return spark.createDataFrame(
             [], "doc_id bigint, n_pairs bigint, rank bigint"
         )
     return proximity_topk(
-        docs, top2[0]["tok"], top2[1]["tok"],
+        docs, top[0]["w1"], top[0]["w2"],
         window=_PROX_WINDOW, k=_PROX_K,
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_pairs", "rank"
@@ -14809,21 +14822,18 @@ def sql_proximity_search() -> str:
 pos AS (
   SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS p FROM t
 ),
-df AS (
-  SELECT tok, COUNT(DISTINCT doc_id) AS df
-  FROM pos WHERE tok <> '' GROUP BY tok
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.tok <> '' AND b.tok <> '' AND a.tok <> b.tok
+  GROUP BY a.tok, b.tok
 ),
-terms AS (
-  SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS r FROM df
-),
+top AS (SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1),
 pa AS (
-  SELECT doc_id, p AS i FROM pos
-  WHERE tok = (SELECT tok FROM terms WHERE r = 1)
-    AND 2 = (SELECT COUNT(*) FROM terms WHERE r <= 2)
+  SELECT doc_id, p AS i FROM pos WHERE tok = (SELECT w1 FROM top)
 ),
 pb AS (
-  SELECT doc_id, p AS j FROM pos
-  WHERE tok = (SELECT tok FROM terms WHERE r = 2)
+  SELECT doc_id, p AS j FROM pos WHERE tok = (SELECT w2 FROM top)
 ),
 c AS (
   SELECT pa.doc_id, COUNT(*) AS n_pairs
@@ -14958,3 +14968,92 @@ FROM labeled l JOIN q ON q.q_doc_id = l.doc_id"""
 
 QUERIES["q_cluster_canonical"] = q_cluster_canonical
 ORACLES["q_cluster_canonical"] = sql_cluster_canonical
+
+
+# ---------------------------------------------------------------------------
+# wave 49: prototype-based data pruning (Sorscher et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def q_proto_select(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SSL-prototype data pruning ("Beyond neural scaling laws",
+    Sorscher et al. 2022): per k-means cluster, rank members by
+    distance to their centroid — the most prototypical (closest)
+    examples are the redundant ones a data-abundant run prunes;
+    ``keep_hard`` marks the far half that survives, ``is_proto`` the
+    cluster exemplar. Assignment + distance are the verified
+    scan-side integer argmin (operators/similarity.
+    kmeans_assign_dist); the only shuffle is the per-cluster rank
+    window, whose partition size stays bounded when k grows with the
+    corpus (same contract as SemDeDup's within-cluster work)."""
+    from ..operators.similarity import kmeans_assign_dist
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    cents = _cached_centroids(emb, (sf_dir, "raw"))
+    asg = kmeans_assign_dist(emb, cents)
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("cluster_n"))
+    win = Window.partitionBy("cid").orderBy(
+        F.col("d2").asc(), F.col("vec_id")
+    )
+    return (
+        asg.withColumn("rank_in_cluster", F.row_number().over(win))
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"),
+            F.col("cluster_n").cast("long").alias("cluster_n"),
+            (F.col("rank_in_cluster") == 1).alias("is_proto"),
+            (F.col("rank_in_cluster") * 2 > F.col("cluster_n")).alias(
+                "keep_hard"
+            ),
+        )
+    )
+
+
+def sql_proto_select() -> str:
+    it = _IVF_KMEANS_ITER
+    lloyd_ctes = _sql_lloyd_rounds(it)
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vu AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM vecs
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vu WHERE vec_id < {_IVF_CENTROIDS}),
+{lloyd_ctes},
+distf AS (
+  SELECT v.vec_id, c.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+  FROM vu v CROSS JOIN c{it} c
+),
+asgd AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM distf) WHERE rn = 1
+),
+sz AS (SELECT cid, COUNT(*) AS cluster_n FROM asgd GROUP BY cid),
+rk AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY d2 ASC, vec_id ASC
+         ) AS rank_in_cluster
+  FROM asgd
+)
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, CAST(r.d2 AS BIGINT) AS d2,
+       CAST(r.rank_in_cluster AS BIGINT) AS rank_in_cluster,
+       CAST(sz.cluster_n AS BIGINT) AS cluster_n,
+       (r.rank_in_cluster = 1) AS is_proto,
+       (r.rank_in_cluster * 2 > sz.cluster_n) AS keep_hard
+FROM rk r JOIN sz USING (cid)"""
+
+
+QUERIES["q_proto_select"] = q_proto_select
+ORACLES["q_proto_select"] = sql_proto_select

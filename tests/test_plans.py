@@ -1866,3 +1866,17 @@ def test_cocitation_guard_probe_is_linear(spark, sf_dir):
     plan = plan_str(q_cocitation(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_proto_select_assignment_is_scan_side(spark, sf_dir):
+    """Prototype pruning: the centroid argmin must ride in the plan as
+    literals (no join against a centroid table, no Python); the only
+    joins allowed are the broadcast of per-cluster sizes."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_proto_select,
+    )
+
+    plan = plan_str(q_proto_select(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

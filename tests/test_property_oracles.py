@@ -207,6 +207,9 @@ _EMB_QUERY_NAMES = [
     # wave 48: the anti-join of the lexical top-20 against the cosine
     # top-10 — random vectors shift the overlap between lists per draw
     "q_hard_negatives",
+    # wave 49: prototype ranking — random vectors stress the integer
+    # argmin ties and the per-cluster rank under singleton clusters
+    "q_proto_select",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:

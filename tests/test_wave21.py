@@ -396,3 +396,64 @@ def test_cluster_canonical_keeps_best_quality(spark, sf_dir):
     # one row per input document
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# wave 49: prototype-based data pruning
+# ---------------------------------------------------------------------------
+
+
+def test_proto_select_rank_and_flags(spark, sf_dir):
+    """Per cluster: ranks are a dense 1..n permutation ordered by d2
+    (ties to smaller vec_id), exactly one is_proto (the closest
+    member), and keep_hard marks precisely the far half
+    (rank * 2 > n)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_proto_select,
+    )
+
+    rows = q_proto_select(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cid, []).append(r)
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda r: (r.d2, r.vec_id))
+        n = len(members)
+        assert all(r.cluster_n == n for r in members)
+        assert [r.rank_in_cluster for r in members] == list(range(1, n + 1))
+        assert [r.is_proto for r in members] == [True] + [False] * (n - 1)
+        for r in members:
+            assert r.keep_hard == (r.rank_in_cluster * 2 > n)
+
+
+def test_kmeans_assign_dist_matches_assign(spark, sf_dir):
+    """The distance-emitting variant must agree with kmeans_assign on
+    every label, and d2 must equal the integer squared distance to
+    the assigned centroid."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_dist,
+    )
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _cached_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _cached_centroids(emb, (sf_dir, "raw"))
+    a = {r.vec_id: r.cid for r in kmeans_assign(emb, cents).collect()}
+    d = {
+        r.vec_id: (r.cid, r.d2)
+        for r in kmeans_assign_dist(emb, cents).collect()
+    }
+    assert {k: v[0] for k, v in d.items()} == a
+    # spot-verify d2 on a few rows against pure-Python arithmetic
+    import math
+
+    sample = emb.limit(3).collect()
+    for row in sample:
+        v = [math.floor(x * 1_000_000) for x in row.embedding]
+        cid, d2 = d[row.vec_id]
+        expect = sum((a_ - b_) ** 2 for a_, b_ in zip(v, cents[cid]))
+        assert d2 == expect
