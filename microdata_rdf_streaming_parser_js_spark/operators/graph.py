@@ -1322,3 +1322,99 @@ def cocitation_pairs(
             ).cast("long").alias("dice_u"),
         )
     )
+
+
+def adamic_adar_pairs(
+    edges: "DataFrame",
+    min_common: int = 1,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    max_wedge_degree: int | None = None,
+    max_hub_degree_uncapped: int | None = 10_000,
+) -> "DataFrame":
+    """(u, w, common, aa_u, ra_u): weighted-common-neighbor link
+    prediction — Adamic-Adar (2003) down-weights each shared neighbor
+    z by 1/log(deg(z)) so promiscuous hubs stop dominating the score,
+    and Resource Allocation (Zhou et al. 2009) by 1/deg(z). Both are
+    kept integer-exact so DuckDB replays them bit-identically:
+
+    - ``ra_u``  = sum over common z of  1e6 div deg(z)   (exactly
+      rational — plain integer division);
+    - ``aa_u``  = sum over common z of  1e6 div floor(log2(deg(z))),
+      with floor(log2(d)) computed as length(bin(d)) - 1 — an INTEGER
+      bit-length, not a float log, so there is no IEEE/libm
+      cross-engine divergence. A wedge center has degree >= 2 (it
+      touches both endpoints), so the divisor is >= 1.
+
+    Same shape and guards as :func:`link_prediction` (which scores by
+    neighborhood Jaccard instead): undirected dedup, degree agg, the
+    wedge self-join keyed on the shared neighbor — quadratic in hub
+    degree, so the uncapped path carries the same raise-by-default
+    max-degree probe and ``max_wedge_degree`` is the production hub
+    exclusion. Weights join the CENTER before grouping (one extra
+    keyed join vs link_prediction), so the pair-group sums stay
+    map-side combinable.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_wedge_degree is not None and max_wedge_degree < 1:
+        raise ValueError(
+            f"max_wedge_degree must be >= 1, got {max_wedge_degree}"
+        )
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    if max_wedge_degree is None and max_hub_degree_uncapped is not None:
+        row = deg.agg(F.max("deg").alias("m")).first()
+        hub = row["m"] if row is not None else None
+        if hub is not None and hub > max_hub_degree_uncapped:
+            raise ValueError(
+                f"adamic_adar_pairs: uncapped wedge join over a graph "
+                f"whose max degree {hub} exceeds "
+                f"{max_hub_degree_uncapped} — the self-join is "
+                "quadratic in hub degree. Pass max_wedge_degree (hub "
+                "exclusion, the production shape) or explicitly "
+                "disable the guard with max_hub_degree_uncapped=None."
+            )
+    e1 = und.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    e2 = und.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    if max_wedge_degree is not None:
+        allowed = deg.where(F.col("deg") <= F.lit(int(max_wedge_degree)))
+        centers = allowed.select(F.col("a").alias("z"))
+        e1 = e1.join(centers, "z", "semi")
+        e2 = e2.join(centers, "z", "semi")
+    # degree-1 nodes can never center a wedge (one neighbor -> no
+    # u<w pair), so drop them BEFORE the weight expression: bin(1)
+    # has bit-length 1 and the AA divisor would be log2(1) = 0.
+    wts = deg.where(F.col("deg") >= 2).select(
+        F.col("a").alias("z"),
+        F.expr("1000000 div (length(bin(deg)) - 1)").alias("aa_w"),
+        F.expr("1000000 div deg").alias("ra_w"),
+    )
+    wedges = (
+        e1.join(e2, "z").where(F.col("u") < F.col("w")).join(wts, "z")
+    )
+    cn = (
+        wedges.groupBy("u", "w")
+        .agg(
+            F.count("*").alias("common"),
+            F.sum("aa_w").alias("aa_u"),
+            F.sum("ra_w").alias("ra_u"),
+        )
+        .where(F.col("common") >= F.lit(min_common))
+    )
+    return cn.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    ).select(
+        "u",
+        "w",
+        F.col("common").cast("long").alias("common"),
+        F.col("aa_u").cast("long").alias("aa_u"),
+        F.col("ra_u").cast("long").alias("ra_u"),
+    )

@@ -1649,3 +1649,83 @@ def welch_z(
             f" ELSE 0 END"
         ).alias("z_u"),
     )
+
+
+def heldout_surprisal(
+    train_docs: "DataFrame",
+    valid_docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_bigrams, surprisal_u): per-document mean add-one bigram
+    surprisal of the VALID split under an LM trained only on the
+    TRAIN split — the held-out evaluation every LM-based quality
+    filter should report instead of :func:`bigram_surprisal`'s
+    self-scored (optimistic) number. Same integer contract, plus the
+    two unseen cases self-scoring never exercises: an unseen bigram
+    under a seen context costs ``(ctx1 + V) * scale`` (cnt12 = 0) and
+    an unseen context costs ``V * scale`` (ctx1 = 0) — the add-one
+    uniform floor, so every valid bigram is scorable (left joins +
+    coalesce replace the inner joins).
+
+    Scale shape unchanged: LM tables come from one map-side-combined
+    shuffle over the train stream; the valid stream joins them keyed
+    (t1, t2) / (t1) — AQE broadcasts while they fit — and one final
+    shuffle sums per document. V counts TRAIN vocabulary (the model's
+    event space; valid-only tokens are exactly the unseen mass the
+    floor prices).
+    """
+    from ..functions.text import _tokens
+
+    def _pairs(df: "DataFrame") -> "DataFrame":
+        toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+        return df.select(
+            F.col(id_col).alias("id"), toks.alias("toks")
+        ).select(
+            "id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    " (a, b) -> struct(a AS t1, b AS t2))"
+                )
+            ).alias("bg"),
+        ).select("id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+
+    train_pairs = _pairs(train_docs)
+    bg_counts = train_pairs.groupBy("t1", "t2").agg(
+        F.count("*").alias("cnt12")
+    )
+    ctx_counts = bg_counts.groupBy("t1").agg(F.sum("cnt12").alias("ctx1"))
+    train_toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    vocab = train_docs.select(F.explode(train_toks).alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("v")
+    )
+
+    scored = (
+        _pairs(valid_docs)
+        .join(bg_counts, ["t1", "t2"], "left")
+        .join(ctx_counts, "t1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.expr(
+                f"((coalesce(ctx1, 0) + v) * {scale})"
+                " div (coalesce(cnt12, 0) + 1)"
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.sum("s").alias("ss"), F.count("*").alias("n"))
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.expr("ss div n").cast("long").alias("surprisal_u"),
+        )
+    )
+    ids = valid_docs.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("surprisal_u", F.lit(0)).cast("long").alias("surprisal_u"),
+    )

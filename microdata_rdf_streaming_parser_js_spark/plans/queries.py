@@ -15057,3 +15057,262 @@ FROM rk r JOIN sz USING (cid)"""
 
 QUERIES["q_proto_select"] = q_proto_select
 ORACLES["q_proto_select"] = sql_proto_select
+
+
+# ---------------------------------------------------------------------------
+# wave 50: held-out LM surprisal (train/valid split evaluation)
+# ---------------------------------------------------------------------------
+
+_HS_SALT = "heldout"
+_HS_TRAIN_U = 800_000
+
+
+def _sql_md5_bucket(key_expr: str, salt: str) -> str:
+    """First 8 md5 hex nibbles of key|salt as an exact integer mod 1e6
+    (16^8 < 2^53) — the DuckDB twin of operators/split.split_bucket."""
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key_expr} || '|{salt}'),"
+        f" {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({nibbles}) % 1000000"
+
+
+def q_heldout_surprisal(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Held-out bigram surprisal (operators/stats.heldout_surprisal):
+    documents split 80/20 by the deterministic md5 bucket
+    (operators/split.split_bucket), an add-one bigram LM trained on
+    the TRAIN side only, the VALID side scored under it — the honest
+    perplexity-filter evaluation that q_bigram_surprisal's self-scored
+    number overstates. Unseen bigrams/contexts land on the add-one
+    uniform floor, so every valid document is scorable."""
+    from ..operators.split import split_bucket
+    from ..operators.stats import heldout_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = split_bucket(F.col("doc_id"), _HS_SALT)
+    train = docs.where(bucket < F.lit(_HS_TRAIN_U))
+    valid = docs.where(bucket >= F.lit(_HS_TRAIN_U))
+    return heldout_surprisal(train, valid, scale=_BG_SCALE)
+
+
+def sql_heldout_surprisal() -> str:
+    toks = _TOKS.format(c="text")
+    bucket = _sql_md5_bucket("CAST(doc_id AS VARCHAR)", _HS_SALT)
+    return f"""WITH b AS (
+  SELECT doc_id, text, {bucket} AS bucket FROM documents
+),
+tr AS (SELECT doc_id, text FROM b WHERE bucket < {_HS_TRAIN_U}),
+va AS (SELECT doc_id, text FROM b WHERE bucket >= {_HS_TRAIN_U}),
+ttk AS (SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM tr),
+tpos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM ttk
+),
+tbg AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT t1, t2, COUNT(*) AS cnt12 FROM tbg GROUP BY t1, t2),
+ctx AS (SELECT t1, SUM(cnt12) AS ctx1 FROM bgc GROUP BY t1),
+voc AS (SELECT COUNT(DISTINCT t) AS v FROM tpos),
+vtk AS (SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM va),
+vpos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM vtk
+),
+vbg AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2
+  FROM vpos a JOIN vpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+sc AS (
+  SELECT vbg.doc_id,
+         SUM(((COALESCE(ctx.ctx1, 0) + (SELECT v FROM voc)) * {_BG_SCALE})
+             // (COALESCE(bgc.cnt12, 0) + 1)) AS ss,
+         COUNT(*) AS n
+  FROM vbg
+  LEFT JOIN bgc ON bgc.t1 = vbg.t1 AND bgc.t2 = vbg.t2
+  LEFT JOIN ctx ON ctx.t1 = vbg.t1
+  GROUP BY vbg.doc_id
+)
+SELECT va.doc_id AS id,
+       CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc.ss // sc.n, 0) AS BIGINT) AS surprisal_u
+FROM va LEFT JOIN sc ON sc.doc_id = va.doc_id"""
+
+
+QUERIES["q_heldout_surprisal"] = q_heldout_surprisal
+ORACLES["q_heldout_surprisal"] = sql_heldout_surprisal
+
+
+# ---------------------------------------------------------------------------
+# wave 51: Adamic-Adar / Resource-Allocation link prediction
+# ---------------------------------------------------------------------------
+
+_AA_MIN_COMMON = 2
+
+
+def q_adamic_adar(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Weighted-common-neighbor link prediction
+    (operators/graph.adamic_adar_pairs) over the same arithmetic web
+    graph as q_link_predict: Adamic-Adar down-weights each shared
+    neighbor by 1/log2(deg) (integer bit-length, no libm) and
+    Resource Allocation by 1/deg — the two standard hub-discounted
+    predictors, both in exact micro-units."""
+    from ..operators.graph import adamic_adar_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_df = ids.agg(F.count("*").alias("n"))
+    base = ids.crossJoin(F.broadcast(n_df))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.col("n")).alias("dst"),
+    )
+    e2 = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("n")).alias("dst"),
+    )
+    e3 = base.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.col("n")).alias("dst"),
+    )
+    out = adamic_adar_pairs(
+        e1.union(e2).union(e3),
+        min_common=_AA_MIN_COMMON,
+        src_col="src",
+        dst_col="dst",
+    )
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "aa_u",
+        "ra_u",
+    )
+
+
+def sql_adamic_adar() -> str:
+    return f"""WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+e_raw AS (
+  SELECT id AS a, (31 * id + 7) % (SELECT n FROM n_docs) AS b FROM ids
+  UNION ALL
+  SELECT id, (17 * id + 3) % (SELECT n FROM n_docs) FROM ids WHERE id % 3 = 0
+  UNION ALL
+  SELECT id, (7 * id + 11) % (SELECT n FROM n_docs) FROM ids WHERE id % 2 = 0
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e_raw UNION ALL SELECT b AS a, a AS b FROM e_raw
+  ) WHERE a <> b
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+wts AS (
+  SELECT a AS z,
+         1000000 // (length(bin(deg)) - 1) AS aa_w,
+         1000000 // deg AS ra_w
+  FROM deg WHERE deg >= 2
+),
+wedge AS (
+  SELECT e1.b AS u, e2.b AS w, COUNT(*) AS common,
+         SUM(wts.aa_w) AS aa_u, SUM(wts.ra_w) AS ra_u
+  FROM und e1 JOIN und e2 ON e1.a = e2.a JOIN wts ON wts.z = e1.a
+  WHERE e1.b < e2.b GROUP BY e1.b, e2.b
+),
+cand AS (
+  SELECT c.u, c.w, c.common, c.aa_u, c.ra_u FROM wedge c
+  LEFT JOIN und x ON c.u = x.a AND c.w = x.b
+  WHERE x.a IS NULL AND c.common >= {_AA_MIN_COMMON}
+)
+SELECT u, w, CAST(common AS BIGINT) AS common,
+       CAST(aa_u AS BIGINT) AS aa_u, CAST(ra_u AS BIGINT) AS ra_u
+FROM cand"""
+
+
+QUERIES["q_adamic_adar"] = q_adamic_adar
+ORACLES["q_adamic_adar"] = sql_adamic_adar
+
+
+# ---------------------------------------------------------------------------
+# wave 52: contrastive training triplets (anchor, positive, negative)
+# ---------------------------------------------------------------------------
+
+
+def q_training_triplets(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(anchor, positive, negative) triplet mining for contrastive /
+    metric-learning training (the sentence-transformers recipe):
+    anchors are the q_topk_cosine query vectors, the POSITIVE is each
+    anchor's nearest non-self neighbor, the NEGATIVE its furthest
+    in-top-k non-self neighbor — semantically close enough to be a
+    hard negative, far enough to carry gradient — plus the margin the
+    triplet loss would see. Pure composition of the verified exact
+    top-k leg; cost is O(k) per anchor after the retriever."""
+    from ..operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = cosine_topk(emb, queries, k=_TOPK_K).select(
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_u"),
+        "rank",
+    )
+    ns = tk.where(F.col("vec_id") != F.col("query_id"))
+    w_pos = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    w_neg = Window.partitionBy("query_id").orderBy(F.col("rank").desc())
+    pos = (
+        ns.withColumn("rp", F.row_number().over(w_pos))
+        .where(F.col("rp") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("anchor_id"),
+            F.col("vec_id").cast("long").alias("pos_id"),
+            F.col("cos_u").alias("pos_cos_u"),
+        )
+    )
+    neg = (
+        ns.withColumn("rn", F.row_number().over(w_neg))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("anchor_id"),
+            F.col("vec_id").cast("long").alias("neg_id"),
+            F.col("cos_u").alias("neg_cos_u"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "pos_cos_u",
+        "neg_cos_u",
+        (F.col("pos_cos_u") - F.col("neg_cos_u")).alias("margin_u"),
+    )
+
+
+def sql_training_triplets() -> str:
+    return f"""WITH tk AS (SELECT * FROM ({sql_topk_cosine()}) t),
+ns AS (
+  SELECT query_id, vec_id, cos_u, rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank ASC) AS rp,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank DESC) AS rn
+  FROM tk WHERE vec_id <> query_id
+),
+pos AS (
+  SELECT CAST(query_id AS BIGINT) AS anchor_id,
+         CAST(vec_id AS BIGINT) AS pos_id, cos_u AS pos_cos_u
+  FROM ns WHERE rp = 1
+),
+neg AS (
+  SELECT CAST(query_id AS BIGINT) AS anchor_id,
+         CAST(vec_id AS BIGINT) AS neg_id, cos_u AS neg_cos_u
+  FROM ns WHERE rn = 1
+)
+SELECT anchor_id, pos_id, neg_id, pos_cos_u, neg_cos_u,
+       pos_cos_u - neg_cos_u AS margin_u
+FROM pos JOIN neg USING (anchor_id)"""
+
+
+QUERIES["q_training_triplets"] = q_training_triplets
+ORACLES["q_training_triplets"] = sql_training_triplets

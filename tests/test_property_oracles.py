@@ -159,6 +159,15 @@ _QUERY_NAMES = [
     # all-singleton clusters and all-tied quality (keep falls back to
     # min doc_id, which must equal the oracle's window order)
     "q_cluster_canonical",
+    # wave 50: held-out LM scoring — tiny corpora drive the all-train
+    # / all-valid split degeneracies (empty LM -> every valid bigram
+    # priced at the V-only floor; empty valid side -> zero rows) and
+    # the unseen-context/unseen-bigram floors self-scoring never hits
+    "q_heldout_surprisal",
+    # wave 51: hub-discounted link prediction — n=1 modular graphs
+    # empty the wedge set; the bit-length log2 (length(bin(deg))-1)
+    # must agree across engines on every degree the draw produces
+    "q_adamic_adar",
 ]
 
 
@@ -210,6 +219,10 @@ _EMB_QUERY_NAMES = [
     # wave 49: prototype ranking — random vectors stress the integer
     # argmin ties and the per-cluster rank under singleton clusters
     "q_proto_select",
+    # wave 52: triplet mining — random vectors shift which neighbor
+    # is nearest/furthest per draw; the non-self windows must pick
+    # the same rows in both engines even when cos_u ties
+    "q_training_triplets",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
