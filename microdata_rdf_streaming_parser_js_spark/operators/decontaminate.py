@@ -146,3 +146,67 @@ def semantic_contamination(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_id", "eval_vec_id", "cos_sim")
     )
+
+
+def memorization_scan(
+    train_docs: "DataFrame",
+    valid_docs: "DataFrame",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """(id, n_ngrams, n_seen, mem_rate_u): per-VALID-document verbatim
+    memorization exposure — the fraction of its distinct word-k-grams
+    that occur anywhere in the TRAIN split (Carlini et al. 2022's
+    k-gram overlap proxy; the per-doc twin of
+    :func:`ngram_contamination`, which flags pairs instead). A valid
+    doc with mem_rate_u near 1e6 is effectively IN the training set
+    even if no single train doc matched it whole — exactly the
+    leakage a pairwise scan under-reports.
+
+    Shape: the train k-gram set is ONE distinct over the exploded
+    scan (map-side combined); the valid inverted index is tiny by
+    construction (held-out split) and probes it with a semi-join
+    keyed on the shingle. At 100 TB the exact train-set semi-join is
+    the truth side — serve the same scan with a Bloom filter over the
+    train digests (operators/layout bloom build/prune) and accept the
+    documented false-positive rate.
+    """
+    tr = (
+        train_docs.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), k))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    va = valid_docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    tot = va.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    seen = (
+        va.join(tr, "shingle", "semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_seen"))
+    )
+    ids = valid_docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(tot, "id", "left")
+        .join(seen, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.when(
+                F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                F.expr(f"(coalesce(n_seen, 0) * {scale}) div n_ngrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mem_rate_u"),
+        )
+    )

@@ -1729,3 +1729,73 @@ def heldout_surprisal(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("surprisal_u", F.lit(0)).cast("long").alias("surprisal_u"),
     )
+
+
+def collocations(
+    docs: "DataFrame",
+    min_count: int = 5,
+    topn: int = 50,
+    text_col: str = "text",
+    scale: int = 1_000,
+) -> "DataFrame":
+    """(t1, t2, cnt12, cnt1, cnt2, lift_u, rank): corpus collocation
+    extraction — the top-``topn`` adjacent word pairs by pointwise
+    association lift p(t1,t2)/(p(t1)p(t2)), the classic PMI ranking
+    (Church & Hanks 1990) used to mine multiword expressions for
+    tokenizer/vocab curation. Ranking by lift IS ranking by PMI
+    (log is monotone), and lift stays exactly rational:
+    ``lift_u = cnt12 * T * scale div (cnt1 * cnt2)`` with integer
+    marginals over the bigram stream (cnt1 = left marginal, cnt2 =
+    right marginal, T = total bigrams), so scale=1000 means
+    lift_u > 1000 <=> positive PMI. No floats, no libm — both
+    engines replay it bit-identically.
+
+    Shape: one map-side-combined shuffle to bigram counts; marginals
+    re-aggregate the (already tiny) count table, the scalar T joins
+    broadcast; ``min_count`` prunes the tail BEFORE the marginal
+    joins and the single bounded top-n rank window. The product
+    ``cnt12 * T * scale`` needs headroom: with long arithmetic it is
+    exact up to T ~ 3e6 * sqrt(scale) pairs per corpus slice; shard
+    by source and merge, or move the expression to DECIMAL(38,0),
+    beyond that.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from ..functions.text import _tokens
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    pairs = docs.select(toks.alias("toks")).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> struct(a AS t1, b AS t2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    bgc = pairs.groupBy("t1", "t2").agg(F.count("*").alias("cnt12"))
+    left = bgc.groupBy("t1").agg(F.sum("cnt12").alias("cnt1"))
+    right = bgc.groupBy("t2").agg(F.sum("cnt12").alias("cnt2"))
+    tot = bgc.agg(F.sum("cnt12").cast("long").alias("t"))
+    scored = (
+        bgc.where(F.col("cnt12") >= F.lit(int(min_count)))
+        .join(left, "t1")
+        .join(right, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("cnt12").cast("long").alias("cnt12"),
+            F.col("cnt1").cast("long").alias("cnt1"),
+            F.col("cnt2").cast("long").alias("cnt2"),
+            F.expr(f"(cnt12 * t * {scale}) div (cnt1 * cnt2)")
+            .cast("long")
+            .alias("lift_u"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("lift_u").desc(), F.col("t1").asc(), F.col("t2").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= F.lit(int(topn)))

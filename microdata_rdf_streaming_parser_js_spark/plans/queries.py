@@ -15316,3 +15316,189 @@ FROM pos JOIN neg USING (anchor_id)"""
 
 QUERIES["q_training_triplets"] = q_training_triplets
 ORACLES["q_training_triplets"] = sql_training_triplets
+
+
+# ---------------------------------------------------------------------------
+# wave 53: verbatim memorization exposure of the held-out split
+# ---------------------------------------------------------------------------
+
+_MEM_K = 5
+
+
+def q_memorization_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-valid-doc verbatim memorization exposure
+    (operators/decontaminate.memorization_scan): the fraction of each
+    held-out document's distinct word-5-grams that occur anywhere in
+    the train split — same 80/20 md5 split as q_heldout_surprisal, so
+    the two evals read the same partition of the corpus. The
+    aggregate leakage a pairwise decontamination scan under-reports."""
+    from ..operators.decontaminate import memorization_scan
+    from ..operators.split import split_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = split_bucket(F.col("doc_id"), _HS_SALT)
+    train = docs.where(bucket < F.lit(_HS_TRAIN_U))
+    valid = docs.where(bucket >= F.lit(_HS_TRAIN_U))
+    return memorization_scan(train, valid, k=_MEM_K)
+
+
+def sql_memorization_scan() -> str:
+    K = _MEM_K
+    toks = _TOKS.format(c="text")
+    bucket = _sql_md5_bucket("CAST(doc_id AS VARCHAR)", _HS_SALT)
+    return f"""WITH b AS (
+  SELECT doc_id, text, {bucket} AS bucket FROM documents
+),
+sh AS (
+  SELECT doc_id, bucket,
+         list_distinct(
+           CASE WHEN len(t) >= {K}
+                THEN list_transform(range(0, len(t) - {K - 1}),
+                                    i -> array_to_string(t[i + 1 : i + {K}], ' '))
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, bucket, list_filter({toks}, x -> TRUE) AS t FROM b)
+),
+tr AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh
+       WHERE bucket < {_HS_TRAIN_U}),
+va AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       WHERE bucket >= {_HS_TRAIN_U}),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM va GROUP BY doc_id),
+seen AS (
+  SELECT va.doc_id, COUNT(*) AS n_seen
+  FROM va JOIN tr USING (shingle) GROUP BY va.doc_id
+)
+SELECT b.doc_id AS id,
+       CAST(COALESCE(tot.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(seen.n_seen, 0) AS BIGINT) AS n_seen,
+       CAST(CASE WHEN COALESCE(tot.n_ngrams, 0) > 0
+                 THEN (COALESCE(seen.n_seen, 0) * 1000000) // tot.n_ngrams
+                 ELSE 0 END AS BIGINT) AS mem_rate_u
+FROM b LEFT JOIN tot ON tot.doc_id = b.doc_id
+LEFT JOIN seen ON seen.doc_id = b.doc_id
+WHERE b.bucket >= {_HS_TRAIN_U}"""
+
+
+QUERIES["q_memorization_scan"] = q_memorization_scan
+ORACLES["q_memorization_scan"] = sql_memorization_scan
+
+
+# ---------------------------------------------------------------------------
+# wave 54: PMI-lift collocation extraction
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 5
+_COLL_TOPN = 50
+_COLL_SCALE = 1_000
+
+
+def q_collocations(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Top-50 corpus collocations by exact integer PMI lift
+    (operators/stats.collocations): adjacent word pairs whose joint
+    frequency beats the product of their marginals — the multiword-
+    expression miner for tokenizer/vocab curation, rank-equivalent to
+    PMI with zero float surface."""
+    from ..operators.stats import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(
+        docs,
+        min_count=_COLL_MIN_COUNT,
+        topn=_COLL_TOPN,
+        scale=_COLL_SCALE,
+    )
+
+
+def sql_collocations() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH tk AS (
+  SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM tk
+),
+bg AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT t1, t2, COUNT(*) AS cnt12 FROM bg GROUP BY t1, t2),
+lft AS (SELECT t1, SUM(cnt12) AS cnt1 FROM bgc GROUP BY t1),
+rgt AS (SELECT t2, SUM(cnt12) AS cnt2 FROM bgc GROUP BY t2),
+tot AS (SELECT SUM(cnt12) AS t FROM bgc),
+scored AS (
+  SELECT bgc.t1, bgc.t2, bgc.cnt12, lft.cnt1, rgt.cnt2,
+         (bgc.cnt12 * (SELECT t FROM tot) * {_COLL_SCALE})
+           // (lft.cnt1 * rgt.cnt2) AS lift_u
+  FROM bgc JOIN lft USING (t1) JOIN rgt USING (t2)
+  WHERE bgc.cnt12 >= {_COLL_MIN_COUNT}
+),
+rk AS (
+  SELECT t1, t2, cnt12, cnt1, cnt2, lift_u,
+         ROW_NUMBER() OVER (ORDER BY lift_u DESC, t1 ASC, t2 ASC) AS rank
+  FROM scored
+)
+SELECT t1, t2, CAST(cnt12 AS BIGINT) AS cnt12,
+       CAST(cnt1 AS BIGINT) AS cnt1, CAST(cnt2 AS BIGINT) AS cnt2,
+       CAST(lift_u AS BIGINT) AS lift_u, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_COLL_TOPN}"""
+
+
+QUERIES["q_collocations"] = q_collocations
+ORACLES["q_collocations"] = sql_collocations
+
+
+# ---------------------------------------------------------------------------
+# wave 55: cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def q_crosssource_dups(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(source_a, source_b, n_pairs): the near-dup candidate pairs of
+    the verified MinHash-LSH leg rolled up by the UNORDERED source
+    pair — the curation diagnostic that shows which sources copy from
+    which (off-diagonal mass = cross-source syndication, diagonal =
+    within-source boilerplate), deciding whether dedup must run
+    globally or can shard per source. Two broadcast-sized id→source
+    joins on top of the banding equi-join; the rollup output is
+    |sources|² at most."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def sql_crosssource_dups() -> str:
+    return f"""WITH {_minhash_cand_cte()},
+lab AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_id_a
+  JOIN documents db ON db.doc_id = c.doc_id_b
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b"""
+
+
+QUERIES["q_crosssource_dups"] = q_crosssource_dups
+ORACLES["q_crosssource_dups"] = sql_crosssource_dups

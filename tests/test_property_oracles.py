@@ -168,6 +168,14 @@ _QUERY_NAMES = [
     # empty the wedge set; the bit-length log2 (length(bin(deg))-1)
     # must agree across engines on every degree the draw produces
     "q_adamic_adar",
+    # wave 53-55: memorization scan under short-doc/empty-split
+    # degeneracies (no 5-grams -> rate 0; empty train set -> n_seen
+    # 0); collocations under corpora where nothing clears min_count
+    # (empty top-n with schema); the cross-source rollup when the
+    # banding join finds no candidates
+    "q_memorization_scan",
+    "q_collocations",
+    "q_crosssource_dups",
 ]
 
 

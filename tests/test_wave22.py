@@ -202,3 +202,112 @@ def test_training_triplets_match_topk_leg(spark, sf_dir):
         assert t.neg_id == members[-1].vec_id
         assert t.pos_cos_u == members[0].cos_u
         assert t.neg_cos_u == members[-1].cos_u
+
+
+# ---------------------------------------------------------------------------
+# wave 53: memorization scan
+# ---------------------------------------------------------------------------
+
+
+def test_memorization_scan_hand_rates(spark):
+    """valid doc 10 repeats a train 5-gram verbatim (rate 1e6), doc 11
+    shares none (rate 0), doc 12 mixes one seen + one unseen distinct
+    5-gram (rate 500000), doc 13 is too short to form any (0/0)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.decontaminate import (
+        memorization_scan,
+    )
+
+    train = _docs(spark, [(1, "the quick brown fox jumps over it")])
+    valid = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps"),
+            (11, "a b c d e"),
+            (12, "quick brown fox jumps over nothing"),
+            (13, "too short"),
+        ],
+    )
+    got = {
+        r.id: (r.n_ngrams, r.n_seen, r.mem_rate_u)
+        for r in memorization_scan(train, valid, k=5).collect()
+    }
+    assert got[10] == (1, 1, 1_000_000)
+    assert got[11] == (1, 0, 0)
+    # doc 12: 'quick brown fox jumps over' seen, 'brown fox jumps over
+    # nothing' unseen
+    assert got[12] == (2, 1, 500_000)
+    assert got[13] == (0, 0, 0)
+
+
+def test_memorization_scan_distinct_ngrams(spark):
+    """Repeated k-grams inside one valid doc count once (set
+    semantics, the standard memorization denominator)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.decontaminate import (
+        memorization_scan,
+    )
+
+    train = _docs(spark, [(1, "x y z w v")])
+    valid = _docs(spark, [(10, "x y z w v x y z w v")])
+    rows = memorization_scan(train, valid, k=5).collect()
+    # 10 tokens -> 6 positional 5-grams but only 5 distinct; the
+    # wrap-around ones ('w v x y z' etc.) are unseen
+    assert rows[0].n_ngrams == 5 and rows[0].n_seen == 1
+    assert rows[0].mem_rate_u == 200_000
+
+
+# ---------------------------------------------------------------------------
+# wave 54: collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_lift_arithmetic(spark):
+    """One dominant pair: 'new york' x5 among 10 total bigrams.
+    cnt1(new)=5, cnt2(york)=5 -> lift_u = 5*10*1000 // 25 = 2000
+    (positive association: > 1000)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        collocations,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, "new york") for i in range(5)]
+        + [(10, "a b"), (11, "c d"), (12, "e f"), (13, "g h"), (14, "i j")],
+    )
+    rows = collocations(docs, min_count=5, topn=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.t1, r.t2) == ("new", "york")
+    assert (r.cnt12, r.cnt1, r.cnt2) == (5, 5, 5)
+    assert r.lift_u == 2_000 and r.rank == 1
+
+
+def test_collocations_min_count_prunes(spark):
+    from microdata_rdf_streaming_parser_js_spark.operators.stats import (
+        collocations,
+    )
+
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "c d")])
+    got = {(r.t1, r.t2) for r in collocations(docs, min_count=2).collect()}
+    assert got == {("a", "b")}
+    with pytest.raises(ValueError):
+        collocations(docs, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# wave 55: cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def test_crosssource_dups_rollup(spark, sf_dir):
+    """The matrix totals exactly the verified pair count, sources are
+    unordered (a <= b), and every count is positive."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_crosssource_dups,
+        q_minhash_lsh_pairs,
+    )
+
+    n_pairs = q_minhash_lsh_pairs(spark, sf_dir).count()
+    rows = q_crosssource_dups(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b and r.n_pairs > 0
