@@ -15502,3 +15502,219 @@ FROM lab GROUP BY source_a, source_b"""
 
 QUERIES["q_crosssource_dups"] = q_crosssource_dups
 ORACLES["q_crosssource_dups"] = sql_crosssource_dups
+
+
+# ---------------------------------------------------------------------------
+# wave 56: TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+_TR_MIN_COUNT = 5
+_TR_TOPN = 20
+
+
+def q_textrank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the
+    verified integer PageRank (operators/graph.pagerank, same
+    _PR_ITER/_PR_SCALE/_PR_DAMPING_U contract as q_pagerank) run over
+    the corpus token co-occurrence graph — adjacent-token pairs with
+    count >= 5, symmetrized — and the top-20 tokens by rank. The
+    de-facto unsupervised keyword/keyphrase baseline, here as a pure
+    composition: a new graph under the already-oracle-exact Pregel
+    chain. Edge filtering bounds the graph at the collocation table's
+    size, so the iteration joins run over a tiny frame."""
+    from ..operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    pairs = docs.select(toks.alias("toks")).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> struct(a AS t1, b AS t2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    ef = (
+        pairs.where(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= F.lit(_TR_MIN_COUNT))
+        .select("t1", "t2")
+    )
+    e = (
+        ef.select(F.col("t1").alias("subj"), F.col("t2").alias("obj"))
+        .union(ef.select(F.col("t2").alias("subj"), F.col("t1").alias("obj")))
+        .distinct()
+    )
+    ids = e.select(F.col("subj").alias("tok")).distinct()
+    out = pagerank(
+        ids,
+        e,
+        id_col="tok",
+        iterations=_PR_ITER,
+        scale=_PR_SCALE,
+        damping_u=_PR_DAMPING_U,
+    )
+    w = Window.orderBy(F.col("rank_u").desc(), F.col("tok").asc())
+    return (
+        out.select("tok", F.col("rank_u").cast("long").alias("rank_u"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(_TR_TOPN))
+    )
+
+
+def sql_textrank() -> str:
+    toks = _TOKS.format(c="text")
+    inner = (
+        f"""WITH tk AS (
+  SELECT doc_id, list_filter({toks}, t -> t <> '') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+  FROM tk
+),
+bg AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.t <> b.t
+),
+ec AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY t1, t2),
+ef AS (SELECT t1, t2 FROM ec WHERE c >= {_TR_MIN_COUNT}),
+e AS (
+  SELECT t1 AS subj, t2 AS obj FROM ef
+  UNION
+  SELECT t2 AS subj, t1 AS obj FROM ef
+),
+ids AS (SELECT DISTINCT subj AS tok FROM e),
+n AS (SELECT COUNT(*) AS c FROM ids)"""
+        + _sql_pagerank_chain("tok")
+    )
+    return f"""WITH ranked AS (
+  SELECT tok, rank_u,
+         ROW_NUMBER() OVER (ORDER BY rank_u DESC, tok ASC) AS rank
+  FROM ({inner}) t
+)
+SELECT tok, CAST(rank_u AS BIGINT) AS rank_u, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TR_TOPN}"""
+
+
+QUERIES["q_textrank"] = q_textrank
+ORACLES["q_textrank"] = sql_textrank
+
+
+# ---------------------------------------------------------------------------
+# wave 57: curation funnel report (stage-by-stage survivor accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_curation_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(stage, stage_name, n_docs, n_tokens): the observability twin
+    of q_curation_pipeline — cumulative survivor doc/token counts
+    after each leg (raw → MinHash-dedup keep → Gopher → FineWeb →
+    blocklist → temperature mixture), the shrinkage report every
+    production curation run publishes (CCNet/FineWeb ablation tables).
+    Each leg is the already-verified query reused verbatim; the
+    funnel adds doc_id equi-joins and six tiny aggregates, nothing
+    quadratic, and the monotone counts give reviewers an immediate
+    is-a-gate-eating-everything signal."""
+    from ..operators.split import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    nt = F.when(
+        F.col("text").isNull()
+        | (F.length(F.trim(F.col("text"))) == 0),
+        F.lit(0),
+    ).otherwise(
+        F.size(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        )
+    )
+    tok = docs.select("doc_id", "source", nt.cast("long").alias("nt"))
+    dk = q_dedup_clusters(spark, sf_dir).where("keep").select("doc_id")
+    g = q_gopher_rules(spark, sf_dir).where("keep").select("doc_id")
+    fw = q_fineweb_rules(spark, sf_dir).where("keep").select("doc_id")
+    bl = q_blocklist_filter(spark, sf_dir).where("keep").select("doc_id")
+    s1 = tok.join(dk, "doc_id")
+    s2 = s1.join(g, "doc_id")
+    s3 = s2.join(fw, "doc_id")
+    s4 = s3.join(bl, "doc_id")
+    s5 = mixture_sample(
+        s4, "doc_id", "source", _MIX_WEIGHTS_U,
+        default_u=_MIX_DEFAULT_U, salt=_CUR_SALT,
+    )
+    stages = [
+        (0, "raw", tok), (1, "dedup", s1), (2, "gopher", s2),
+        (3, "fineweb", s3), (4, "blocklist", s4), (5, "mixture", s5),
+    ]
+    out = None
+    for i, name, df in stages:
+        row = df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def sql_curation_funnel() -> str:
+    nib = _sql_hex8("h")
+    whens = " ".join(
+        f"WHEN source = '{g}' THEN {w}"
+        for g, w in sorted(_MIX_WEIGHTS_U.items())
+    )
+    toks = _TOKS.format(c="text")
+    stages = [
+        (0, "raw", "tok"), (1, "dedup", "s1"), (2, "gopher", "s2"),
+        (3, "fineweb", "s3"), (4, "blocklist", "s4"), (5, "mixture", "s5"),
+    ]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS stage_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        f" CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM {cte}"
+        for i, name, cte in stages
+    )
+    return f"""WITH dk AS (SELECT doc_id FROM ({sql_dedup_clusters()}) WHERE keep),
+gg AS (SELECT doc_id FROM ({sql_gopher_rules()}) WHERE keep),
+fw AS (SELECT doc_id FROM ({sql_fineweb_rules()}) WHERE keep),
+bl AS (SELECT doc_id FROM ({sql_blocklist_filter()}) WHERE keep),
+tok AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len({toks}) END AS nt
+  FROM documents
+),
+s1 AS (SELECT tok.* FROM tok JOIN dk USING (doc_id)),
+s2 AS (SELECT s1.* FROM s1 JOIN gg USING (doc_id)),
+s3 AS (SELECT s2.* FROM s2 JOIN fw USING (doc_id)),
+s4 AS (SELECT s3.* FROM s3 JOIN bl USING (doc_id)),
+mixh AS (
+  SELECT doc_id, source, nt,
+         md5(CAST(doc_id AS VARCHAR) || '|{_CUR_SALT}') AS h
+  FROM s4
+),
+s5 AS (
+  SELECT doc_id, source, nt FROM mixh
+  WHERE {nib} % 1000000 < (CASE {whens} ELSE {_MIX_DEFAULT_U} END)
+)
+{rows}"""
+
+
+QUERIES["q_curation_funnel"] = q_curation_funnel
+ORACLES["q_curation_funnel"] = sql_curation_funnel

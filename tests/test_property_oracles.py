@@ -176,6 +176,13 @@ _QUERY_NAMES = [
     "q_memorization_scan",
     "q_collocations",
     "q_crosssource_dups",
+    # wave 56-57: TextRank under corpora where no pair clears the edge
+    # min-count (empty graph -> empty top-k, the pagerank chain must
+    # not divide by the zero node count on either engine); the funnel
+    # under corpora where a gate eats everything (zero-row stages
+    # still emit their COALESCE'd zero aggregates)
+    "q_textrank",
+    "q_curation_funnel",
 ]
 
 

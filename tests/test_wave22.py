@@ -311,3 +311,65 @@ def test_crosssource_dups_rollup(spark, sf_dir):
     assert sum(r.n_pairs for r in rows) == n_pairs
     for r in rows:
         assert r.source_a <= r.source_b and r.n_pairs > 0
+
+
+# ---------------------------------------------------------------------------
+# wave 56: TextRank keywords
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_two_node_fixpoint(spark, tmp_path):
+    """The 2-node symmetric graph is a PageRank fixpoint at the
+    uniform rank: contrib = (500000*850000)//1e6 = 425000, teleport =
+    150000//2 = 75000 -> rank stays 500000 every round; ties break by
+    token."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_textrank,
+    )
+
+    sf = str(tmp_path)
+    _docs(spark, [(i, "a b") for i in range(5)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    rows = sorted(q_textrank(spark, sf).collect(), key=lambda r: r.rank)
+    assert [(r.tok, r.rank_u, r.rank) for r in rows] == [
+        ("a", 500_000, 1),
+        ("b", 500_000, 2),
+    ]
+
+
+def test_textrank_ranks_dense_and_sorted(spark, sf_dir):
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _TR_TOPN,
+        q_textrank,
+    )
+
+    rows = sorted(q_textrank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _TR_TOPN
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rank_u, b.tok) > (b.rank_u, a.tok) or a.rank_u > b.rank_u \
+            or (a.rank_u == b.rank_u and a.tok < b.tok)
+
+
+# ---------------------------------------------------------------------------
+# wave 57: curation funnel
+# ---------------------------------------------------------------------------
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Six stages in pipeline order; doc and token counts never
+    increase down the funnel; the raw stage equals the corpus."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_curation_funnel,
+    )
+
+    rows = sorted(q_curation_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == [
+        "raw", "dedup", "gopher", "fineweb", "blocklist", "mixture",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs >= b.n_docs and a.n_tokens >= b.n_tokens
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0].n_docs == n_docs and rows[-1].n_docs > 0
