@@ -1880,3 +1880,69 @@ def test_proto_select_assignment_is_scan_side(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_heldout_surprisal_no_python_left_joins(spark, sf_dir):
+    """Held-out scoring must stay JVM-side: the split is a scan
+    predicate, the LM joins are keyed left joins, and the only
+    cross join is the broadcast 1-row vocab scalar — no Python,
+    no cartesian over data-sized frames."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_heldout_surprisal,
+    )
+
+    plan = plan_str(q_heldout_surprisal(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row V scalar
+
+
+def test_adamic_adar_wedge_is_equi_join(spark, sf_dir):
+    """The weighted wedge must plan as keyed joins on the shared
+    neighbor — never a cartesian — and the weight expression
+    (bit-length log2) is a codegen'd projection, not Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_adamic_adar,
+    )
+
+    plan = plan_str(q_adamic_adar(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_memorization_scan_semi_join_no_python(spark, sf_dir):
+    """The train-set probe must be a semi join on the shingle (the
+    valid side never materializes train payloads) with zero Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_memorization_scan,
+    )
+
+    plan = plan_str(q_memorization_scan(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_collocations_marginals_stay_on_count_table(spark, sf_dir):
+    """Collocation lift joins marginals back onto the COUNT table
+    (already tiny), with the scalar T as the only cross join
+    (broadcast 1-row) — no Python anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_collocations,
+    )
+
+    plan = plan_str(q_collocations(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_crosssource_dups_joins_are_keyed(spark, sf_dir):
+    """The source rollup adds two keyed id→source joins on top of the
+    banding equi-join — no cartesian, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_crosssource_dups,
+    )
+
+    plan = plan_str(q_crosssource_dups(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
