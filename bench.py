@@ -355,6 +355,18 @@ def main() -> None:
         "q_hard_negatives",
         "q_cluster_canonical",
         "q_proto_select",
+        # wave 50-57: held-out LM evals, hub-discounted link
+        # prediction, triplet mining, memorization scan, PMI
+        # collocations, cross-source dup matrix, TextRank keywords,
+        # curation funnel
+        "q_heldout_surprisal",
+        "q_adamic_adar",
+        "q_training_triplets",
+        "q_memorization_scan",
+        "q_collocations",
+        "q_crosssource_dups",
+        "q_textrank",
+        "q_curation_funnel",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
