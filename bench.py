@@ -367,6 +367,18 @@ def main() -> None:
         "q_crosssource_dups",
         "q_textrank",
         "q_curation_funnel",
+        # wave 58-61: KNN-Shapley data valuation, two-stage ANN
+        # re-rank serving, Fellegi-Sunter linkage weights,
+        # l-diversity release audit
+        "q_knn_shapley",
+        "q_rerank_topk",
+        "q_fs_linkage",
+        "q_l_diversity",
+        # wave 62-64: staged dedup cascade, pairwise KS drift,
+        # Good-Turing unseen mass
+        "q_dedup_cascade",
+        "q_ks_drift",
+        "q_good_turing",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

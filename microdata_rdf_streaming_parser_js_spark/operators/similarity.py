@@ -1102,3 +1102,101 @@ def int8_topk(
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_shapley(
+    embeddings: "DataFrame",
+    test: "DataFrame",
+    k: int = 5,
+    scale: int = 1_000_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> "DataFrame":
+    """Closed-form KNN-Shapley data valuation (Jia et al., VLDB 2019,
+    "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    Algorithms"): the exact Shapley value of every training point for
+    a K-NN classifier evaluated on a broadcast test set, via the
+    sorted-scan recursion (neighbors ranked nearest-first, r = 1..N)
+
+        s(N) = 1[y_N = y] / N
+        s(r) = s(r+1) + (1[y_r = y] - 1[y_{r+1} = y]) / K * min(K, r) / r
+
+    No pairwise training-set work and no sampling: per test point the
+    whole utility surface collapses into one rank window plus one
+    suffix sum.  Output is (vec_id, shap_u) — the per-training-point
+    value summed over the test set, in ``1/scale`` fixed-point units.
+
+    Cross-engine determinism: the neighbor order is
+    floor(round(cos, 6) * 1e6) DESC with vec_id ties; each recursion
+    increment is floored into integer micro-units from a SINGLE IEEE
+    division (exact parity per term — only multi-term float folds can
+    drift, and both the suffix sum and the test-set sum here are
+    integer sums).  Scale: the test side is broadcast (valuation runs
+    against a bounded probe set), the train side is scored in one
+    scan, and the only exchange is the rank-by-query shuffle — the
+    same shape as :func:`cosine_topk` with an O(n_test) constant.
+    Downstream consumers should TakeOrderedAndProject (orderBy+limit)
+    rather than globally sort the full valuation table.
+    """
+    q = F.broadcast(
+        test.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("e_vec"),
+        F.col(label_col).alias("e_label"),
+    )
+    scored = q.crossJoin(e).select(
+        "query_id",
+        "vec_id",
+        F.floor(
+            F.round(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("e_vec").cast("array<double>"),
+                ),
+                6,
+            )
+            * 1e6
+        ).cast("long").alias("cos_u"),
+        F.when(F.col("e_label") == F.col("q_label"), 1).otherwise(0).alias("ind"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_u").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        "ind",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("query_id")).alias("n"),
+        F.lead("ind").over(w).alias("ind_nxt"),
+    )
+    term = F.when(
+        F.col("ind_nxt").isNull(),
+        F.floor(F.lit(float(scale)) * F.col("ind") / F.col("n")),
+    ).otherwise(
+        F.floor(
+            F.lit(float(scale))
+            * (F.col("ind") - F.col("ind_nxt"))
+            * F.least(F.lit(k), F.col("r"))
+            / (F.lit(k) * F.col("r"))
+        )
+    )
+    ws = (
+        Window.partitionBy("query_id")
+        .orderBy("r")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    svals = ranked.withColumn("t", term.cast("long")).withColumn(
+        "s", F.sum("t").over(ws)
+    )
+    return svals.groupBy("vec_id").agg(
+        F.sum("s").cast("long").alias("shap_u")
+    )

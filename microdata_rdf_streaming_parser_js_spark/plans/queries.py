@@ -15718,3 +15718,794 @@ s5 AS (
 
 QUERIES["q_curation_funnel"] = q_curation_funnel
 ORACLES["q_curation_funnel"] = sql_curation_funnel
+
+
+# --- wave 58: KNN-Shapley data valuation (Jia et al., VLDB 2019) ---
+
+_SHAP_K = 5
+_SHAP_SCALE = 1_000_000_000
+_SHAP_TOP = 20
+
+
+def q_knn_shapley(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Data valuation for training-set curation: the exact closed-form
+    KNN-Shapley value (operators/similarity.knn_shapley, Jia et al.
+    VLDB 2019) of every training vector for a {_SHAP_K}-NN classifier
+    probed on the {_N_QUERIES} held-out query vectors, reported as the
+    top-{_SHAP_TOP} most VALUABLE and most HARMFUL training points —
+    the rank a curation loop acts on (keep/boost the first list, audit
+    or drop the second).  Both global ranks are orderBy+limit
+    (TakeOrderedAndProject), never a full sort of the valuation table.
+    The oracle replays the identical recursion with window functions:
+    per-term floored micro-units from single IEEE divisions, integer
+    suffix sums, integer test-set sum."""
+    from ..operators.similarity import knn_shapley
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    test = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    train = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    tot = knn_shapley(train, test, k=_SHAP_K, scale=_SHAP_SCALE)
+
+    def _side(bucket: str, order: list) -> "DataFrame":
+        return (
+            tot.orderBy(*order)
+            .limit(_SHAP_TOP)
+            .withColumn("brank", F.row_number().over(Window.orderBy(*order)))
+            .select(
+                F.lit(bucket).alias("bucket"),
+                "vec_id",
+                "shap_u",
+                F.col("brank").cast("long").alias("brank"),
+            )
+        )
+
+    val = _side("valuable", [F.col("shap_u").desc(), F.col("vec_id").asc()])
+    harm = _side("harmful", [F.col("shap_u").asc(), F.col("vec_id").asc()])
+    return val.unionByName(harm)
+
+
+def sql_knn_shapley() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.e) + 1), "
+        "i -> q.e[i] * t.e[i]), (a, b) -> a + b)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    return f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e, label AS q_label FROM vecs
+      WHERE vec_id < {_N_QUERIES}),
+t AS (SELECT vec_id, e, label FROM vecs WHERE vec_id >= {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, t.vec_id,
+         CAST(floor(round({dot} / ({nrm.format(v="q.e")} * {nrm.format(v="t.e")}), 6)
+                    * 1e6) AS BIGINT) AS cos_u,
+         CASE WHEN t.label = q.q_label THEN 1 ELSE 0 END AS ind
+  FROM q, t
+),
+ranked AS (
+  SELECT query_id, vec_id, ind,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_u DESC, vec_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY query_id) AS n
+  FROM scored
+),
+terms AS (
+  SELECT query_id, vec_id, r, ind, n,
+         LEAD(ind) OVER (PARTITION BY query_id ORDER BY r) AS ind_nxt
+  FROM ranked
+),
+tvals AS (
+  SELECT query_id, vec_id, r,
+         CASE WHEN ind_nxt IS NULL
+              THEN CAST(floor({float(_SHAP_SCALE)} * ind / n) AS BIGINT)
+              ELSE CAST(floor({float(_SHAP_SCALE)} * (ind - ind_nxt)
+                              * LEAST({_SHAP_K}, r)
+                              / ({_SHAP_K} * r)) AS BIGINT)
+         END AS t
+  FROM terms
+),
+svals AS (
+  SELECT query_id, vec_id,
+         SUM(t) OVER (PARTITION BY query_id ORDER BY r
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+  FROM tvals
+),
+total AS (
+  SELECT vec_id, CAST(SUM(s) AS BIGINT) AS shap_u FROM svals GROUP BY vec_id
+),
+rk AS (
+  SELECT vec_id, shap_u,
+         ROW_NUMBER() OVER (ORDER BY shap_u DESC, vec_id ASC) AS vrank,
+         ROW_NUMBER() OVER (ORDER BY shap_u ASC, vec_id ASC) AS hrank
+  FROM total
+)
+SELECT 'valuable' AS bucket, vec_id, shap_u, CAST(vrank AS BIGINT) AS brank
+FROM rk WHERE vrank <= {_SHAP_TOP}
+UNION ALL
+SELECT 'harmful' AS bucket, vec_id, shap_u, CAST(hrank AS BIGINT) AS brank
+FROM rk WHERE hrank <= {_SHAP_TOP}"""
+
+
+QUERIES["q_knn_shapley"] = q_knn_shapley
+ORACLES["q_knn_shapley"] = sql_knn_shapley
+
+
+# --- wave 59: two-stage ANN serving (PQ shortlist -> exact re-rank) ---
+
+_RERANK_K = 5
+
+
+def q_rerank_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The production two-stage retrieval shape (FAISS / vector-DB
+    serving): stage 1 takes the verified PQ/ADC top-{_TOPK_K}
+    shortlist per query (q_pq_topk unchanged — compressed codes, no
+    vector-width work), stage 2 fetches ONLY those candidates' full
+    vectors through a keyed join and re-ranks them by exact cosine to
+    the final top-{_RERANK_K}.  ``adc_rank`` is carried through so the
+    output shows exactly how much the exact stage reorders the
+    compressed stage.  Scale: the shortlist is queries*k rows
+    (broadcast side of the fetch join) — the corpus is touched once by
+    the code scan and once by a keyed fetch of k rows per query,
+    never a second full scan.  Oracle: the verified sql_pq_topk text
+    composed as a subquery + the sql_topk_cosine cosine fragments on
+    the candidate pairs."""
+    pq = q_pq_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("adc_rank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = pq.join(
+        emb.select("vec_id", F.col("embedding").alias("c_vec")), "vec_id"
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    from ..operators.similarity import cosine
+
+    scored = cand.join(qv, "query_id").select(
+        "query_id",
+        "vec_id",
+        "adc_rank",
+        F.floor(
+            F.round(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            )
+            * 1e6
+        ).cast("long").alias("cos_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_u").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= _RERANK_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "cos_u",
+            F.col("rerank").cast("long").alias("rerank"),
+            F.col("adc_rank").cast("long").alias("adc_rank"),
+        )
+    )
+
+
+def sql_rerank_topk() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.e) + 1), "
+        "i -> q.e[i] * c.e[i]), (a, b) -> a + b)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    return f"""WITH pq AS (
+  SELECT query_id, vec_id, rank AS adc_rank FROM ({sql_pq_topk()})
+),
+fvecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e FROM fvecs WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT pq.query_id, pq.vec_id, pq.adc_rank, fvecs.e
+      FROM pq JOIN fvecs USING (vec_id)),
+scored AS (
+  SELECT c.query_id, c.vec_id, c.adc_rank,
+         CAST(floor(round({dot} / ({nrm.format(v="q.e")} * {nrm.format(v="c.e")}), 6)
+                    * 1e6) AS BIGINT) AS cos_u
+  FROM c JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_u, adc_rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_u DESC, vec_id ASC) AS rerank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_u, CAST(rerank AS BIGINT) AS rerank,
+       CAST(adc_rank AS BIGINT) AS adc_rank
+FROM ranked WHERE rerank <= {_RERANK_K}"""
+
+
+QUERIES["q_rerank_topk"] = q_rerank_topk
+ORACLES["q_rerank_topk"] = sql_rerank_topk
+
+
+# --- wave 60: Fellegi-Sunter record-linkage weights ---
+
+_FS_LEN_BUCKET = 200
+_FS_PREFIX = 24
+_FS_SALT = "fs-u-pairing"
+_FS_FIELDS = ("lang", "source", "len_bucket", "prefix")
+
+
+def q_fs_linkage(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Fellegi-Sunter (JASA 1969) record-linkage weight estimation:
+    per comparison field the match/non-match agreement probabilities
+    m = P(agree | M) and u = P(agree | U) and the integer likelihood
+    lift m/u that orders fields by discriminative power (the
+    log-odds-free twin of the F-S weight, same PMI-style micro-unit
+    ratio as q_collocations — no libm on either engine).  M is the
+    verified MinHash-LSH pair set reused verbatim; U is the classic
+    random-pairing estimator made deterministic and shuffle-light:
+    docs are paired with their md5-neighbor INSIDE 256 hash buckets
+    (no global sort, window per bucket), true matches anti-joined
+    out.  Fields: lang, source, floor(n_chars/{_FS_LEN_BUCKET})
+    bucket, first-{_FS_PREFIX}-char normalized prefix.  Scale: both
+    pair sets are linear in n (banding join + one neighbor per doc);
+    feature fetch is two keyed joins; one map-side-combined groupBy
+    ends in a 4-row report."""
+    from ..operators.dedup import minhash_lsh_pairs, norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_FS_LEN_BUCKET}").alias("len_b"),
+        F.substring(norm_text(F.col("text")), 1, _FS_PREFIX).alias("pfx"),
+    )
+    m = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    ).select("doc_id_a", "doc_id_b")
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{_FS_SALT}")))
+    wb = Window.partitionBy("bkt").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    hashed = docs.select("doc_id").withColumn("h", h).withColumn(
+        "bkt", F.substring(F.col("h"), 1, 2)
+    )
+    neigh = hashed.select(
+        "doc_id",
+        F.row_number().over(wb).alias("rn"),
+        F.lead("doc_id").over(wb).alias("nxt"),
+    )
+    u0 = neigh.filter(
+        (F.col("rn") % 2 == 1) & F.col("nxt").isNotNull()
+    ).select(
+        F.least("doc_id", "nxt").alias("doc_id_a"),
+        F.greatest("doc_id", "nxt").alias("doc_id_b"),
+    )
+    u = u0.join(m, ["doc_id_a", "doc_id_b"], "left_anti")
+    labeled = m.withColumn("cls", F.lit("match")).unionByName(
+        u.withColumn("cls", F.lit("nonmatch"))
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("fid_a"),
+        *[F.col(c).alias(f"{c}_a") for c in feats.columns if c != "doc_id"],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("fid_b"),
+        *[F.col(c).alias(f"{c}_b") for c in feats.columns if c != "doc_id"],
+    )
+    flags = (
+        labeled.join(fa, F.col("doc_id_a") == F.col("fid_a"))
+        .join(fb, F.col("doc_id_b") == F.col("fid_b"))
+        .select(
+            "cls",
+            F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0).alias("f_lang"),
+            F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0).alias("f_source"),
+            F.when(F.col("len_b_a") == F.col("len_b_b"), 1).otherwise(0).alias("f_len"),
+            F.when(F.col("pfx_a") == F.col("pfx_b"), 1).otherwise(0).alias("f_prefix"),
+        )
+    )
+    long = flags.select(
+        "cls",
+        F.expr(
+            "stack(4, 'lang', f_lang, 'source', f_source, "
+            "'len_bucket', f_len, 'prefix', f_prefix) AS (field, agree)"
+        ),
+    )
+    agg = long.groupBy("field").agg(
+        F.sum(F.when(F.col("cls") == "match", 1).otherwise(0)).cast("long").alias("n_m"),
+        F.sum(F.when(F.col("cls") == "match", F.col("agree")).otherwise(0)).cast("long").alias("agree_m"),
+        F.sum(F.when(F.col("cls") == "nonmatch", 1).otherwise(0)).cast("long").alias("n_u"),
+        F.sum(F.when(F.col("cls") == "nonmatch", F.col("agree")).otherwise(0)).cast("long").alias("agree_u"),
+    )
+    return agg.select(
+        "field",
+        "n_m",
+        "agree_m",
+        "n_u",
+        "agree_u",
+        F.expr("CASE WHEN n_m > 0 THEN (agree_m * 1000000) div n_m ELSE 0 END")
+        .cast("long").alias("m_u"),
+        F.expr("CASE WHEN n_u > 0 THEN (agree_u * 1000000) div n_u ELSE 0 END")
+        .cast("long").alias("u_u"),
+    ).select(
+        "*",
+        F.expr("(m_u * 1000000) div GREATEST(u_u, 1)").cast("long").alias("lift_u"),
+    )
+
+
+def sql_fs_linkage() -> str:
+    return f"""WITH {_minhash_cand_cte()},
+feats AS (
+  SELECT doc_id, lang, source,
+         n_chars // {_FS_LEN_BUCKET} AS len_b,
+         substr({_NORM.format(c="text")}, 1, {_FS_PREFIX}) AS pfx
+  FROM documents
+),
+m AS (SELECT doc_id_a, doc_id_b FROM cand),
+hashed AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '|{_FS_SALT}') AS h
+  FROM documents
+),
+neigh AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 2)
+                            ORDER BY h ASC, doc_id ASC) AS rn,
+         LEAD(doc_id) OVER (PARTITION BY substr(h, 1, 2)
+                            ORDER BY h ASC, doc_id ASC) AS nxt
+  FROM hashed
+),
+u0 AS (
+  SELECT LEAST(doc_id, nxt) AS doc_id_a, GREATEST(doc_id, nxt) AS doc_id_b
+  FROM neigh WHERE rn % 2 = 1 AND nxt IS NOT NULL
+),
+u AS (SELECT * FROM u0 ANTI JOIN m USING (doc_id_a, doc_id_b)),
+labeled AS (
+  SELECT doc_id_a, doc_id_b, 'match' AS cls FROM m
+  UNION ALL
+  SELECT doc_id_a, doc_id_b, 'nonmatch' AS cls FROM u
+),
+flags AS (
+  SELECT l.cls,
+         CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END AS f_source,
+         CASE WHEN fa.len_b = fb.len_b THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN fa.pfx = fb.pfx THEN 1 ELSE 0 END AS f_prefix
+  FROM labeled l
+  JOIN feats fa ON fa.doc_id = l.doc_id_a
+  JOIN feats fb ON fb.doc_id = l.doc_id_b
+),
+long AS (
+  SELECT cls, 'lang' AS field, f_lang AS agree FROM flags
+  UNION ALL SELECT cls, 'source', f_source FROM flags
+  UNION ALL SELECT cls, 'len_bucket', f_len FROM flags
+  UNION ALL SELECT cls, 'prefix', f_prefix FROM flags
+),
+agg AS (
+  SELECT field,
+         SUM(CASE WHEN cls = 'match' THEN 1 ELSE 0 END) AS n_m,
+         SUM(CASE WHEN cls = 'match' THEN agree ELSE 0 END) AS agree_m,
+         SUM(CASE WHEN cls = 'nonmatch' THEN 1 ELSE 0 END) AS n_u,
+         SUM(CASE WHEN cls = 'nonmatch' THEN agree ELSE 0 END) AS agree_u
+  FROM long GROUP BY field
+),
+ratios AS (
+  SELECT field,
+         CAST(n_m AS BIGINT) AS n_m, CAST(agree_m AS BIGINT) AS agree_m,
+         CAST(n_u AS BIGINT) AS n_u, CAST(agree_u AS BIGINT) AS agree_u,
+         CAST(CASE WHEN n_m > 0 THEN (agree_m * 1000000) // n_m ELSE 0 END AS BIGINT) AS m_u,
+         CAST(CASE WHEN n_u > 0 THEN (agree_u * 1000000) // n_u ELSE 0 END AS BIGINT) AS u_u
+  FROM agg
+)
+SELECT field, n_m, agree_m, n_u, agree_u, m_u, u_u,
+       CAST((m_u * 1000000) // GREATEST(u_u, 1) AS BIGINT) AS lift_u
+FROM ratios"""
+
+
+QUERIES["q_fs_linkage"] = q_fs_linkage
+ORACLES["q_fs_linkage"] = sql_fs_linkage
+
+
+# --- wave 61: l-diversity audit ---
+
+_LDIV_L = 3
+_LDIV_LEN_BUCKET = 500
+
+
+def q_l_diversity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007) — the
+    stronger release gate k-anonymity misses: a quasi-identifier group
+    can be large yet expose its members if the SENSITIVE attribute is
+    (near-)constant inside it.  QI = (source, floor(n_chars/{_LDIV_LEN_BUCKET}))
+    — the k-anonymity-style release key; sensitive = lang.  Reports
+    group counts, groups/rows below l={_LDIV_L} distinct sensitive
+    values, the corpus-wide minimum diversity, and the at-risk row
+    share in micro-units.  Same shape as q_k_anonymity: one
+    map-side-combined groupBy, then a group-count-sized aggregate —
+    nothing scales with row width."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grp = docs.groupBy(
+        "source", F.expr(f"n_chars div {_LDIV_LEN_BUCKET}").alias("len_b")
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.countDistinct("lang").cast("long").alias("d"),
+    )
+    agg = grp.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("d") < _LDIV_L, 1).otherwise(0))
+        .cast("long").alias("n_weak_groups"),
+        F.sum(F.when(F.col("d") < _LDIV_L, F.col("c")).otherwise(0))
+        .cast("long").alias("n_weak_rows"),
+        F.min("d").cast("long").alias("min_diversity"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    return agg.select(
+        "n_groups",
+        "n_weak_groups",
+        "n_weak_rows",
+        "min_diversity",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN (n_weak_rows * 1000000) div n_rows"
+            " ELSE 0 END"
+        ).cast("long").alias("weak_share_u"),
+    )
+
+
+def sql_l_diversity() -> str:
+    return f"""WITH grp AS (
+  SELECT source, n_chars // {_LDIV_LEN_BUCKET} AS len_b,
+         COUNT(*) AS c, COUNT(DISTINCT lang) AS d
+  FROM documents GROUP BY 1, 2
+),
+agg AS (
+  SELECT COUNT(*) AS n_groups,
+         SUM(CASE WHEN d < {_LDIV_L} THEN 1 ELSE 0 END) AS n_weak_groups,
+         SUM(CASE WHEN d < {_LDIV_L} THEN c ELSE 0 END) AS n_weak_rows,
+         MIN(d) AS min_diversity,
+         SUM(c) AS n_rows
+  FROM grp
+)
+SELECT CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_weak_groups AS BIGINT) AS n_weak_groups,
+       CAST(n_weak_rows AS BIGINT) AS n_weak_rows,
+       CAST(min_diversity AS BIGINT) AS min_diversity,
+       CAST(CASE WHEN n_rows > 0
+                 THEN (n_weak_rows * 1000000) // n_rows
+                 ELSE 0 END AS BIGINT) AS weak_share_u
+FROM agg"""
+
+
+QUERIES["q_l_diversity"] = q_l_diversity
+ORACLES["q_l_diversity"] = sql_l_diversity
+
+
+# --- wave 62: staged dedup cascade accounting ---
+
+_CASCADE_STAGES = ("1_exact", "2_simhash", "3_minhash")
+
+
+def q_dedup_cascade(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The production dedup CASCADE, cheapest-first, with per-stage
+    survivor accounting: (1) exact content digest (one groupBy), then
+    (2) SimHash near-dups over the exact survivors (signature
+    blocking), then (3) MinHash-LSH over what's left (shingle
+    banding).  Each stage only charges removals where BOTH pair
+    endpoints are still alive entering that stage (pairs whose
+    canonical twin already died are NOT double-counted), using the
+    deterministic keep-smaller-id rule; pair relations are the
+    verified q_simhash_pairs / q_minhash_lsh_pairs legs reused
+    verbatim.  This ordering is what makes 100 TB dedup affordable:
+    each expensive stage sees only the prior stage's survivors, and
+    the report shows exactly how much each stage still buys.  Output:
+    (stage, stage_ord, n_in, n_removed, n_out) — 3 rows at any
+    scale."""
+    from ..operators.dedup import doc_digest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dig = docs.select("doc_id", doc_digest(F.col("text")).alias("digest"))
+    wd = Window.partitionBy("digest").orderBy("doc_id")
+    ex_rm = (
+        dig.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    s0 = docs.select("doc_id")
+    s1 = s0.join(ex_rm, "doc_id", "left_anti")
+
+    def _pair_removals(pairs: "DataFrame", alive: "DataFrame") -> "DataFrame":
+        return (
+            pairs.join(
+                alive.select(F.col("doc_id").alias("doc_id_a")),
+                "doc_id_a",
+                "left_semi",
+            )
+            .join(
+                alive.select(F.col("doc_id").alias("doc_id_b")),
+                "doc_id_b",
+                "left_semi",
+            )
+            .select(F.col("doc_id_b").alias("doc_id"))
+            .distinct()
+        )
+
+    from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    sh_rm = _pair_removals(
+        simhash_pairs(docs, max_hamming=3).select("doc_id_a", "doc_id_b"), s1
+    )
+    s2 = s1.join(sh_rm, "doc_id", "left_anti")
+    mh_rm = _pair_removals(
+        minhash_lsh_pairs(
+            docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+        ).select("doc_id_a", "doc_id_b"),
+        s2,
+    )
+
+    def _stage_row(name: str, ord_: int, df_in, df_rm) -> "DataFrame":
+        a = df_in.agg(F.count("*").cast("long").alias("n_in"))
+        b = df_rm.agg(F.count("*").cast("long").alias("n_removed"))
+        return a.crossJoin(b).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            "n_in",
+            "n_removed",
+            (F.col("n_in") - F.col("n_removed")).cast("long").alias("n_out"),
+        )
+
+    return (
+        _stage_row("1_exact", 1, s0, ex_rm)
+        .unionByName(_stage_row("2_simhash", 2, s1, sh_rm))
+        .unionByName(_stage_row("3_minhash", 3, s2, mh_rm))
+    )
+
+
+def sql_dedup_cascade() -> str:
+    return f"""WITH {_minhash_cand_cte()},
+sh_pairs AS (SELECT doc_id_a, doc_id_b FROM ({sql_simhash_pairs()})),
+mh_pairs AS (SELECT doc_id_a, doc_id_b FROM cand),
+dig AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS digest FROM documents),
+ex_rm AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+    FROM dig)
+  WHERE rn > 1
+),
+s0 AS (SELECT doc_id FROM documents),
+s1 AS (SELECT doc_id FROM s0 ANTI JOIN ex_rm USING (doc_id)),
+sh_rm AS (
+  SELECT DISTINCT p.doc_id_b AS doc_id FROM sh_pairs p
+  JOIN s1 a ON a.doc_id = p.doc_id_a
+  JOIN s1 b ON b.doc_id = p.doc_id_b
+),
+s2 AS (SELECT doc_id FROM s1 ANTI JOIN sh_rm USING (doc_id)),
+mh_rm AS (
+  SELECT DISTINCT p.doc_id_b AS doc_id FROM mh_pairs p
+  JOIN s2 a ON a.doc_id = p.doc_id_a
+  JOIN s2 b ON b.doc_id = p.doc_id_b
+)
+SELECT '1_exact' AS stage, CAST(1 AS BIGINT) AS stage_ord,
+       CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_in,
+       CAST((SELECT COUNT(*) FROM ex_rm) AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM s0) - (SELECT COUNT(*) FROM ex_rm)
+            AS BIGINT) AS n_out
+UNION ALL
+SELECT '2_simhash', CAST(2 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sh_rm) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM sh_rm)
+            AS BIGINT)
+UNION ALL
+SELECT '3_minhash', CAST(3 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM mh_rm) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM mh_rm)
+            AS BIGINT)"""
+
+
+QUERIES["q_dedup_cascade"] = q_dedup_cascade
+ORACLES["q_dedup_cascade"] = sql_dedup_cascade
+
+
+# --- wave 63: pairwise two-sample KS drift over sources ---
+
+_KS_TOP_SOURCES = 4
+
+
+def q_ks_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    document-length (n_chars) distributions of every pair of the
+    top-{_KS_TOP_SOURCES} sources — the distribution-free drift test
+    for 'did this crawl source change shape', next to the
+    moment-based q_corpus_drift / q_cusum_drift.  Exact integer
+    arithmetic throughout: D = max_v |F_a(v) - F_b(v)| is evaluated as
+    max |cum_a(v)*n_b - cum_b(v)*n_a| over the pair's DISTINCT values
+    (ECDFs only move at sample points, and grouping by value first
+    makes ties well-defined), reported as (max_num * 1e6) div
+    (n_a*n_b).  Scale: per-(source, value) pre-aggregation shrinks the
+    window input to distinct lengths; cumsums are windows PARTITIONED
+    per pair (no global sort); the top-K source cap bounds the pair
+    fanout — with more sources the production path runs the same max
+    over the registered quantile sketch instead."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    top = F.broadcast(
+        cnt.orderBy(F.col("n").desc(), F.col("source").asc())
+        .limit(_KS_TOP_SOURCES)
+    )
+    a = top.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    b = top.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    byval = docs.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    va = byval.join(pairs, byval["source"] == pairs["source_a"]).select(
+        "source_a", "source_b", "n_a", "n_b", "n_chars",
+        F.col("k").alias("k1"), F.lit(0).cast("long").alias("k2"),
+    )
+    vb = byval.join(pairs, byval["source"] == pairs["source_b"]).select(
+        "source_a", "source_b", "n_a", "n_b", "n_chars",
+        F.lit(0).cast("long").alias("k1"), F.col("k").alias("k2"),
+    )
+    v = va.unionByName(vb).groupBy(
+        "source_a", "source_b", "n_a", "n_b", "n_chars"
+    ).agg(F.sum("k1").alias("c1"), F.sum("k2").alias("c2"))
+    wc = (
+        Window.partitionBy("source_a", "source_b")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = v.select(
+        "source_a", "source_b", "n_a", "n_b",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+    )
+    ks = cum.groupBy("source_a", "source_b", "n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n_b") - F.col("cum2") * F.col("n_a"))
+        ).alias("max_num")
+    )
+    return ks.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.expr("(max_num * 1000000) div (n_a * n_b)")
+        .cast("long").alias("ks_u"),
+    )
+
+
+def sql_ks_drift() -> str:
+    return f"""WITH cnt AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+top AS (
+  SELECT source, n FROM cnt ORDER BY n DESC, source ASC
+  LIMIT {_KS_TOP_SOURCES}
+),
+pairs AS (
+  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+  FROM top a JOIN top b ON a.source < b.source
+),
+byval AS (
+  SELECT source, n_chars, COUNT(*) AS k FROM documents GROUP BY 1, 2
+),
+v AS (
+  SELECT source_a, source_b, n_a, n_b, n_chars,
+         SUM(k1) AS c1, SUM(k2) AS c2
+  FROM (
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b, bv.n_chars,
+           bv.k AS k1, 0 AS k2
+    FROM byval bv JOIN pairs p ON bv.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b, bv.n_chars,
+           0 AS k1, bv.k AS k2
+    FROM byval bv JOIN pairs p ON bv.source = p.source_b
+  ) GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT source_a, source_b, n_a, n_b,
+         CAST(SUM(c1) OVER (PARTITION BY source_a, source_b ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (PARTITION BY source_a, source_b ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2
+  FROM v
+),
+ks AS (
+  SELECT source_a, source_b, n_a, n_b,
+         MAX(abs(cum1 * n_b - cum2 * n_a)) AS max_num
+  FROM cum GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST((max_num * 1000000) // (n_a * n_b) AS BIGINT) AS ks_u
+FROM ks"""
+
+
+QUERIES["q_ks_drift"] = q_ks_drift
+ORACLES["q_ks_drift"] = sql_ks_drift
+
+
+# --- wave 64: Good-Turing unseen-mass estimate per source ---
+
+
+def q_good_turing(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source Good-Turing missing-mass estimate (Good 1953; the
+    simple estimator P0 = N1/N): how much probability mass each crawl
+    source assigns to token types it has NOT shown yet — the
+    'keep crawling this source?' signal that complements
+    q_vocab_saturation's growth curve with a closed-form one-scan
+    answer.  Reports token count N, vocabulary V, hapax/dis legomena
+    N1/N2 and the unseen mass in micro-units ((N1*1e6) div N — exact
+    rational, no libm).  Scale: one groupBy(source, token) with
+    map-side combine, then a source-count-sized rollup; nothing holds
+    state wider than a token row."""
+    from ..operators.dedup import norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    agg = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (n1 * 1000000) div n_tokens"
+            " ELSE 0 END"
+        ).cast("long").alias("unseen_mass_u"),
+    )
+
+
+def sql_good_turing() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH tok AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         SUM(c) AS n_tokens,
+         COUNT(*) AS vocab,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+  FROM tc GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(CASE WHEN n_tokens > 0 THEN (n1 * 1000000) // n_tokens
+                 ELSE 0 END AS BIGINT) AS unseen_mass_u
+FROM agg"""
+
+
+QUERIES["q_good_turing"] = q_good_turing
+ORACLES["q_good_turing"] = sql_good_turing

@@ -1946,3 +1946,111 @@ def test_crosssource_dups_joins_are_keyed(spark, sf_dir):
     plan = plan_str(q_crosssource_dups(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_shapley_broadcasts_test_side_no_python(spark, sf_dir):
+    """The valuation scan must broadcast the probe set (the corpus is
+    scored in one pass), keep every expression JVM-side, and end in
+    TakeOrderedAndProject (orderBy+limit) rather than a full sort of
+    the valuation table."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_knn_shapley,
+    )
+
+    plan = plan_str(q_knn_shapley(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rerank_topk_fetch_join_is_keyed(spark, sf_dir):
+    """Stage 2 must fetch candidate vectors through a keyed join on
+    vec_id (the corpus is never re-scanned as a cartesian) with the
+    bounded shortlist broadcast; no Python anywhere."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_rerank_topk,
+    )
+
+    plan = plan_str(q_rerank_topk(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_fs_linkage_pairing_avoids_global_sort(spark, sf_dir):
+    """The U-sample neighbor pairing must window inside 256 md5
+    buckets — the plan may not contain a partition-less (global)
+    window sort — and the feature fetches are keyed joins."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_fs_linkage,
+    )
+
+    df = q_fs_linkage(spark, sf_dir)
+    plan = plan_str(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every window in the plan is partitioned (no global single-task sort)
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "partitionBy" not in frag or "partitionBy=[]" not in frag
+
+
+def test_l_diversity_single_aggregate_chain(spark, sf_dir):
+    """Two hash aggregates (group stats, then the 1-row audit), no
+    joins, no Python — the release audit must stay a pure scan+agg."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_l_diversity,
+    )
+
+    plan = plan_str(q_l_diversity(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan  # no join operators of any kind expected
+    assert "HashAggregate" in plan
+
+
+def test_dedup_cascade_no_python_semi_anti_chain(spark, sf_dir):
+    """The cascade must stay JVM-side (digest + signature stages are
+    codegen expressions) and restrict stages via semi/anti joins —
+    never a cartesian."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dedup_cascade,
+    )
+
+    plan = plan_str(q_dedup_cascade(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_ks_drift_windows_are_pair_partitioned(spark, sf_dir):
+    """The ECDF cumsums must be windows PARTITIONED by source pair (no
+    global single-task sort) over the pre-aggregated distinct-value
+    table, with the top-source list broadcast."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_ks_drift,
+    )
+
+    plan = plan_str(q_ks_drift(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "partitionBy=[]" not in frag
+
+
+def test_good_turing_is_two_hash_aggregates(spark, sf_dir):
+    """One token-level groupBy with map-side combine, one
+    source-level rollup — no joins, no windows, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_good_turing,
+    )
+
+    plan = plan_str(q_good_turing(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

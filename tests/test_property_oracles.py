@@ -183,6 +183,14 @@ _QUERY_NAMES = [
     # still emit their COALESCE'd zero aggregates)
     "q_textrank",
     "q_curation_funnel",
+    # wave 60-64: F-S weights (MinHash M-set + md5-neighbor U-set),
+    # l-diversity audit, staged cascade accounting (exact/simhash/
+    # minhash interactions shift per draw), pairwise KS, Good-Turing
+    "q_fs_linkage",
+    "q_l_diversity",
+    "q_dedup_cascade",
+    "q_ks_drift",
+    "q_good_turing",
 ]
 
 
@@ -238,6 +246,11 @@ _EMB_QUERY_NAMES = [
     # is nearest/furthest per draw; the non-self windows must pick
     # the same rows in both engines even when cos_u ties
     "q_training_triplets",
+    # wave 58/59: KNN-Shapley suffix-sum recursion (per-term floored
+    # IEEE divisions must agree under every random neighbor order)
+    # and the PQ-shortlist -> exact-cosine re-rank composition
+    "q_knn_shapley",
+    "q_rerank_topk",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
@@ -270,9 +283,11 @@ def test_embedding_queries_match_oracle_on_random_vectors(
     from __spark_entry__ import oracle_sql, queries
 
     sf_dir = str(tmp_path_factory.mktemp("prop_emb"))
-    rows = [(i, v) for i, v in enumerate(vecs)]
+    # label = i % 3 gives the valuation/classifier queries a
+    # deterministic non-degenerate class structure on every draw
+    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
     spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<float>"
+        rows, "vec_id bigint, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
     # q_hybrid_rrf fuses the cosine ranks with BM25 over a companion
     # corpus: doc ids mirror vec ids, term hits vary per doc so the

@@ -1,0 +1,307 @@
+"""Wave 58-61 invariants: KNN-Shapley closed-form recursion (hand
+arithmetic + the all-same-label symmetry), two-stage re-rank
+containment/exactness, Fellegi-Sunter pair-set accounting,
+l-diversity audit consistency.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# wave 58: KNN-Shapley
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_shapley_hand_recursion(spark):
+    """3 train points, 1 test point, K=2.  Neighbor order by cosine to
+    t=[1,0]: a=[1,0.01] (ind 1), b=[1,1] (ind 0), c=[-1,0] (ind 1).
+    Recursion in 1e-9 units: t3 = floor(1e9/3) = 333333333,
+    t2 = floor(1e9*(0-1)*2/4) = -500000000, t1 = floor(1e9*1*1/2) =
+    500000000; suffix sums: c=333333333, b=-166666667, a=333333333."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        knn_shapley,
+    )
+
+    train = _emb(
+        spark,
+        [(10, [1.0, 0.01], 0), (11, [1.0, 1.0], 1), (12, [-1.0, 0.0], 0)],
+    )
+    test = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.vec_id: r.shap_u for r in knn_shapley(train, test, k=2).collect()
+    }
+    assert got == {10: 333333333, 11: -166666667, 12: 333333333}
+
+
+def test_knn_shapley_uniform_labels_give_equal_value(spark):
+    """All labels equal -> every boundary increment is zero and every
+    training point inherits exactly s(N) = floor(scale/N): the Shapley
+    symmetry axiom surfaced as an integer identity (here N=4)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        knn_shapley,
+    )
+
+    train = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.5, 0.5], 7),
+            (3, [0.0, 1.0], 7),
+            (4, [-1.0, 0.3], 7),
+        ],
+    )
+    test = spark.createDataFrame(
+        [(0, [0.9, 0.1], 7)], "query_id long, embedding array<float>, label int"
+    )
+    vals = {r.shap_u for r in knn_shapley(train, test, k=3).collect()}
+    assert vals == {250000000}
+
+
+def test_knn_shapley_sums_over_test_points(spark):
+    """Two test points -> each training value is the SUM of its two
+    per-test suffix values (run the two single-test calls and add)."""
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        knn_shapley,
+    )
+
+    train = _emb(
+        spark,
+        [(10, [1.0, 0.01], 0), (11, [1.0, 1.0], 1), (12, [-1.0, 0.0], 0)],
+    )
+    t1 = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, embedding array<float>, label int"
+    )
+    t2 = spark.createDataFrame(
+        [(1, [0.0, 1.0], 1)], "query_id long, embedding array<float>, label int"
+    )
+    both = t1.unionByName(t2)
+    single = {}
+    for t in (t1, t2):
+        for r in knn_shapley(train, t, k=2).collect():
+            single[r.vec_id] = single.get(r.vec_id, 0) + r.shap_u
+    combined = {
+        r.vec_id: r.shap_u for r in knn_shapley(train, both, k=2).collect()
+    }
+    assert combined == single
+
+
+# ---------------------------------------------------------------------------
+# wave 59: two-stage re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_is_contained_in_shortlist_and_exact(spark, sf_dir):
+    """Every re-ranked row must come from the PQ shortlist (same
+    (query, vec) pairs), carry the EXACT cosine (equal to
+    q_topk_cosine's value where the pair appears there too), and rank
+    densely 1..K per query."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _RERANK_K,
+        q_pq_topk,
+        q_rerank_topk,
+        q_topk_cosine,
+    )
+
+    rr = q_rerank_topk(spark, sf_dir).collect()
+    shortlist = {
+        (r.query_id, r.vec_id) for r in q_pq_topk(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.cos_u
+        for r in q_topk_cosine(spark, sf_dir).collect()
+    }
+    per_q = {}
+    for r in rr:
+        assert (r.query_id, r.vec_id) in shortlist
+        if (r.query_id, r.vec_id) in exact:
+            assert r.cos_u == exact[(r.query_id, r.vec_id)]
+        per_q.setdefault(r.query_id, []).append(r.rerank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, _RERANK_K + 1))
+
+
+# ---------------------------------------------------------------------------
+# wave 60: Fellegi-Sunter weights
+# ---------------------------------------------------------------------------
+
+
+def test_fs_linkage_pair_accounting(spark, sf_dir):
+    """n_m must equal the verified MinHash pair count (M reused
+    verbatim), the U sample is non-empty and disjoint from M by
+    construction, ratios sit in [0, 1e6], and all four fields report."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _FS_FIELDS,
+        q_fs_linkage,
+        q_minhash_lsh_pairs,
+    )
+
+    rows = {r.field: r for r in q_fs_linkage(spark, sf_dir).collect()}
+    assert set(rows) == set(_FS_FIELDS)
+    n_pairs = q_minhash_lsh_pairs(spark, sf_dir).count()
+    for r in rows.values():
+        assert r.n_m == n_pairs
+        assert r.n_u > 0
+        assert 0 <= r.agree_m <= r.n_m and 0 <= r.agree_u <= r.n_u
+        assert 0 <= r.m_u <= 1_000_000 and 0 <= r.u_u <= 1_000_000
+
+
+def test_fs_prefix_field_discriminates_on_near_dups(spark, sf_dir):
+    """Near-duplicate pairs share normalized prefixes far more often
+    than random pairs — the prefix field's m must exceed its u (the
+    reason F-S weights order fields by m/u lift)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_fs_linkage,
+    )
+
+    rows = {r.field: r for r in q_fs_linkage(spark, sf_dir).collect()}
+    assert rows["prefix"].m_u > rows["prefix"].u_u
+
+
+# ---------------------------------------------------------------------------
+# wave 61: l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_matches_independent_recount(spark, sf_dir):
+    """The audit row must agree with an independently-written
+    groupBy/countDistinct recount of the same QI/sensitive split."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _LDIV_L,
+        _LDIV_LEN_BUCKET,
+        q_l_diversity,
+    )
+
+    row = q_l_diversity(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grp = (
+        docs.groupBy("source", F.expr(f"n_chars div {_LDIV_LEN_BUCKET}"))
+        .agg(F.countDistinct("lang").alias("d"), F.count("*").alias("c"))
+        .collect()
+    )
+    assert row.n_groups == len(grp)
+    assert row.n_weak_groups == sum(1 for g in grp if g.d < _LDIV_L)
+    assert row.n_weak_rows == sum(g.c for g in grp if g.d < _LDIV_L)
+    assert row.min_diversity == min(g.d for g in grp)
+    assert 0 <= row.weak_share_u <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wave 62: dedup cascade
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_cascade_stage_accounting_is_consistent(spark, sf_dir):
+    """n_out of each stage must equal n_in of the next, stage 1's n_in
+    is the corpus size, and stage 1's removals equal the exact-dedup
+    duplicate count (sum of (n_dups - 1) over digest groups)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dedup_cascade,
+        q_dedup_exact,
+    )
+
+    rows = sorted(
+        q_dedup_cascade(spark, sf_dir).collect(), key=lambda r: r.stage_ord
+    )
+    assert [r.stage for r in rows] == ["1_exact", "2_simhash", "3_minhash"]
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0].n_in == docs_n
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.n_out == nxt.n_in
+        assert prev.n_out == prev.n_in - prev.n_removed
+    exact_dups = sum(
+        r.n_dups - 1 for r in q_dedup_exact(spark, sf_dir).collect()
+    )
+    assert rows[0].n_removed == exact_dups
+
+
+def test_dedup_cascade_later_stages_never_recount_earlier_kills(spark, sf_dir):
+    """Every simhash-stage removal must be a pair whose BOTH endpoints
+    survived the exact stage — no doc is charged to two stages."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_dedup_cascade,
+    )
+
+    rows = {r.stage: r for r in q_dedup_cascade(spark, sf_dir).collect()}
+    total_removed = sum(r.n_removed for r in rows.values())
+    assert rows["3_minhash"].n_out == rows["1_exact"].n_in - total_removed
+
+
+# ---------------------------------------------------------------------------
+# wave 63: KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_matches_scipy_free_reference(spark, sf_dir):
+    """Recompute one pair's exact KS with plain Python over the same
+    docs and compare the integer micro-units."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_ks_drift,
+    )
+
+    rows = q_ks_drift(spark, sf_dir).collect()
+    assert rows, "expected at least one source pair"
+    r = sorted(rows, key=lambda x: (x.source_a, x.source_b))[0]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    xa = sorted(d.n_chars for d in docs if d.source == r.source_a)
+    xb = sorted(d.n_chars for d in docs if d.source == r.source_b)
+    assert (len(xa), len(xb)) == (r.n_a, r.n_b)
+    vals = sorted(set(xa) | set(xb))
+    max_num = 0
+    import bisect
+
+    for v in vals:
+        ca = bisect.bisect_right(xa, v)
+        cb = bisect.bisect_right(xb, v)
+        max_num = max(max_num, abs(ca * len(xb) - cb * len(xa)))
+    assert r.ks_u == (max_num * 1_000_000) // (len(xa) * len(xb))
+
+
+def test_ks_drift_pair_fanout_is_capped(spark, sf_dir):
+    """At most C(top,2) pairs regardless of how many sources exist."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _KS_TOP_SOURCES,
+        q_ks_drift,
+    )
+
+    n = q_ks_drift(spark, sf_dir).count()
+    assert n <= _KS_TOP_SOURCES * (_KS_TOP_SOURCES - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# wave 64: Good-Turing
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_hand_counts(spark, tmp_path):
+    """'a a b' + 'c' in one source: N=4, V=3, N1=2 (b, c), N2=1 (a),
+    unseen mass = 2*1e6 div 4 = 500000."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_good_turing,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a a b", "l0", "s0", 5), (2, "c", "l0", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = q_good_turing(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_tokens, r.vocab, r.n1, r.n2, r.unseen_mass_u) == (
+        4, 3, 2, 1, 500_000,
+    )
