@@ -379,6 +379,12 @@ def main() -> None:
         "q_dedup_cascade",
         "q_ks_drift",
         "q_good_turing",
+        # wave 65-68: MMR diversified re-rank, MaxScore pruning audit,
+        # Zipf slope screen, quality-derived mixture
+        "q_mmr_rerank",
+        "q_maxscore_prune",
+        "q_zipf_slope",
+        "q_quality_mixture",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

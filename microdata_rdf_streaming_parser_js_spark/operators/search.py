@@ -68,6 +68,35 @@ def bm25_topk(
     greatest(1, total_tokens div N) (floored corpus average; clamped
     to 1 so a mostly-empty corpus cannot divide by zero).
     """
+    scored = bm25_contribs(
+        docs,
+        query_terms,
+        id_col=id_col,
+        text_col=text_col,
+        scale=scale,
+        k1_u=k1_u,
+        b_u=b_u,
+        idf_cap_u=idf_cap_u,
+    ).groupBy("doc_id").agg(F.sum("contrib_u").alias("score_u"))
+    return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)
+
+
+def bm25_contribs(
+    docs: "DataFrame",
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    k1_u: int = 1_200_000,
+    b_u: int = 750_000,
+    idf_cap_u: int = 1_000_000_000_000,
+) -> "DataFrame":
+    """(doc_id, t, contrib_u) — the per-(document, matched-term)
+    integer BM25 contribution table :func:`bm25_topk` sums per doc.
+    Exposed separately because the SERVING-side optimizations need the
+    per-term granularity: term max-score upper bounds (MaxScore/WAND
+    pruning), impact-ordered posting lists, and per-term score
+    explanations all read this table, not the final sums."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
@@ -91,11 +120,12 @@ def bm25_topk(
     )
     df = tf.groupBy("t").agg(F.count("*").alias("df"))
 
-    scored = (
+    return (
         tf.join(F.broadcast(df), "t")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
+            "t",
             F.expr(
                 f"(least(((n_docs - df + 1) * {scale}) div (df + 1), "
                 f"       {idf_cap_u})"
@@ -105,10 +135,7 @@ def bm25_topk(
                 f") div {scale}"
             ).alias("contrib_u"),
         )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib_u").alias("score_u"))
     )
-    return scored.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(topk)
 
 
 def tfidf_top_terms(

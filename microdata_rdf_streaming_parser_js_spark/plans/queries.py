@@ -16509,3 +16509,525 @@ FROM agg"""
 
 QUERIES["q_good_turing"] = q_good_turing
 ORACLES["q_good_turing"] = sql_good_turing
+
+
+# --- wave 65: MMR diversified re-ranking ---
+
+_MMR_K = 5
+
+
+def q_mmr_rerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Maximal-Marginal-Relevance result diversification (Carbonell &
+    Goldstein, SIGIR 1998) over the verified exact top-{_TOPK_K}
+    candidates: greedily pick {_MMR_K} results per query maximizing
+    relevance MINUS similarity-to-already-picked (lambda = 1/2, so the
+    argmax of rel_u - maxsim_u is the exact MMR order without any
+    division).  The greedy rounds are UNROLLED as {_MMR_K} fixed
+    DataFrame stages over the bounded candidate set — the same
+    bounded-iteration shape as the Lloyd/PageRank chains, and the
+    oracle replays the identical rounds as a CTE chain.  All scores
+    are the floor(round(cos,6)*1e6) integers, ties to smaller vec_id,
+    so every round's argmax is total-ordered on both engines.  Scale:
+    candidates are queries x k rows (broadcast-sized); the pairwise
+    candidate-sim table is queries x k^2; nothing touches the corpus
+    beyond the verified top-k leg.  Output: (query_id, vec_id,
+    mmr_rank, rel_u, maxsim_u) — maxsim_u is the similarity to the
+    closest already-picked result at selection time (0 for rank 1)."""
+    from ..operators.similarity import cosine
+
+    # the unrolled rounds reference cand/sims ~2x per round — pin both
+    # (queries*k rows) so the brute-force top-k leg runs ONCE, not 10x
+    cand = q_topk_cosine(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("cos_u").alias("rel")
+    ).localCheckpoint(eager=False)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cv = cand.join(emb, "vec_id").select(
+        "query_id", "vec_id", F.col("embedding").alias("v")
+    )
+    c1 = cv.select(
+        "query_id", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    c2 = cv.select(
+        F.col("query_id").alias("query_id2"),
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+    )
+    sims = (
+        c1.join(
+            c2,
+            (F.col("query_id") == F.col("query_id2")) & (F.col("a") != F.col("b")),
+        )
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(
+                F.round(
+                    cosine(
+                        F.col("va").cast("array<double>"),
+                        F.col("vb").cast("array<double>"),
+                    ),
+                    6,
+                )
+                * 1e6
+            ).cast("long").alias("sim"),
+        )
+    ).localCheckpoint(eager=False)
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "rel",
+            F.lit(0).cast("long").alias("maxsim"),
+            F.lit(1).cast("long").alias("mmr_rank"),
+        )
+    )
+    simsr = sims.select(
+        F.col("query_id").alias("s_qid"), "a", "b", "sim"
+    )
+    for r in range(2, _MMR_K + 1):
+        rem = cand.join(sel, ["query_id", "vec_id"], "left_anti")
+        ms = (
+            rem.join(
+                simsr,
+                (F.col("query_id") == F.col("s_qid"))
+                & (F.col("vec_id") == F.col("a")),
+            )
+            .join(
+                sel.select(
+                    F.col("query_id").alias("sq"), F.col("vec_id").alias("sv")
+                ),
+                (F.col("s_qid") == F.col("sq")) & (F.col("b") == F.col("sv")),
+            )
+            .groupBy("query_id", "vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            (F.col("rel") - F.col("maxsim")).desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            ms.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                F.col("maxsim").cast("long").alias("maxsim"),
+                F.lit(r).cast("long").alias("mmr_rank"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        F.col("rel").alias("rel_u"),
+        F.col("maxsim").alias("maxsim_u"),
+    )
+
+
+def sql_mmr_rerank() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len(x.e) + 1), "
+        "i -> x.e[i] * y.e[i]), (a, b) -> a + b)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    parts = [f"""cand AS (
+  SELECT query_id, vec_id, cos_u AS rel FROM ({sql_topk_cosine()})
+),
+cvec AS (
+  SELECT c.query_id, c.vec_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM cand c JOIN embeddings e USING (vec_id)
+),
+sims AS (
+  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+         CAST(floor(round({dot} / ({nrm.format(v="x.e")} * {nrm.format(v="y.e")}), 6)
+                    * 1e6) AS BIGINT) AS sim
+  FROM cvec x JOIN cvec y
+    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id
+),
+sel1 AS (
+  SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+),
+selu1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, _MMR_K + 1):
+        parts.append(f"""rem{r} AS (
+  SELECT c.query_id, c.vec_id, c.rel FROM cand c
+  ANTI JOIN selu{r - 1} s USING (query_id, vec_id)
+),
+ms{r} AS (
+  SELECT m.query_id, m.vec_id, m.rel, MAX(s.sim) AS maxsim
+  FROM rem{r} m
+  JOIN sims s ON s.query_id = m.query_id AND s.a = m.vec_id
+  JOIN selu{r - 1} t ON t.query_id = s.query_id AND t.vec_id = s.b
+  GROUP BY 1, 2, 3
+),
+sel{r} AS (
+  SELECT query_id, vec_id, rel, CAST(maxsim AS BIGINT) AS maxsim,
+         CAST({r} AS BIGINT) AS mmr_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel - maxsim DESC, vec_id ASC)
+               AS rn
+        FROM ms{r}) WHERE rn = 1
+),
+selu{r} AS (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, vec_id, mmr_rank, rel AS rel_u, maxsim AS maxsim_u
+FROM selu{_MMR_K}"""
+
+
+QUERIES["q_mmr_rerank"] = q_mmr_rerank
+ORACLES["q_mmr_rerank"] = sql_mmr_rerank
+
+
+# --- wave 66: MaxScore/WAND upper-bound pruning audit ---
+
+
+def q_maxscore_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """MaxScore/WAND-style candidate pruning audit (Turtle & Flood
+    1995; Broder et al. 2003) for the integer BM25 index: per query
+    term the index stores its MAX per-doc contribution U(t); a doc
+    whose sum of matching-term upper bounds cannot reach the exact
+    k-th score theta is skipped without full scoring — the dominant
+    serving optimization for disjunctive top-k retrieval.  This query
+    measures exactly how much the bound buys on this corpus AND
+    proves admissibility in-band: n_topk_pruned counts exact top-k
+    docs the bound would have skipped, which must be 0 because
+    UB(d) >= score(d) >= theta for every top-k doc.  Per-term
+    contributions come from operators/search.bm25_contribs — the SAME
+    table q_bm25_topk sums, so the two queries share one formula.
+    Scale: U(t) is a |terms|-row broadcast, theta a 1-row broadcast;
+    the audit adds two map-side-combined aggregates over the posting
+    join, nothing corpus-quadratic."""
+    from ..operators.search import bm25_contribs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contribs = bm25_contribs(
+        docs,
+        _BM25_TERMS,
+        scale=_BM25_SCALE,
+        k1_u=_BM25_K1_U,
+        b_u=_BM25_B_U,
+        idf_cap_u=_BM25_IDF_CAP_U,
+    )
+    umax = contribs.groupBy("t").agg(F.max("contrib_u").alias("u"))
+    scores = contribs.groupBy("doc_id").agg(
+        F.sum("contrib_u").alias("score_u")
+    )
+    topk = scores.orderBy(F.col("score_u").desc(), F.col("doc_id")).limit(
+        _BM25_TOPK
+    )
+    theta = topk.agg(
+        F.coalesce(F.min("score_u"), F.lit(0)).cast("long").alias("theta_u")
+    )
+    ub = contribs.join(F.broadcast(umax), "t").groupBy("doc_id").agg(
+        F.sum("u").alias("ub_u")
+    )
+    flags = ub.crossJoin(F.broadcast(theta)).select(
+        "doc_id",
+        "theta_u",
+        F.when(F.col("ub_u") < F.col("theta_u"), 1).otherwise(0).alias("pruned"),
+    )
+    tk = topk.select("doc_id", F.lit(1).alias("in_topk"))
+    fl = flags.join(tk, "doc_id", "left")
+    agg = fl.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("pruned").cast("long").alias("n_pruned"),
+        F.max("theta_u").cast("long").alias("theta_max"),
+        F.sum(F.col("pruned") * F.coalesce(F.col("in_topk"), F.lit(0)))
+        .cast("long").alias("n_topk_pruned"),
+    )
+    return agg.select(
+        "n_candidates",
+        F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+        (F.col("n_candidates") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+        .cast("long").alias("n_survivors"),
+        F.coalesce(F.col("theta_max"), F.lit(0)).cast("long").alias("theta_u"),
+        F.coalesce(F.col("n_topk_pruned"), F.lit(0)).cast("long")
+        .alias("n_topk_pruned"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN "
+            "(COALESCE(n_pruned, 0) * 1000000) div n_candidates ELSE 0 END"
+        ).cast("long").alias("prune_share_u"),
+    )
+
+
+def sql_maxscore_prune() -> str:
+    s, k1, b, cap = _BM25_SCALE, _BM25_K1_U, _BM25_B_U, _BM25_IDF_CAP_U
+    c2 = (k1 * b) // s
+    c1 = k1 - c2
+    toks = _TOKS.format(c="text")
+    in_list = ", ".join(_sql_str(t) for t in sorted(set(_BM25_TERMS)))
+    return f"""WITH base AS (
+  SELECT doc_id, {toks} AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM base)
+  WHERE t IN ({in_list})
+  GROUP BY doc_id, dl, t
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+contribs AS (
+  SELECT doc_id, t,
+         (LEAST(((n_docs - df + 1) * {s}) // (df + 1), {cap})
+          * ((tf * {k1 + s} * {s})
+             // (tf * {s} + {c1} + ({c2} * dl) // GREATEST(1, total_dl // n_docs)))
+         ) // {s} AS contrib_u
+  FROM tf JOIN dfq USING (t) CROSS JOIN stats
+),
+umax AS (SELECT t, MAX(contrib_u) AS u FROM contribs GROUP BY t),
+scores AS (
+  SELECT doc_id, SUM(contrib_u) AS score_u FROM contribs GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, score_u FROM scores
+  ORDER BY score_u DESC, doc_id LIMIT {_BM25_TOPK}
+),
+theta AS (SELECT COALESCE(MIN(score_u), 0) AS theta_u FROM topk),
+ub AS (
+  SELECT c.doc_id, SUM(u.u) AS ub_u
+  FROM contribs c JOIN umax u USING (t) GROUP BY c.doc_id
+),
+flags AS (
+  SELECT ub.doc_id, theta.theta_u,
+         CASE WHEN ub.ub_u < theta.theta_u THEN 1 ELSE 0 END AS pruned
+  FROM ub CROSS JOIN theta
+),
+fl AS (
+  SELECT f.*, CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS in_topk
+  FROM flags f LEFT JOIN topk t ON t.doc_id = f.doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS n_candidates,
+         COALESCE(SUM(pruned), 0) AS n_pruned,
+         COALESCE(MAX(theta_u), 0) AS theta_max,
+         COALESCE(SUM(pruned * in_topk), 0) AS n_topk_pruned
+  FROM fl
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_pruned AS BIGINT) AS n_pruned,
+       CAST(n_candidates - n_pruned AS BIGINT) AS n_survivors,
+       CAST(theta_max AS BIGINT) AS theta_u,
+       CAST(n_topk_pruned AS BIGINT) AS n_topk_pruned,
+       CAST(CASE WHEN n_candidates > 0
+                 THEN (n_pruned * 1000000) // n_candidates
+                 ELSE 0 END AS BIGINT) AS prune_share_u
+FROM agg"""
+
+
+QUERIES["q_maxscore_prune"] = q_maxscore_prune
+ORACLES["q_maxscore_prune"] = sql_maxscore_prune
+
+
+# --- wave 67: Zipf rank-frequency slope per source ---
+
+_ZIPF_FIT_RANKS = 1024
+
+
+def q_zipf_slope(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source Zipf's-law fit: the least-squares slope of
+    (log2 rank, log2 freq) over each source's top-{_ZIPF_FIT_RANKS}
+    token ranks — natural text sits near -1e6 micro-units (slope -1);
+    boilerplate/spam/template sources flatten or steepen, making this
+    the one-number 'does this source look like language' screen next
+    to q_ngram_diversity.  Completely libm-free: both logs are the
+    INTEGER bit-length floor log2 (length(bin(x)) - 1, the
+    q_adamic_adar device) and the slope is the exact integer
+    least-squares ratio (n*Sxy - Sx*Sy) * 1e6 div (n*Sxx - Sx*Sx)
+    (both engines truncate integer division toward zero).  The
+    rank-1024 cap both matches standard practice (fit the head, not
+    the hapax tail) and bounds every sum far below int64.  Scale: one
+    (source, token) groupBy, a per-source rank window over vocab-sized
+    input, then a source-count-sized rollup."""
+    from ..operators.dedup import norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    ranked = tc.withColumn("r", F.row_number().over(wr))
+    vocab = tc.groupBy("source").agg(F.count("*").cast("long").alias("n_types"))
+    fit = (
+        ranked.filter(F.col("r") <= _ZIPF_FIT_RANKS)
+        .select(
+            "source",
+            F.expr("length(bin(r)) - 1").cast("long").alias("x"),
+            F.expr("length(bin(c)) - 1").cast("long").alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_fit"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    out = fit.join(vocab, "source").select(
+        "source",
+        "n_types",
+        "n_fit",
+        F.expr(
+            "CASE WHEN n_fit * sxx - sx * sx > 0 THEN "
+            "((n_fit * sxy - sx * sy) * 1000000) div (n_fit * sxx - sx * sx) "
+            "ELSE 0 END"
+        ).cast("long").alias("zipf_slope_u"),
+    )
+    return out
+
+
+def sql_zipf_slope() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH tok AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok ASC) AS r
+  FROM tc
+),
+vocab AS (SELECT source, COUNT(*) AS n_types FROM tc GROUP BY source),
+fit AS (
+  SELECT source,
+         COUNT(*) AS n_fit,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM (
+    SELECT source,
+           length(bin(r)) - 1 AS x,
+           length(bin(c)) - 1 AS y
+    FROM ranked WHERE r <= {_ZIPF_FIT_RANKS}
+  ) GROUP BY source
+)
+SELECT f.source,
+       CAST(v.n_types AS BIGINT) AS n_types,
+       CAST(f.n_fit AS BIGINT) AS n_fit,
+       CAST(CASE WHEN f.n_fit * f.sxx - f.sx * f.sx > 0 THEN
+                 ((f.n_fit * f.sxy - f.sx * f.sy) * 1000000)
+                 // (f.n_fit * f.sxx - f.sx * f.sx)
+                 ELSE 0 END AS BIGINT) AS zipf_slope_u
+FROM fit f JOIN vocab v USING (source)"""
+
+
+QUERIES["q_zipf_slope"] = q_zipf_slope
+ORACLES["q_zipf_slope"] = sql_zipf_slope
+
+
+# --- wave 68: quality-derived mixture reweighting ---
+
+
+def q_quality_mixture(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Data-derived mixture reweighting (the DoReMi-lite / quality-
+    proportional sampling recipe): per-source mean quality becomes the
+    sampling weight, the CURRENT total token budget is reallocated
+    proportionally, and epochs_u reports the implied up/down-sampling
+    factor per source (alloc div its own tokens, in micro-units —
+    >1e6 means repeat, <1e6 means subsample).  This is the bridge
+    from the per-doc quality signal (q_quality, reused as the same
+    column expression) to the mixture sampler (q_temperature_mix /
+    q_mixture_sample) with weights LEARNED from the data instead of
+    configured.  Exact integer arithmetic: mean = sum_q div n_docs,
+    weight_u = (mean * 1e6) div sum-of-means, alloc = (budget * mean)
+    div sum-of-means.  Scale: one scan + source-sized rollup; the
+    totals are a 1-row broadcast."""
+    from ..functions.text import quality_score_u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select(
+        "source",
+        quality_score_u(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    per = q.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("q").cast("long").alias("sq"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("sq div n_docs").cast("long").alias("mean_quality_u"),
+    )
+    tot = per.agg(
+        F.sum("mean_quality_u").cast("long").alias("tmq"),
+        F.sum("n_tokens").cast("long").alias("budget"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_quality_u",
+        F.expr(
+            "CASE WHEN tmq > 0 THEN (mean_quality_u * 1000000) div tmq"
+            " ELSE 0 END"
+        ).cast("long").alias("weight_u"),
+        F.expr(
+            "CASE WHEN tmq > 0 THEN (budget * mean_quality_u) div tmq"
+            " ELSE 0 END"
+        ).cast("long").alias("alloc_tokens"),
+        F.expr(
+            "CASE WHEN tmq > 0 AND n_tokens > 0 THEN "
+            "(((budget * mean_quality_u) div tmq) * 1000000) div n_tokens"
+            " ELSE 0 END"
+        ).cast("long").alias("epochs_u"),
+    )
+
+
+def sql_quality_mixture() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH qd AS (
+  SELECT q.doc_id, q.quality_u, d.source,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len({toks.replace("{c}", "d.text") if "{c}" in toks else toks}) END AS nt
+  FROM ({sql_quality()}) q JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         SUM(quality_u) // COUNT(*) AS mean_quality_u
+  FROM qd GROUP BY source
+),
+tot AS (
+  SELECT SUM(mean_quality_u) AS tmq, SUM(n_tokens) AS budget FROM per
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(mean_quality_u AS BIGINT) AS mean_quality_u,
+       CAST(CASE WHEN tmq > 0 THEN (mean_quality_u * 1000000) // tmq
+                 ELSE 0 END AS BIGINT) AS weight_u,
+       CAST(CASE WHEN tmq > 0 THEN (budget * mean_quality_u) // tmq
+                 ELSE 0 END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN tmq > 0 AND n_tokens > 0 THEN
+                 (((budget * mean_quality_u) // tmq) * 1000000) // n_tokens
+                 ELSE 0 END AS BIGINT) AS epochs_u
+FROM per CROSS JOIN tot"""
+
+
+QUERIES["q_quality_mixture"] = q_quality_mixture
+ORACLES["q_quality_mixture"] = sql_quality_mixture

@@ -2054,3 +2054,53 @@ def test_good_turing_is_two_hash_aggregates(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_mmr_rerank_rounds_stay_bounded_no_python(spark, sf_dir):
+    """The unrolled MMR rounds operate on the bounded candidate set:
+    no Python, no cartesian over data-sized frames (the candidate
+    self-join is keyed on query_id)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_mmr_rerank,
+    )
+
+    plan = plan_str(q_mmr_rerank(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maxscore_prune_bounds_are_broadcast(spark, sf_dir):
+    """U(t) and theta must reach the audit as broadcasts (|terms|-row
+    and 1-row); the posting work is keyed joins + hash aggregates,
+    no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_maxscore_prune,
+    )
+
+    plan = plan_str(q_maxscore_prune(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_zipf_slope_window_is_source_partitioned(spark, sf_dir):
+    """The rank window must be partitioned by source (no global sort)
+    and the whole fit is integer codegen — no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_zipf_slope,
+    )
+
+    plan = plan_str(q_zipf_slope(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "partitionBy=[]" not in plan
+
+
+def test_quality_mixture_totals_are_broadcast_scalar(spark, sf_dir):
+    """The sum-of-means/budget totals must be a 1-row broadcast cross
+    join onto the source rollup — no Python, no data-sized cartesian."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_quality_mixture,
+    )
+
+    plan = plan_str(q_quality_mixture(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan

@@ -191,6 +191,11 @@ _QUERY_NAMES = [
     "q_dedup_cascade",
     "q_ks_drift",
     "q_good_turing",
+    # wave 66-68: MaxScore bound audit (admissibility must hold on
+    # every draw), bit-length Zipf fit, quality-derived mixture
+    "q_maxscore_prune",
+    "q_zipf_slope",
+    "q_quality_mixture",
 ]
 
 
@@ -251,6 +256,9 @@ _EMB_QUERY_NAMES = [
     # and the PQ-shortlist -> exact-cosine re-rank composition
     "q_knn_shapley",
     "q_rerank_topk",
+    # wave 65: the 5 unrolled MMR greedy rounds must pick identical
+    # argmaxes under every random candidate-sim configuration
+    "q_mmr_rerank",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:

