@@ -385,6 +385,11 @@ def main() -> None:
         "q_maxscore_prune",
         "q_zipf_slope",
         "q_quality_mixture",
+        # wave 69-71: k-center coreset, Poisson-bootstrap CI,
+        # code-vs-prose routing gate
+        "q_coreset_select",
+        "q_bootstrap_ci",
+        "q_code_detect",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

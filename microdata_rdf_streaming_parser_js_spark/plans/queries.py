@@ -16683,7 +16683,7 @@ sel{r} AS (
                AS rn
         FROM ms{r}) WHERE rn = 1
 ),
-selu{r} AS (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r})""")
+selu{r} AS MATERIALIZED (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r})""")
     body = ",\n".join(parts)
     return f"""WITH {body}
 SELECT query_id, vec_id, mmr_rank, rel AS rel_u, maxsim AS maxsim_u
@@ -17031,3 +17031,374 @@ FROM per CROSS JOIN tot"""
 
 QUERIES["q_quality_mixture"] = q_quality_mixture
 ORACLES["q_quality_mixture"] = sql_quality_mixture
+
+
+# --- wave 69: k-center greedy coreset selection ---
+
+_CORESET_K = 8
+
+
+def q_coreset_select(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """k-center greedy coreset selection (Sener & Savarese, ICLR 2018
+    — the active-learning / data-pruning selector): start from the
+    smallest vec_id, then {_CORESET_K - 1} times add the point FARTHEST
+    from its nearest already-chosen center (max-min), plus one final
+    witness round reporting the coverage radius the selection leaves
+    behind (the classic 2-approximation certificate of the k-center
+    objective).  All geometry is EXACT int64: vectors are the
+    floor(x*1e6) micro-unit arrays the PQ/Lloyd family uses and
+    distances are integer squared L2, so argmax ties (broken by
+    vec_id) are total-ordered on both engines with no float surface
+    at all.  Scale: each round is one corpus scan against <=
+    {_CORESET_K} broadcast centers + a TakeOrdered(1) — O(k * n)
+    total, the textbook greedy cost; per-round localCheckpoints keep
+    the unrolled lineage flat.  Output: (round, vec_id, min_d2) —
+    min_d2 is the max-min value that made the pick (0 for the seed;
+    round {_CORESET_K + 1} is the unpicked radius witness)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    vu = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    seed = (
+        vu.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("round"),
+            "vec_id",
+            F.lit(0).cast("long").alias("min_d2"),
+        )
+    ).localCheckpoint(eager=False)
+    sel = seed
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for r in range(2, _CORESET_K + 2):
+        cents = F.broadcast(
+            sel.select(F.col("vec_id").alias("cid")).join(
+                vu.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")),
+                "cid",
+            )
+        )
+        rem = vu.join(sel.select("vec_id"), "vec_id", "left_anti")
+        md = (
+            rem.crossJoin(cents)
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("min_d2"))
+        )
+        pick = (
+            md.orderBy(F.col("min_d2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "vec_id",
+                F.col("min_d2").cast("long").alias("min_d2"),
+            )
+        )
+        sel = sel.unionByName(pick)
+        # keep the FINAL round's plan inspectable (broadcast centers,
+        # TakeOrdered pick) — checkpoint only the intermediate rounds
+        if r <= _CORESET_K:
+            sel = sel.localCheckpoint(eager=False)
+    return sel
+
+
+def sql_coreset_select() -> str:
+    dim = _LSH_DIM
+    d2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> (r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    # selu{r} is referenced 3x per later round and vu in every round:
+    # MATERIALIZED stops DuckDB's default CTE inlining from copying the
+    # whole prior chain per reference (exponential plan blowup)
+    parts = [f"""vu AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+sel1 AS (
+  SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS min_d2
+  FROM vu ORDER BY vec_id LIMIT 1
+),
+selu1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for r in range(2, _CORESET_K + 2):
+        parts.append(f"""cents{r} AS (
+  SELECT s.vec_id AS cid, u.v AS cv
+  FROM selu{r - 1} s JOIN vu u ON u.vec_id = s.vec_id
+),
+md{r} AS (
+  SELECT r.vec_id, MIN({d2}) AS min_d2
+  FROM (SELECT u.* FROM vu u ANTI JOIN selu{r - 1} s USING (vec_id)) r
+  CROSS JOIN cents{r} c
+  GROUP BY r.vec_id
+),
+sel{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, vec_id, CAST(min_d2 AS BIGINT) AS min_d2
+  FROM md{r} ORDER BY min_d2 DESC, vec_id ASC LIMIT 1
+),
+selu{r} AS MATERIALIZED (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT round, vec_id, min_d2 FROM selu{_CORESET_K + 1}"""
+
+
+QUERIES["q_coreset_select"] = q_coreset_select
+ORACLES["q_coreset_select"] = sql_coreset_select
+
+
+# --- wave 70: deterministic Poisson-bootstrap CI ---
+
+_BOOT_B = 64
+_BOOT_SALT = "boot-ci"
+# Poisson(1) cumulative pmf in floored millionths: P(w=0)=1/e, ...
+_BOOT_CUM = (367879, 735758, 919698, 981011)
+
+
+def q_bootstrap_ci(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Bootstrap confidence interval for the corpus mean quality —
+    the error bar every per-round corpus metric should carry, made
+    batch-shaped and rerun-pinned via the POISSON bootstrap (Chamandy
+    et al., Google 2012: per (doc, replicate) an iid Poisson(1)
+    resample weight, the streaming-friendly multinomial surrogate).
+    Weights come from the md5 split-bucket device (floored Poisson(1)
+    cdf thresholds on the per-(doc,b) bucket), so all {_BOOT_B}
+    replicates are deterministic and the oracle replays them exactly;
+    replicate means are integer (sum(w*q) div sum(w)) and the
+    2.5/50/97.5 percentiles are order statistics (ranks 2/32/63 of
+    64) — selection, not float math.  Scale: ONE scan with a x{_BOOT_B}
+    scan-side fanout feeding a {_BOOT_B}-group map-side-combined
+    aggregate — no resample materialization, no shuffle wider than
+    {_BOOT_B} rows; at petabyte scale you'd bootstrap a fixed-rate
+    subsample with the same code path."""
+    from ..functions.text import quality_score_u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", quality_score_u(F.col("text")).alias("q"))
+    reps = base.select(
+        "doc_id",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                        F.lit(f"|{_BOOT_SALT}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    c0, c1, c2, c3 = _BOOT_CUM
+    w = (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .otherwise(4)
+    )
+    rep = reps.select("b", "q", w.alias("w")).groupBy("b").agg(
+        F.sum(F.col("w") * F.col("q")).alias("swq"),
+        F.sum("w").alias("sw"),
+    ).select(
+        "b",
+        F.expr("CASE WHEN sw > 0 THEN swq div sw ELSE 0 END").alias("mean_u"),
+    )
+    wr = Window.orderBy(F.col("mean_u").asc(), F.col("b").asc())
+    ranked = rep.withColumn("r", F.row_number().over(wr))
+    stats = ranked.agg(
+        F.sum(F.when(F.col("r") == 2, F.col("mean_u"))).cast("long").alias("boot_lo_u"),
+        F.sum(F.when(F.col("r") == _BOOT_B // 2, F.col("mean_u"))).cast("long").alias("boot_med_u"),
+        F.sum(F.when(F.col("r") == _BOOT_B - 1, F.col("mean_u"))).cast("long").alias("boot_hi_u"),
+        F.count("*").cast("long").alias("n_reps"),
+    )
+    point = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CASE WHEN COUNT(*) > 0 THEN SUM(q) div COUNT(*) ELSE 0 END")
+        .cast("long").alias("point_mean_u"),
+    )
+    return point.crossJoin(F.broadcast(stats)).select(
+        "n_docs", "point_mean_u", "boot_lo_u", "boot_med_u", "boot_hi_u",
+        "n_reps",
+    )
+
+
+def sql_bootstrap_ci() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    c0, c1, c2, c3 = _BOOT_CUM
+    return f"""WITH base AS (
+  SELECT q.doc_id, q.quality_u AS q FROM ({sql_quality()}) q
+),
+reps AS (
+  SELECT doc_id, q, unnest(range(0, {_BOOT_B})) AS b FROM base
+),
+hashed AS (
+  SELECT b, q,
+         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)
+             || '|{_BOOT_SALT}') AS h
+  FROM reps
+),
+wts AS (
+  SELECT b, q,
+         CASE WHEN ({nibbles}) % 1000000 < {c0} THEN 0
+              WHEN ({nibbles}) % 1000000 < {c1} THEN 1
+              WHEN ({nibbles}) % 1000000 < {c2} THEN 2
+              WHEN ({nibbles}) % 1000000 < {c3} THEN 3
+              ELSE 4 END AS w
+  FROM hashed
+),
+rep AS (
+  SELECT b,
+         CASE WHEN SUM(w) > 0 THEN SUM(w * q) // SUM(w) ELSE 0 END AS mean_u
+  FROM wts GROUP BY b
+),
+ranked AS (
+  SELECT b, mean_u,
+         ROW_NUMBER() OVER (ORDER BY mean_u ASC, b ASC) AS r
+  FROM rep
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN r = 2 THEN mean_u END) AS BIGINT) AS boot_lo_u,
+         CAST(SUM(CASE WHEN r = {_BOOT_B // 2} THEN mean_u END) AS BIGINT) AS boot_med_u,
+         CAST(SUM(CASE WHEN r = {_BOOT_B - 1} THEN mean_u END) AS BIGINT) AS boot_hi_u,
+         CAST(COUNT(*) AS BIGINT) AS n_reps
+  FROM ranked
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CASE WHEN COUNT(*) > 0 THEN SUM(q) // COUNT(*) ELSE 0 END
+              AS BIGINT) AS point_mean_u
+  FROM base
+)
+SELECT n_docs, point_mean_u, boot_lo_u, boot_med_u, boot_hi_u, n_reps
+FROM point CROSS JOIN stats"""
+
+
+QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
+ORACLES["q_bootstrap_ci"] = sql_bootstrap_ci
+
+
+# --- wave 71: code-vs-prose detection gate ---
+
+_CODE_KWS = (
+    "class", "const", "def", "elif", "endif", "function", "import",
+    "int", "lambda", "public", "return", "static", "struct", "var",
+    "void",
+)
+_CODE_THRESH_U = 60_000
+
+
+def q_code_detect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Code-vs-prose gate — the corpus-routing decision every LLM
+    pipeline makes before tokenizer/mixture choices (code wants
+    different dedup, different quality rules, its own mixture cell).
+    Three scan-side integer signals in micro-units: symbol density
+    ((braces/semicolons/brackets)*1e6 div chars), code-keyword token
+    share, and indented-line density (newline followed by space/tab);
+    score_u = (2*sym + kw + 2*ind) div 5, is_code at >=
+    {_CODE_THRESH_U}.  Rolled up per source: the report that decides
+    routing.  Pure codegen char-class counts (the q_quality devices) —
+    no Python, no libm, no shuffle beyond the source rollup."""
+    from ..functions.text import _count_matches
+    from ..operators.dedup import norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(norm_text(F.col("text")), " ")
+    kw_hits = F.size(F.filter(toks, lambda t: t.isin(*_CODE_KWS)))
+    n_toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    feats = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        _count_matches(F.col("text"), r"[{}();=<>\[\]]").alias("sym"),
+        kw_hits.alias("kw"),
+        n_toks.alias("nt"),
+        _count_matches(F.col("text"), r"\n[ \t]").alias("ind"),
+        (F.lit(1) + _count_matches(F.col("text"), r"\n")).alias("n_lines"),
+    )
+    scored = feats.select(
+        "source",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN (sym * 1000000) div n_chars"
+            " ELSE 0 END"
+        ).alias("sym_u"),
+        F.expr("CASE WHEN nt > 0 THEN (kw * 1000000) div nt ELSE 0 END")
+        .alias("kw_u"),
+        F.expr(
+            "CASE WHEN n_lines > 0 THEN (ind * 1000000) div n_lines"
+            " ELSE 0 END"
+        ).alias("ind_u"),
+    ).select(
+        "source",
+        F.expr("(2 * sym_u + kw_u + 2 * ind_u) div 5").alias("score_u"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_u") >= _CODE_THRESH_U, 1).otherwise(0))
+        .cast("long").alias("n_code"),
+        F.expr("SUM(score_u) div COUNT(*)").cast("long").alias("mean_score_u"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_code",
+        "mean_score_u",
+        F.expr("(n_code * 1000000) div n_docs").cast("long")
+        .alias("code_share_u"),
+    )
+
+
+def sql_code_detect() -> str:
+    toks = _TOKS.format(c="text")
+    kw_list = ", ".join(_sql_str(k) for k in _CODE_KWS)
+    return f"""WITH feats AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[{{}}();=<>\\[\\]]')) AS sym,
+         len(list_filter({toks}, t -> t IN ({kw_list}))) AS kw,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS nt,
+         len(regexp_extract_all(text, '\n[ \t]')) AS ind,
+         1 + len(regexp_extract_all(text, '\n')) AS n_lines
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         (2 * (CASE WHEN n_chars > 0 THEN (sym * 1000000) // n_chars ELSE 0 END)
+          + (CASE WHEN nt > 0 THEN (kw * 1000000) // nt ELSE 0 END)
+          + 2 * (CASE WHEN n_lines > 0 THEN (ind * 1000000) // n_lines ELSE 0 END)
+         ) // 5 AS score_u
+  FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_u >= {_CODE_THRESH_U} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_code,
+       CAST(SUM(score_u) // COUNT(*) AS BIGINT) AS mean_score_u,
+       CAST((SUM(CASE WHEN score_u >= {_CODE_THRESH_U} THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS code_share_u
+FROM scored GROUP BY source"""
+
+
+QUERIES["q_code_detect"] = q_code_detect
+ORACLES["q_code_detect"] = sql_code_detect

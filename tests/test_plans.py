@@ -2104,3 +2104,44 @@ def test_quality_mixture_totals_are_broadcast_scalar(spark, sf_dir):
     plan = plan_str(q_quality_mixture(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_coreset_rounds_broadcast_centers_no_python(spark, sf_dir):
+    """Every k-center round must score the corpus against BROADCAST
+    centers (no data-sized cartesian, no Python) and pick via
+    TakeOrderedAndProject."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_coreset_select,
+    )
+
+    plan = plan_str(q_coreset_select(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_ci_single_scan_fanout(spark, sf_dir):
+    """The replicate fanout must be a scan-side explode feeding a
+    B-group aggregate — one Generate node, no joins over data-sized
+    frames, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bootstrap_ci,
+    )
+
+    plan = plan_str(q_bootstrap_ci(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the explode
+    assert "BroadcastExchange" in plan  # 1-row stats onto point
+
+
+def test_code_detect_is_scan_plus_rollup(spark, sf_dir):
+    """The gate is char-class counters + one source rollup: no joins,
+    no windows, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_code_detect,
+    )
+
+    plan = plan_str(q_code_detect(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -196,6 +196,10 @@ _QUERY_NAMES = [
     "q_maxscore_prune",
     "q_zipf_slope",
     "q_quality_mixture",
+    # wave 70/71: Poisson-bootstrap replicate weights (md5 cdf
+    # thresholds) and the code-gate char-class/keyword counters
+    "q_bootstrap_ci",
+    "q_code_detect",
 ]
 
 
@@ -259,6 +263,9 @@ _EMB_QUERY_NAMES = [
     # wave 65: the 5 unrolled MMR greedy rounds must pick identical
     # argmaxes under every random candidate-sim configuration
     "q_mmr_rerank",
+    # wave 69: the 9 unrolled k-center max-min rounds are pure int64
+    # geometry — every random configuration must pick the same centers
+    "q_coreset_select",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:

@@ -465,3 +465,109 @@ def test_quality_mixture_upsamples_better_sources(spark, sf_dir):
     lo = min(rows, key=lambda r: (r.mean_quality_u, r.source))
     if hi.n_tokens == lo.n_tokens:
         assert hi.epochs_u >= lo.epochs_u
+
+
+# ---------------------------------------------------------------------------
+# wave 69: k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_coreset_matches_pure_python_greedy(spark, sf_dir):
+    """Differential: run the textbook greedy k-center in Python over
+    the same micro-unit vectors and demand identical picks and
+    max-min values every round."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _CORESET_K,
+        q_coreset_select,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vu = {
+        r.vec_id: [int((x * 1_000_000) // 1) if x >= 0
+                   else -int((-x * 1_000_000 + 0.999999999) // 1)
+                   for x in map(float, r.embedding)]
+        for r in emb
+    }
+    # exact floor on doubles, matching floor(x*1e6)
+    import math
+
+    vu = {
+        k: [int(math.floor(float(x) * 1_000_000)) for x in r]
+        for k, r in (
+            (row.vec_id, row.embedding) for row in emb
+        )
+    }
+    sel = [min(vu)]
+    expect = {1: (sel[0], 0)}
+    for rnd in range(2, _CORESET_K + 2):
+        best = None
+        for vid, v in vu.items():
+            if vid in sel:
+                continue
+            md = min(
+                sum((a - b) * (a - b) for a, b in zip(v, vu[s])) for s in sel
+            )
+            cand = (-md, vid)
+            if best is None or cand < best:
+                best = cand
+        expect[rnd] = (best[1], -best[0])
+        sel.append(best[1])
+    got = {
+        r.round: (r.vec_id, r.min_d2)
+        for r in q_coreset_select(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 70: bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """64 replicates, ordered: lo <= med <= hi, the point estimate
+    falls inside [lo, hi] (Poisson(1) resampling is centered), and
+    n_reps is exactly B."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _BOOT_B,
+        q_bootstrap_ci,
+    )
+
+    r = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r.n_reps == _BOOT_B
+    assert r.boot_lo_u <= r.boot_med_u <= r.boot_hi_u
+    assert r.boot_lo_u <= r.point_mean_u <= r.boot_hi_u
+
+
+# ---------------------------------------------------------------------------
+# wave 71: code detection
+# ---------------------------------------------------------------------------
+
+
+def test_code_detect_separates_code_from_prose(spark, tmp_path):
+    """A code-looking doc (braces, keywords, indentation) must clear
+    the threshold; plain prose must not."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_code_detect,
+    )
+
+    code = (
+        "def f(x):\n    return x + 1;\n"
+        "class A {\n    int v = 0;\n    void g() { v = 1; }\n}\n"
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet field toward the river bank"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, code, "l0", "code_src", len(code)),
+            (2, prose, "l0", "prose_src", len(prose)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.source: r for r in q_code_detect(spark, sf).collect()}
+    assert rows["code_src"].n_code == 1
+    assert rows["prose_src"].n_code == 0
+    assert rows["code_src"].mean_score_u > rows["prose_src"].mean_score_u
