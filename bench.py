@@ -390,6 +390,11 @@ def main() -> None:
         "q_coreset_select",
         "q_bootstrap_ci",
         "q_code_detect",
+        # wave 72: char-entropy tail screen
+        "q_char_entropy",
+        # wave 73-74: bot screen, ColBERT-style MaxSim retrieval
+        "q_bot_detect",
+        "q_maxsim_topk",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -17402,3 +17402,311 @@ FROM scored GROUP BY source"""
 
 QUERIES["q_code_detect"] = q_code_detect
 ORACLES["q_code_detect"] = sql_code_detect
+
+
+# --- wave 72: char-entropy tail screen ---
+
+_ENT_LOW_U = 1_500_000   # < ~1.5 floor-log2 bits: repetitive/templated
+_ENT_HIGH_U = 4_500_000  # > ~4.5: random-looking (base64/hex blobs)
+
+
+def q_char_entropy(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Character-entropy tail screen — the cheap detector for the two
+    failure modes quality scores miss symmetrically: near-zero
+    entropy (template/repeat spam) and near-maximal entropy
+    (base64/hex/minified blobs), both poison for LM training.  The
+    per-doc statistic is the integer bit-floor entropy surrogate
+    sum(cnt_c * (bitlen(N) - bitlen(cnt_c))) * 1e6 div N over the
+    normalized text's code points — libm-free, monotone with Shannon
+    entropy on the tails it screens.  Rolled up per source with both
+    tail counts.  Contract: code-point semantics (the corpora here
+    are BMP/ASCII; astral chars split differently across engines and
+    are out of contract, like zero-norm vectors for cosine).  Scale:
+    one char explode + three map-side-combined aggregations, all
+    keyed — nothing quadratic, nothing Python."""
+    from ..operators.dedup import norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    cc = chars.groupBy("doc_id", "source", "c").agg(
+        F.count("*").alias("cnt")
+    )
+    # compute N first, join back (one row per (doc, char) against one
+    # row per doc — a keyed join on the already-aggregated table)
+    nn = cc.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    ent = (
+        cc.join(nn, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("cnt")
+                * (
+                    (F.expr("length(bin(n)) - 1"))
+                    - (F.expr("length(bin(cnt)) - 1"))
+                )
+            ).alias("term"),
+            "n",
+        )
+        .groupBy("doc_id", "source", "n")
+        .agg(F.sum("term").alias("ent_num"))
+        .select(
+            "source",
+            F.expr("(ent_num * 1000000) div n").alias("entropy_u"),
+        )
+    )
+    return ent.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("SUM(entropy_u) div COUNT(*)").cast("long")
+        .alias("mean_entropy_u"),
+        F.sum(F.when(F.col("entropy_u") < _ENT_LOW_U, 1).otherwise(0))
+        .cast("long").alias("n_low"),
+        F.sum(F.when(F.col("entropy_u") > _ENT_HIGH_U, 1).otherwise(0))
+        .cast("long").alias("n_high"),
+    )
+
+
+def sql_char_entropy() -> str:
+    return f"""WITH chars AS (
+  SELECT doc_id, source,
+         unnest(string_split({_NORM.format(c="text")}, '')) AS c
+  FROM documents
+),
+cc AS (
+  SELECT doc_id, source, c, COUNT(*) AS cnt
+  FROM chars WHERE c <> '' GROUP BY 1, 2, 3
+),
+nn AS (SELECT doc_id, SUM(cnt) AS n FROM cc GROUP BY doc_id),
+ent AS (
+  SELECT cc.source,
+         (SUM(cc.cnt * ((length(bin(nn.n)) - 1) - (length(bin(cc.cnt)) - 1)))
+          * 1000000) // MAX(nn.n) AS entropy_u
+  FROM cc JOIN nn USING (doc_id)
+  GROUP BY cc.doc_id, cc.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(entropy_u) // COUNT(*) AS BIGINT) AS mean_entropy_u,
+       CAST(SUM(CASE WHEN entropy_u < {_ENT_LOW_U} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN entropy_u > {_ENT_HIGH_U} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM ent GROUP BY source"""
+
+
+QUERIES["q_char_entropy"] = q_char_entropy
+ORACLES["q_char_entropy"] = sql_char_entropy
+
+
+# --- wave 73: bot / automated-traffic screen over events ---
+
+_BOT_MIN_GAPS = 2
+_BOT_TOP = 10
+_BOT_REG_U = 200_000
+
+
+def q_bot_detect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Automated-traffic screen — the events-side twin of the crawl
+    politeness stack: bots arrive on timers, humans arrive with
+    spread, so the inter-arrival coefficient of variation separates
+    them (CV ~ 1 for Poisson-ish humans, ~ 0 for cron-like clients).
+    Per user: reg_u = floor-scaled CV^2 of inter-arrival gaps
+    ((n*sum(g^2) - sum(g)^2) div greatest(sum(g)^2 div 1e6, 1) — all
+    int64, the denominator pre-divided so the product never
+    overflows), micro-events-per-hour rate, and the is_bot flag at
+    CV^2 < {_BOT_REG_U / 1e6}.  Reports the {_BOT_TOP} most
+    metronomic users (TakeOrdered, reg_u asc) — the review queue, not
+    just a count.  Gaps come from a user-partitioned lag over the
+    epoch-second device shared with q_events_sessionize.  Scale: one
+    window + one groupBy(user), both user-keyed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ep = F.unix_timestamp("ts")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (ep - F.lag(ep).over(wu)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    ).filter(
+        (F.col("n_gaps") >= _BOT_MIN_GAPS) & (F.col("sg") > 0)
+    )
+    scored = per.select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+        F.expr(
+            "(n_gaps * sgg - sg * sg) div GREATEST((sg * sg) div 1000000, 1)"
+        ).cast("long").alias("reg_u"),
+        F.expr("((n_gaps + 1) * 3600 * 1000000) div sg")
+        .cast("long").alias("rate_uph"),
+    )
+    top = scored.orderBy(F.col("reg_u").asc(), F.col("user_id").asc()).limit(
+        _BOT_TOP
+    )
+    w = Window.orderBy(F.col("reg_u").asc(), F.col("user_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank",
+        "user_id",
+        "n_events",
+        "reg_u",
+        "rate_uph",
+        F.when(F.col("reg_u") < _BOT_REG_U, 1).otherwise(0)
+        .cast("long").alias("is_bot"),
+    )
+
+
+def sql_bot_detect() -> str:
+    return f"""WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+),
+per AS (
+  SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS sg, SUM(g * g) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+  HAVING COUNT(*) >= {_BOT_MIN_GAPS} AND SUM(g) > 0
+),
+scored AS (
+  SELECT user_id,
+         CAST(n_gaps + 1 AS BIGINT) AS n_events,
+         CAST((n_gaps * sgg - sg * sg)
+              // GREATEST((sg * sg) // 1000000, 1) AS BIGINT) AS reg_u,
+         CAST(((n_gaps + 1) * 3600 * 1000000) // sg AS BIGINT) AS rate_uph
+  FROM per
+),
+top AS (
+  SELECT * FROM scored ORDER BY reg_u ASC, user_id ASC LIMIT {_BOT_TOP}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY reg_u ASC, user_id ASC) AS BIGINT)
+         AS rank,
+       user_id, n_events, reg_u, rate_uph,
+       CAST(CASE WHEN reg_u < {_BOT_REG_U} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_bot
+FROM top"""
+
+
+QUERIES["q_bot_detect"] = q_bot_detect
+ORACLES["q_bot_detect"] = sql_bot_detect
+
+
+# --- wave 74: late-interaction (MaxSim) retrieval ---
+
+_MS_SUBS = 4
+_MS_SUBDIM = _LSH_DIM // _MS_SUBS
+
+
+def q_maxsim_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Late-interaction retrieval (the ColBERT scoring shape,
+    Khattab & Zaharia SIGIR 2020): each vector is treated as
+    {_MS_SUBS} token-level subvectors of {_MS_SUBDIM} dims;
+    score(q, d) = sum over q's subvectors of the MAX dot product
+    against d's subvectors — the MaxSim operator that out-ranks
+    single-vector cosine whenever relevance is carried by a part of
+    the representation.  All arithmetic is exact int64 on the
+    micro-unit slices (the PQ device): integer dots, integer max,
+    integer sum, ties to smaller vec_id — zero float surface.
+    Scale: the query side explodes to queries x {_MS_SUBS} broadcast
+    rows; the corpus explodes scan-side to n x {_MS_SUBS}; the
+    (q_sub x d_sub) scoring is one broadcast join followed by two
+    map-side-combined aggregations and the top-k window — the same
+    cost class as pq_topk's ADC probe."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _assert_embedding_dim(emb)
+    vu = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+    sub_idx = F.explode(F.sequence(F.lit(0), F.lit(_MS_SUBS - 1))).alias("si")
+    subs = vu.select("vec_id", "v", sub_idx).select(
+        "vec_id",
+        "si",
+        F.expr(f"slice(v, si * {_MS_SUBDIM} + 1, {_MS_SUBDIM})").alias("sv"),
+    )
+    qsubs = F.broadcast(
+        subs.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("si").alias("qsi"),
+            F.col("sv").alias("qv"),
+        )
+    )
+    dsubs = subs.select(
+        F.col("vec_id"), F.col("si").alias("dsi"), F.col("sv").alias("dv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pair_max = (
+        dsubs.crossJoin(qsubs)
+        .select("query_id", "qsi", "vec_id", dot.alias("d"))
+        .groupBy("query_id", "qsi", "vec_id")
+        .agg(F.max("d").alias("mx"))
+    )
+    score = pair_max.groupBy("query_id", "vec_id").agg(
+        F.sum("mx").cast("long").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK_K)
+        .select(
+            "query_id", "vec_id", "maxsim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def sql_maxsim_topk() -> str:
+    d = _MS_SUBDIM
+    dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        "i -> q.sv[i] * t.sv[i]), (a, b) -> a + b)"
+    )
+    return f"""WITH vu AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, si, list_slice(v, si * {d} + 1, (si + 1) * {d}) AS sv
+  FROM vu, (SELECT unnest(range(0, {_MS_SUBS})) AS si)
+),
+q AS (SELECT vec_id AS query_id, si AS qsi, sv FROM subs
+      WHERE vec_id < {_N_QUERIES}),
+t AS (SELECT vec_id, si AS dsi, sv FROM subs),
+pair_max AS (
+  SELECT q.query_id, q.qsi, t.vec_id, MAX({dot}) AS mx
+  FROM q, t
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT query_id, vec_id, CAST(SUM(mx) AS BIGINT) AS maxsim
+  FROM pair_max GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, vec_id ASC) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, maxsim, rank FROM ranked WHERE rank <= {_TOPK_K}"""
+
+
+QUERIES["q_maxsim_topk"] = q_maxsim_topk
+ORACLES["q_maxsim_topk"] = sql_maxsim_topk

@@ -2145,3 +2145,41 @@ def test_code_detect_is_scan_plus_rollup(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_char_entropy_keyed_joins_no_python(spark, sf_dir):
+    """The entropy chain is explode -> three keyed aggregations with a
+    doc-keyed join — no Python, no cartesian."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_char_entropy,
+    )
+
+    plan = plan_str(q_char_entropy(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+
+def test_bot_detect_window_is_user_partitioned(spark, sf_dir):
+    """The gap lag must be a user-partitioned window (no global sort)
+    and the review queue a TakeOrderedAndProject — no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bot_detect,
+    )
+
+    plan = plan_str(q_bot_detect(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_query_side_is_broadcast(spark, sf_dir):
+    """The exploded query subvectors must broadcast; corpus subvector
+    work is scan-side (one Generate) — no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_maxsim_topk,
+    )
+
+    plan = plan_str(q_maxsim_topk(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan

@@ -200,6 +200,9 @@ _QUERY_NAMES = [
     # thresholds) and the code-gate char-class/keyword counters
     "q_bootstrap_ci",
     "q_code_detect",
+    # wave 72: per-code-point histogram + bit-floor entropy — the
+    # char split must agree on every ASCII draw incl. empty/null text
+    "q_char_entropy",
 ]
 
 
@@ -266,6 +269,9 @@ _EMB_QUERY_NAMES = [
     # wave 69: the 9 unrolled k-center max-min rounds are pure int64
     # geometry — every random configuration must pick the same centers
     "q_coreset_select",
+    # wave 74: MaxSim late interaction — integer subvector dots must
+    # produce the same max/sum/rank on every draw
+    "q_maxsim_topk",
 ]
 
 def _seeded_vectors(seed: int, n: int) -> list[list[float]]:
@@ -415,6 +421,9 @@ _EVENTS_QUERY_NAMES = [
     "q_outliers",
     # wave 20: ceil-rank band clipping under tiny tie-heavy groups
     "q_winsorize",
+    # wave 73: inter-arrival CV^2 under tie-heavy (zero-gap) users —
+    # the sg>0 filter and the pre-divided denominator must agree
+    "q_bot_detect",
 ]
 
 

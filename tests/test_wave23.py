@@ -571,3 +571,127 @@ def test_code_detect_separates_code_from_prose(spark, tmp_path):
     assert rows["code_src"].n_code == 1
     assert rows["prose_src"].n_code == 0
     assert rows["code_src"].mean_score_u > rows["prose_src"].mean_score_u
+
+
+# ---------------------------------------------------------------------------
+# wave 72: char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_counts_and_tails(spark, tmp_path):
+    """'aaaa' (N=4, one char): entropy 0 -> low tail.  'abcdefgh'
+    (8 distinct): bit-floor entropy = (bitlen(8)-bitlen(1)) = 3 bits
+    exactly -> 3_000_000, neither tail at the 1.5/4.5 thresholds...
+    high tail needs > 4.5: use 'a b' style corpus to pin arithmetic
+    instead: 'aab' -> N=3, cnts {a:2, b:1}: terms 2*(1-1)+1*(1-0)=1,
+    entropy = 1e6 div 3 = 333333 -> low tail."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_char_entropy,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "aaaa", "l0", "rep", 4),
+            (2, "aab", "l0", "rep", 3),
+            (3, "abcdefgh", "l0", "uniq", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.source: r for r in q_char_entropy(spark, sf).collect()}
+    assert rows["rep"].n_docs == 2
+    assert rows["rep"].n_low == 2  # 0 and 333333 both < 1.5e6
+    assert rows["rep"].mean_entropy_u == (0 + 333_333) // 2
+    assert rows["uniq"].mean_entropy_u == 3_000_000
+    assert rows["uniq"].n_low == 0 and rows["uniq"].n_high == 0
+
+
+# ---------------------------------------------------------------------------
+# wave 73: bot detection
+# ---------------------------------------------------------------------------
+
+
+def test_bot_detect_flags_metronome_not_human(spark, tmp_path):
+    """User 1 fires exactly every 60s (CV=0 -> reg_u=0, bot); user 2
+    has wildly varying gaps (CV >> threshold).  Hand-check the CV^2
+    micro-units for user 2: gaps 10, 1000, 10: n=3, sg=1020,
+    sgg=1000200, num=3*1000200-1020^2=1960200, den=(1020^2) div 1e6
+    = 1 -> reg_u=1960200."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_bot_detect,
+    )
+
+    rows = []
+    base = 1_700_000_000
+    for i in range(6):  # metronome: 60s gaps
+        rows.append((i, base + 60 * i, 1, "click", 1.0, "{}"))
+    for j, off in enumerate([0, 10, 1010, 1020]):  # human: 10,1000,10
+        rows.append((100 + j, base + off, 2, "view", 1.0, "{}"))
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ep long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .select(
+            "event_id", F.timestamp_seconds("ep").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        .write.parquet(f"{sf}/events.parquet")
+    )
+    got = {r.user_id: r for r in q_bot_detect(spark, sf).collect()}
+    assert got[1].reg_u == 0 and got[1].is_bot == 1
+    assert got[2].reg_u == 1_960_200 and got[2].is_bot == 0
+    assert got[1].rank == 1
+
+
+# ---------------------------------------------------------------------------
+# wave 74: MaxSim
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_ge_single_vector_dot_and_matches_python(spark, sf_dir):
+    """Differential vs a pure-Python MaxSim over the same micro-unit
+    slices, plus the defining inequality: MaxSim >= the plain full
+    dot (each subvector's best match is at least its aligned one)."""
+    import math
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _MS_SUBDIM,
+        _MS_SUBS,
+        _N_QUERIES,
+        _TOPK_K,
+        q_maxsim_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vu = {
+        r.vec_id: [int(math.floor(float(x) * 1_000_000)) for x in r.embedding]
+        for r in emb
+    }
+    subs = {
+        k: [v[i * _MS_SUBDIM:(i + 1) * _MS_SUBDIM] for i in range(_MS_SUBS)]
+        for k, v in vu.items()
+    }
+    expect = {}
+    for qid in range(_N_QUERIES):
+        scores = []
+        for vid, dsubs in subs.items():
+            ms = sum(
+                max(sum(a * b for a, b in zip(qs, ds)) for ds in dsubs)
+                for qs in subs[qid]
+            )
+            full = sum(a * b for a, b in zip(vu[qid], vu[vid]))
+            assert ms >= full
+            scores.append((-ms, vid))
+        scores.sort()
+        for rank, (neg, vid) in enumerate(scores[:_TOPK_K], 1):
+            expect[(qid, rank)] = (vid, -neg)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.maxsim)
+        for r in q_maxsim_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
