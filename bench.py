@@ -395,6 +395,8 @@ def main() -> None:
         # wave 73-74: bot screen, ColBERT-style MaxSim retrieval
         "q_bot_detect",
         "q_maxsim_topk",
+        # wave 75: ROUGE-N over verified pairs
+        "q_rouge_pairs",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

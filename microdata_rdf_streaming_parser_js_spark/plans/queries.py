@@ -17710,3 +17710,154 @@ SELECT query_id, vec_id, maxsim, rank FROM ranked WHERE rank <= {_TOPK_K}"""
 
 QUERIES["q_maxsim_topk"] = q_maxsim_topk
 ORACLES["q_maxsim_topk"] = sql_maxsim_topk
+
+
+# --- wave 75: ROUGE-N overlap scoring over verified pairs ---
+
+_ROUGE_NS = (1, 2)
+
+
+def q_rouge_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ROUGE-N scoring (Lin 2004) — the text-overlap eval every
+    generation/summarization pipeline reports, here computed at
+    corpus scale over the verified MinHash-LSH pairs (candidate = the
+    smaller doc_id, reference = the larger): clipped multiset n-gram
+    overlap, precision/recall in micro-units and the exact-rational
+    F1 = (2*p*r) div (p+r), for n in {_ROUGE_NS}.  All integer: gram
+    multisets are (doc, gram, count) aggregates, the clip is
+    min(c_cand, c_ref) summed per pair, and denominators are the
+    multiset sizes.  Scale: gram tables are one explode+groupBy per
+    n; the pair scoring is two keyed joins (pair->grams on doc id,
+    gram equi-join) — never a cross of gram tables."""
+    from ..operators.dedup import minhash_lsh_pairs, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=_MH_K
+    ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=False)
+
+    out = None
+    for n in _ROUGE_NS:
+        grams = (
+            docs.select(
+                "doc_id", F.explode(shingles(F.col("text"), n)).alias("g")
+            )
+            .filter(F.col("g") != "")
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        totals = grams.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+        ga = grams.select(
+            F.col("doc_id").alias("doc_id_a"), "g", F.col("c").alias("ca")
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("doc_id_b"), "g", F.col("c").alias("cb")
+        )
+        inter = (
+            pairs.join(ga, "doc_id_a")
+            .join(gb, ["doc_id_b", "g"])
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+        )
+        scored = (
+            pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
+            .join(
+                totals.select(
+                    F.col("doc_id").alias("doc_id_a"), F.col("tot").alias("na")
+                ),
+                "doc_id_a",
+                "left",
+            )
+            .join(
+                totals.select(
+                    F.col("doc_id").alias("doc_id_b"), F.col("tot").alias("nb")
+                ),
+                "doc_id_b",
+                "left",
+            )
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.lit(n).cast("long").alias("n"),
+                F.coalesce(F.col("overlap"), F.lit(0)).cast("long")
+                .alias("overlap"),
+                F.coalesce(F.col("na"), F.lit(0)).cast("long").alias("na"),
+                F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("nb"),
+            )
+            .select(
+                "*",
+                F.expr(
+                    "CASE WHEN na > 0 THEN (overlap * 1000000) div na"
+                    " ELSE 0 END"
+                ).cast("long").alias("p_u"),
+                F.expr(
+                    "CASE WHEN nb > 0 THEN (overlap * 1000000) div nb"
+                    " ELSE 0 END"
+                ).cast("long").alias("r_u"),
+            )
+            .select(
+                "*",
+                F.expr(
+                    "CASE WHEN p_u + r_u > 0 THEN (2 * p_u * r_u) div (p_u + r_u)"
+                    " ELSE 0 END"
+                ).cast("long").alias("f1_u"),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def sql_rouge_pairs() -> str:
+    toks = _TOKS.format(c="text")
+    blocks = []
+    for n in _ROUGE_NS:
+        blocks.append(f"""(
+  WITH grams AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len({toks}) >= {n}
+                    THEN list_transform(range(0, len({toks}) - {n - 1}),
+                         i -> array_to_string(({toks})[i + 1 : i + {n}], ' '))
+                    ELSE [] END) AS g
+      FROM documents
+    ) WHERE g <> '' GROUP BY doc_id, g
+  ),
+  totals AS (SELECT doc_id, SUM(c) AS tot FROM grams GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_id_a, p.doc_id_b, SUM(LEAST(a.c, b.c)) AS overlap
+    FROM mh_pairs p
+    JOIN grams a ON a.doc_id = p.doc_id_a
+    JOIN grams b ON b.doc_id = p.doc_id_b AND b.g = a.g
+    GROUP BY 1, 2
+  ),
+  base AS (
+    SELECT p.doc_id_a, p.doc_id_b, CAST({n} AS BIGINT) AS n,
+           CAST(COALESCE(i.overlap, 0) AS BIGINT) AS overlap,
+           CAST(COALESCE(ta.tot, 0) AS BIGINT) AS na,
+           CAST(COALESCE(tb.tot, 0) AS BIGINT) AS nb
+    FROM mh_pairs p
+    LEFT JOIN inter i USING (doc_id_a, doc_id_b)
+    LEFT JOIN totals ta ON ta.doc_id = p.doc_id_a
+    LEFT JOIN totals tb ON tb.doc_id = p.doc_id_b
+  ),
+  pr AS (
+    SELECT *,
+           CAST(CASE WHEN na > 0 THEN (overlap * 1000000) // na
+                     ELSE 0 END AS BIGINT) AS p_u,
+           CAST(CASE WHEN nb > 0 THEN (overlap * 1000000) // nb
+                     ELSE 0 END AS BIGINT) AS r_u
+    FROM base
+  )
+  SELECT doc_id_a, doc_id_b, n, overlap, na, nb, p_u, r_u,
+         CAST(CASE WHEN p_u + r_u > 0 THEN (2 * p_u * r_u) // (p_u + r_u)
+                   ELSE 0 END AS BIGINT) AS f1_u
+  FROM pr
+)""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""WITH {_minhash_cand_cte()},
+mh_pairs AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM cand)
+{union}"""
+
+
+QUERIES["q_rouge_pairs"] = q_rouge_pairs
+ORACLES["q_rouge_pairs"] = sql_rouge_pairs

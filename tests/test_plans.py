@@ -2183,3 +2183,15 @@ def test_maxsim_query_side_is_broadcast(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Generate" in plan
+
+
+def test_rouge_pairs_gram_joins_are_keyed(spark, sf_dir):
+    """Gram tables meet the pair set through keyed joins (doc id,
+    then gram equi-join) — no gram-table cross, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_rouge_pairs,
+    )
+
+    plan = plan_str(q_rouge_pairs(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -203,6 +203,9 @@ _QUERY_NAMES = [
     # wave 72: per-code-point histogram + bit-floor entropy — the
     # char split must agree on every ASCII draw incl. empty/null text
     "q_char_entropy",
+    # wave 75: clipped-multiset ROUGE over the MinHash pair set —
+    # pair membership and gram clipping both shift per draw
+    "q_rouge_pairs",
 ]
 
 

@@ -695,3 +695,46 @@ def test_maxsim_ge_single_vector_dot_and_matches_python(spark, sf_dir):
         for r in q_maxsim_topk(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 75: ROUGE pairs
+# ---------------------------------------------------------------------------
+
+
+def test_rouge_hand_arithmetic_on_known_pair(spark, sf_dir):
+    """Pick one MinHash pair and recompute ROUGE-1 with plain Python
+    multiset clipping over the same normalized tokens; identities
+    p_u = overlap*1e6 div na etc. must hold on every output row."""
+    from collections import Counter
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_rouge_pairs,
+    )
+
+    rows = q_rouge_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p_u <= 1_000_000 and 0 <= r.r_u <= 1_000_000
+        assert r.f1_u <= max(r.p_u, r.r_u)
+        exp_p = (r.overlap * 1_000_000) // r.na if r.na else 0
+        exp_r = (r.overlap * 1_000_000) // r.nb if r.nb else 0
+        assert (r.p_u, r.r_u) == (exp_p, exp_r)
+    one = sorted(
+        (r for r in rows if r.n == 1),
+        key=lambda r: (r.doc_id_a, r.doc_id_b),
+    )[0]
+    docs = {
+        d.doc_id: (d.text or "")
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if d.doc_id in (one.doc_id_a, one.doc_id_b)
+    }
+
+    def toks(t):
+        return [w for w in " ".join(t.lower().split()).split(" ") if w]
+
+    ca = Counter(toks(docs[one.doc_id_a]))
+    cb = Counter(toks(docs[one.doc_id_b]))
+    overlap = sum(min(ca[g], cb[g]) for g in ca)
+    assert one.overlap == overlap
+    assert one.na == sum(ca.values()) and one.nb == sum(cb.values())
