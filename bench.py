@@ -397,6 +397,11 @@ def main() -> None:
         "q_maxsim_topk",
         # wave 75: ROUGE-N over verified pairs
         "q_rouge_pairs",
+        # wave 76-78: greedy max-coverage selection, source novelty,
+        # quality-pruning curve
+        "q_maxcover_select",
+        "q_source_novelty",
+        "q_pruning_curve",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

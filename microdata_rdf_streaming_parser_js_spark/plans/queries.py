@@ -17861,3 +17861,304 @@ mh_pairs AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM cand)
 
 QUERIES["q_rouge_pairs"] = q_rouge_pairs
 ORACLES["q_rouge_pairs"] = sql_rouge_pairs
+
+
+# --- wave 76: greedy max-coverage document selection ---
+
+_MC_K = 5
+_MC_GRAM = 3
+
+
+def q_maxcover_select(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Greedy maximum-coverage document selection (Nemhauser, Wolsey
+    & Fisher 1978 — the (1 - 1/e) submodular greedy): pick {_MC_K}
+    documents that together cover the most DISTINCT {_MC_GRAM}-gram
+    shingles, each round charging a doc only its MARGINAL gain (its
+    shingles not already covered).  The information-coverage
+    complement of q_coreset_select's geometric max-min: that one
+    spreads points in embedding space, this one maximizes distinct
+    content mass — the 'pick k most informative docs' curation
+    primitive.  Rounds are unrolled: per round one anti-join of the
+    gram table against the covered set (gram-keyed), one count per
+    doc, one TakeOrdered(1) argmax (ties to smaller doc_id); the
+    covered set grows by exactly the winner's grams (localCheckpoint
+    per round, MATERIALIZED CTEs in the oracle — the same
+    exponential-inlining guard as coreset).  Output: (round, doc_id,
+    gain, covered_total) — covered_total is the running objective,
+    whose concavity (diminishing gains) is the submodularity
+    certificate asserted in tests."""
+    from ..operators.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), _MC_GRAM)).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sel = None
+    covered = None
+    for r in range(1, _MC_K + 1):
+        rem = grams if covered is None else grams.join(
+            covered, "g", "left_anti"
+        )
+        if sel is not None:
+            rem = rem.join(sel.select("doc_id"), "doc_id", "left_anti")
+        gains = rem.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        pick = (
+            gains.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "doc_id",
+                F.col("gain").cast("long").alias("gain"),
+            )
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint(eager=False)
+        covered = grams.join(
+            sel.select("doc_id"), "doc_id", "left_semi"
+        ).select("g").distinct().localCheckpoint(eager=False)
+    w = Window.orderBy("round").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sel.select(
+        "round",
+        "doc_id",
+        "gain",
+        F.sum("gain").over(w).cast("long").alias("covered_total"),
+    )
+
+
+def sql_maxcover_select() -> str:
+    toks = _TOKS.format(c="text")
+    n = _MC_GRAM
+    parts = [f"""grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len({toks}) >= {n}
+                  THEN list_transform(range(0, len({toks}) - {n - 1}),
+                       i -> array_to_string(({toks})[i + 1 : i + {n}], ' '))
+                  ELSE [] END) AS g
+    FROM documents
+  ) WHERE g <> ''
+)"""]
+    prev_sel = None
+    for r in range(1, _MC_K + 1):
+        rem_clauses = []
+        if prev_sel:
+            rem_clauses.append(
+                f"doc_id NOT IN (SELECT doc_id FROM {prev_sel})"
+            )
+            rem_clauses.append(
+                f"g NOT IN (SELECT g FROM grams "
+                f"WHERE doc_id IN (SELECT doc_id FROM {prev_sel}))"
+            )
+        where = ("WHERE " + " AND ".join(rem_clauses)) if rem_clauses else ""
+        parts.append(f"""gains{r} AS (
+  SELECT doc_id, COUNT(*) AS gain FROM grams {where} GROUP BY doc_id
+),
+sel{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, doc_id, CAST(gain AS BIGINT) AS gain
+  FROM gains{r} ORDER BY gain DESC, doc_id ASC LIMIT 1
+),
+selu{r} AS MATERIALIZED (
+  {"SELECT * FROM sel1" if r == 1 else f"SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r}"}
+)""")
+        prev_sel = f"selu{r}"
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT round, doc_id, gain,
+       CAST(SUM(gain) OVER (ORDER BY round
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS covered_total
+FROM selu{_MC_K}"""
+
+
+QUERIES["q_maxcover_select"] = q_maxcover_select
+ORACLES["q_maxcover_select"] = sql_maxcover_select
+
+
+# --- wave 77: per-source novelty / marginal-contribution accounting ---
+
+_NOV_GRAM = 3
+
+
+def q_source_novelty(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source novelty accounting — 'what does this source
+    uniquely add': for each source the distinct {_NOV_GRAM}-gram
+    count, the EXCLUSIVE grams (appearing in no other source), the
+    exclusive share, and the source's coverage of the whole corpus
+    gram space.  The drop-this-source decision input that
+    complements q_crosssource_dups (which counts shared near-dup
+    mass; this counts unshared content mass) and q_good_turing
+    (which extrapolates unseen mass within a source).  Shape: one
+    distinct (source, gram) aggregate, one gram-keyed
+    source-multiplicity count joined back, one source rollup, and a
+    1-row corpus total broadcast — all map-side-combinable."""
+    from ..operators.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sg = (
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), _NOV_GRAM)).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    mult = sg.groupBy("g").agg(F.count("*").alias("n_sources"))
+    per = (
+        sg.join(mult, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("long").alias("n_exclusive"),
+        )
+    )
+    tot = mult.agg(F.count("*").cast("long").alias("total_grams"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_grams",
+        "n_exclusive",
+        F.expr(
+            "CASE WHEN n_grams > 0 THEN (n_exclusive * 1000000) div n_grams"
+            " ELSE 0 END"
+        ).cast("long").alias("exclusive_share_u"),
+        F.expr(
+            "CASE WHEN total_grams > 0 THEN (n_grams * 1000000) div total_grams"
+            " ELSE 0 END"
+        ).cast("long").alias("corpus_coverage_u"),
+    )
+
+
+def sql_source_novelty() -> str:
+    toks = _TOKS.format(c="text")
+    n = _NOV_GRAM
+    return f"""WITH sg AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source,
+           unnest(CASE WHEN len({toks}) >= {n}
+                  THEN list_transform(range(0, len({toks}) - {n - 1}),
+                       i -> array_to_string(({toks})[i + 1 : i + {n}], ' '))
+                  ELSE [] END) AS g
+    FROM documents
+  ) WHERE g <> ''
+),
+mult AS (SELECT g, COUNT(*) AS n_sources FROM sg GROUP BY g),
+per AS (
+  SELECT source, COUNT(*) AS n_grams,
+         SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS n_exclusive
+  FROM sg JOIN mult USING (g) GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS total_grams FROM mult)
+SELECT source,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_exclusive AS BIGINT) AS n_exclusive,
+       CAST(CASE WHEN n_grams > 0 THEN (n_exclusive * 1000000) // n_grams
+                 ELSE 0 END AS BIGINT) AS exclusive_share_u,
+       CAST(CASE WHEN total_grams > 0
+                 THEN (n_grams * 1000000) // total_grams
+                 ELSE 0 END AS BIGINT) AS corpus_coverage_u
+FROM per CROSS JOIN tot"""
+
+
+QUERIES["q_source_novelty"] = q_source_novelty
+ORACLES["q_source_novelty"] = sql_source_novelty
+
+
+# --- wave 78: quality-pruning tradeoff curve ---
+
+_PRUNE_CUTS = (0, 250_000, 500_000, 600_000, 700_000)
+
+
+def q_pruning_curve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The data-pruning tradeoff curve (the Sorscher et al. 2022
+    question 'how much can we drop, and what do we keep?') for the
+    quality scorer: at each keep-threshold in {_PRUNE_CUTS}, how many
+    docs/tokens survive and what their mean quality becomes — the
+    5-point curve a curation owner reads before fixing a cut.
+    Single-scan shape: each doc lands in the bucket of the HIGHEST
+    threshold it passes, bucket stats aggregate once, and each
+    threshold's row is the suffix sum over buckets at-or-above it
+    (a 5-row window, not 5 corpus scans).  All integer micro-units
+    via the shared q_quality column."""
+    from ..functions.text import quality_score_u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = F.coalesce(quality_score_u(F.col("text")), F.lit(0))
+    # _PRUNE_CUTS ascending: build the CASE from the top down
+    bucket = F.lit(_PRUNE_CUTS[0])
+    for t in _PRUNE_CUTS[1:]:
+        bucket = F.when(q >= F.lit(t), F.lit(t)).otherwise(bucket)
+    base = docs.select(
+        bucket.alias("b"),
+        q.alias("q"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    bs = base.groupBy("b").agg(
+        F.count("*").alias("c"),
+        F.sum("q").alias("sq"),
+        F.sum("nt").alias("st"),
+    )
+    cuts = spark.createDataFrame(
+        [(t,) for t in _PRUNE_CUTS], "threshold_u long"
+    )
+    joined = cuts.join(bs, bs["b"] >= cuts["threshold_u"]).groupBy(
+        "threshold_u"
+    ).agg(
+        F.sum("c").cast("long").alias("n_kept"),
+        F.sum("sq").alias("sq"),
+        F.sum("st").cast("long").alias("tokens_kept"),
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n_total"))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "threshold_u",
+        "n_kept",
+        F.expr(
+            "CASE WHEN n_total > 0 THEN (n_kept * 1000000) div n_total"
+            " ELSE 0 END"
+        ).cast("long").alias("kept_share_u"),
+        "tokens_kept",
+        F.expr("CASE WHEN n_kept > 0 THEN sq div n_kept ELSE 0 END")
+        .cast("long").alias("mean_quality_u"),
+    )
+
+
+def sql_pruning_curve() -> str:
+    toks = _TOKS.format(c="text")
+    cuts_rows = ", ".join(f"({t})" for t in _PRUNE_CUTS)
+    case = f"CAST({_PRUNE_CUTS[0]} AS BIGINT)"
+    for t in _PRUNE_CUTS[1:]:
+        case = f"CASE WHEN q >= {t} THEN {t} ELSE {case} END"
+    return f"""WITH qd AS (
+  SELECT COALESCE(quality_u, 0) AS q,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len({toks}) END AS nt
+  FROM ({sql_quality()}) s JOIN documents d USING (doc_id)
+),
+base AS (SELECT {case} AS b, q, nt FROM qd),
+bs AS (
+  SELECT b, COUNT(*) AS c, SUM(q) AS sq, SUM(nt) AS st FROM base GROUP BY b
+),
+cuts(threshold_u) AS (VALUES {cuts_rows}),
+joined AS (
+  SELECT threshold_u, SUM(c) AS n_kept, SUM(sq) AS sq,
+         SUM(st) AS tokens_kept
+  FROM cuts JOIN bs ON bs.b >= cuts.threshold_u
+  GROUP BY threshold_u
+),
+tot AS (SELECT COUNT(*) AS n_total FROM base)
+SELECT CAST(threshold_u AS BIGINT) AS threshold_u,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_total > 0 THEN (n_kept * 1000000) // n_total
+                 ELSE 0 END AS BIGINT) AS kept_share_u,
+       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+       CAST(CASE WHEN n_kept > 0 THEN sq // n_kept ELSE 0 END AS BIGINT)
+         AS mean_quality_u
+FROM joined CROSS JOIN tot"""
+
+
+QUERIES["q_pruning_curve"] = q_pruning_curve
+ORACLES["q_pruning_curve"] = sql_pruning_curve

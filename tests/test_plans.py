@@ -2195,3 +2195,40 @@ def test_rouge_pairs_gram_joins_are_keyed(spark, sf_dir):
     plan = plan_str(q_rouge_pairs(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_maxcover_rounds_are_antijoin_plus_takeordered(spark, sf_dir):
+    """Each greedy round is a gram-keyed anti-join + count + argmax —
+    no Python, no cartesian, TakeOrdered picks."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_maxcover_select,
+    )
+
+    plan = plan_str(q_maxcover_select(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_novelty_single_gram_join(spark, sf_dir):
+    """Novelty is one gram-keyed multiplicity join + rollup + 1-row
+    broadcast total — no Python, no cartesian beyond the scalar."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_source_novelty,
+    )
+
+    plan = plan_str(q_source_novelty(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pruning_curve_is_bucketed_not_rescanned(spark, sf_dir):
+    """The curve must come from ONE corpus scan bucketed by top
+    threshold (5-row suffix-sum join), not 5 filtered scans: the plan
+    may contain at most one documents scan."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_pruning_curve,
+    )
+
+    plan = plan_str(q_pruning_curve(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("documents.parquet") <= 2  # base + total rollup

@@ -206,6 +206,12 @@ _QUERY_NAMES = [
     # wave 75: clipped-multiset ROUGE over the MinHash pair set —
     # pair membership and gram clipping both shift per draw
     "q_rouge_pairs",
+    # wave 76-78: the 5 unrolled max-cover argmaxes, exclusive-gram
+    # attribution, and the threshold-bucket suffix sums must agree on
+    # every draw (incl. all-empty and single-doc corpora)
+    "q_maxcover_select",
+    "q_source_novelty",
+    "q_pruning_curve",
 ]
 
 

@@ -738,3 +738,93 @@ def test_rouge_hand_arithmetic_on_known_pair(spark, sf_dir):
     overlap = sum(min(ca[g], cb[g]) for g in ca)
     assert one.overlap == overlap
     assert one.na == sum(ca.values()) and one.nb == sum(cb.values())
+
+
+# ---------------------------------------------------------------------------
+# wave 76: max coverage
+# ---------------------------------------------------------------------------
+
+
+def test_maxcover_matches_python_greedy_and_is_concave(spark, sf_dir):
+    """Differential vs plain-Python greedy max-cover on the same
+    distinct 3-gram sets + the submodularity certificate: marginal
+    gains must be non-increasing round over round."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        _MC_GRAM,
+        _MC_K,
+        q_maxcover_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def gramset(t):
+        w = [x for x in " ".join((t or "").lower().split()).split(" ") if x]
+        return {
+            " ".join(w[i:i + _MC_GRAM]) for i in range(len(w) - _MC_GRAM + 1)
+        }
+
+    sets = {d.doc_id: gramset(d.text) for d in docs}
+    sel, covered, expect = [], set(), []
+    for r in range(1, _MC_K + 1):
+        best = None
+        for did, s in sets.items():
+            if did in sel:
+                continue
+            gain = len(s - covered)
+            cand = (-gain, did)
+            if best is None or cand < best:
+                best = cand
+        sel.append(best[1])
+        covered |= sets[best[1]]
+        expect.append((r, best[1], -best[0], len(covered)))
+    got = sorted(
+        (r.round, r.doc_id, r.gain, r.covered_total)
+        for r in q_maxcover_select(spark, sf_dir).collect()
+    )
+    assert got == expect
+    gains = [g for (_, _, g, _) in got]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+# ---------------------------------------------------------------------------
+# wave 77: source novelty
+# ---------------------------------------------------------------------------
+
+
+def test_source_novelty_accounting_identities(spark, sf_dir):
+    """Sum of exclusive grams <= total distinct grams; coverage of
+    each source <= 1e6; exclusive <= n_grams per source."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_source_novelty,
+    )
+
+    rows = q_source_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_exclusive <= r.n_grams
+        assert 0 <= r.exclusive_share_u <= 1_000_000
+        assert 0 < r.corpus_coverage_u <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wave 78: pruning curve
+# ---------------------------------------------------------------------------
+
+
+def test_pruning_curve_is_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the kept set and raise
+    (or hold) its mean quality; threshold 0 keeps everything."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_pruning_curve,
+    )
+
+    rows = sorted(
+        q_pruning_curve(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_u,
+    )
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0].threshold_u == 0 and rows[0].n_kept == docs_n
+    assert rows[0].kept_share_u == 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_kept <= a.n_kept and b.tokens_kept <= a.tokens_kept
+        assert b.mean_quality_u >= a.mean_quality_u
