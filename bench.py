@@ -402,6 +402,9 @@ def main() -> None:
         "q_maxcover_select",
         "q_source_novelty",
         "q_pruning_curve",
+        # wave 79-80: canonicalization policy diff, term burstiness
+        "q_canonical_policy_diff",
+        "q_term_burstiness",
     ]
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:

@@ -18162,3 +18162,154 @@ FROM joined CROSS JOIN tot"""
 
 QUERIES["q_pruning_curve"] = q_pruning_curve
 ORACLES["q_pruning_curve"] = sql_pruning_curve
+
+
+# --- wave 79: canonicalization policy diff ---
+
+
+def q_canonical_policy_diff(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Canonicalization POLICY comparison — before fixing a keep rule
+    a curation owner wants to know how much it matters: across the
+    verified near-dup clusters, how often does keep-best-quality
+    (CCNet/FineWeb) pick a DIFFERENT survivor than keep-smallest-id
+    (the cheap default), and how much quality does the upgrade buy in
+    total.  Composes q_cluster_canonical's labeled output only: per
+    cluster one aggregate row (min_by fetches the min-id member's
+    quality without a second scan), then a 1-row rollup.  differ
+    share is relative to multi-member clusters (singletons cannot
+    disagree)."""
+    cc = q_cluster_canonical(spark, sf_dir)
+    per = cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("minid"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id"))).alias("keep_doc"),
+        F.sum(F.when(F.col("keep"), F.col("quality_u"))).alias("keep_q"),
+        F.expr("min_by(quality_u, doc_id)").alias("minid_q"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long").alias("n_multi"),
+        F.sum(
+            F.when((F.col("n") >= 2) & (F.col("keep_doc") != F.col("minid")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_differs"),
+        F.sum(
+            F.when(F.col("n") >= 2, F.col("keep_q") - F.col("minid_q"))
+            .otherwise(0)
+        ).cast("long").alias("quality_gain_total_u"),
+    )
+    return agg.select(
+        "n_clusters",
+        "n_multi",
+        "n_differs",
+        F.expr(
+            "CASE WHEN n_multi > 0 THEN (n_differs * 1000000) div n_multi"
+            " ELSE 0 END"
+        ).cast("long").alias("differ_share_u"),
+        "quality_gain_total_u",
+    )
+
+
+def sql_canonical_policy_diff() -> str:
+    return f"""WITH cc AS ({sql_cluster_canonical()}),
+per AS (
+  SELECT cluster_id, COUNT(*) AS n, MIN(doc_id) AS minid,
+         SUM(CASE WHEN keep THEN doc_id END) AS keep_doc,
+         SUM(CASE WHEN keep THEN quality_u END) AS keep_q,
+         MIN_BY(quality_u, doc_id) AS minid_q
+  FROM cc GROUP BY cluster_id
+),
+agg AS (
+  SELECT COUNT(*) AS n_clusters,
+         SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_multi,
+         SUM(CASE WHEN n >= 2 AND keep_doc <> minid THEN 1 ELSE 0 END)
+           AS n_differs,
+         SUM(CASE WHEN n >= 2 THEN keep_q - minid_q ELSE 0 END)
+           AS quality_gain_total_u
+  FROM per
+)
+SELECT CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_multi AS BIGINT) AS n_multi,
+       CAST(n_differs AS BIGINT) AS n_differs,
+       CAST(CASE WHEN n_multi > 0 THEN (n_differs * 1000000) // n_multi
+                 ELSE 0 END AS BIGINT) AS differ_share_u,
+       CAST(quality_gain_total_u AS BIGINT) AS quality_gain_total_u
+FROM agg"""
+
+
+QUERIES["q_canonical_policy_diff"] = q_canonical_policy_diff
+ORACLES["q_canonical_policy_diff"] = sql_canonical_policy_diff
+
+
+# --- wave 80: term burstiness ---
+
+_BURST_MIN_DF = 5
+_BURST_TOP = 25
+
+
+def q_term_burstiness(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Term burstiness (Church & Gale 1995; Katz's K-mixture insight):
+    content words BURST — when a document mentions them once it tends
+    to mention them again — while function words spread uniformly.
+    burst_u = (collection_frequency * 1e6) div document_frequency
+    (mean occurrences per CONTAINING doc, >= 1e6 by construction);
+    the top-{_BURST_TOP} burstiest terms at df >= {_BURST_MIN_DF} are
+    the corpus's topical vocabulary — the signal that picks keyword
+    candidates (vs q_tfidf_terms' per-doc ranking) and flags
+    boilerplate when a 'function-looking' term bursts.  One
+    (term) aggregate from the (doc, term) counts + TakeOrdered —
+    exact integers throughout."""
+    from ..operators.dedup import norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    dt = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    per = dt.groupBy("t").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+    ).filter(F.col("df") >= _BURST_MIN_DF)
+    scored = per.select(
+        "t",
+        "df",
+        "cf",
+        F.expr("(cf * 1000000) div df").cast("long").alias("burst_u"),
+    )
+    top = scored.orderBy(
+        F.col("burst_u").desc(), F.col("t").asc()
+    ).limit(_BURST_TOP)
+    w = Window.orderBy(F.col("burst_u").desc(), F.col("t").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_term_burstiness() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+dt AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT t, COUNT(*) AS df, SUM(c) AS cf FROM dt GROUP BY t
+  HAVING COUNT(*) >= {_BURST_MIN_DF}
+),
+scored AS (
+  SELECT t, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+         CAST((cf * 1000000) // df AS BIGINT) AS burst_u
+  FROM per
+),
+top AS (
+  SELECT * FROM scored ORDER BY burst_u DESC, t ASC LIMIT {_BURST_TOP}
+)
+SELECT t, df, cf, burst_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY burst_u DESC, t ASC) AS BIGINT)
+         AS rank
+FROM top"""
+
+
+QUERIES["q_term_burstiness"] = q_term_burstiness
+ORACLES["q_term_burstiness"] = sql_term_burstiness

@@ -2232,3 +2232,28 @@ def test_pruning_curve_is_bucketed_not_rescanned(spark, sf_dir):
     plan = plan_str(q_pruning_curve(spark, sf_dir))
     assert "EvalPython" not in plan
     assert plan.count("documents.parquet") <= 2  # base + total rollup
+
+
+def test_canonical_policy_diff_single_rollup_no_python(spark, sf_dir):
+    """The policy diff rides the verified cluster labels: per-cluster
+    aggregate + 1-row rollup, no Python, no cartesian."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_canonical_policy_diff,
+    )
+
+    plan = plan_str(q_canonical_policy_diff(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_term_burstiness_is_two_aggregates_plus_takeordered(spark, sf_dir):
+    """Burstiness is (doc,term) counts -> term rollup -> TakeOrdered:
+    no joins, no Python."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_term_burstiness,
+    )
+
+    plan = plan_str(q_term_burstiness(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

@@ -212,6 +212,10 @@ _QUERY_NAMES = [
     "q_maxcover_select",
     "q_source_novelty",
     "q_pruning_curve",
+    # wave 79/80: min_by parity across engines + the burstiness
+    # HAVING/limit boundary under tie-heavy tiny vocabularies
+    "q_canonical_policy_diff",
+    "q_term_burstiness",
 ]
 
 

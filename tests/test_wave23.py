@@ -828,3 +828,67 @@ def test_pruning_curve_is_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.n_kept <= a.n_kept and b.tokens_kept <= a.tokens_kept
         assert b.mean_quality_u >= a.mean_quality_u
+
+
+# ---------------------------------------------------------------------------
+# wave 79: canonical policy diff
+# ---------------------------------------------------------------------------
+
+
+def test_policy_diff_matches_cluster_recount(spark, sf_dir):
+    """Recount the policy disagreement directly from
+    q_cluster_canonical's rows and compare every summary field."""
+    from collections import defaultdict
+
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_canonical_policy_diff,
+        q_cluster_canonical,
+    )
+
+    rows = q_cluster_canonical(spark, sf_dir).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    n_multi = n_diff = gain = 0
+    for members in clusters.values():
+        if len(members) < 2:
+            continue
+        n_multi += 1
+        minid = min(m.doc_id for m in members)
+        minid_q = next(m.quality_u for m in members if m.doc_id == minid)
+        keep = next(m for m in members if m.keep)
+        if keep.doc_id != minid:
+            n_diff += 1
+        gain += keep.quality_u - minid_q
+    got = q_canonical_policy_diff(spark, sf_dir).collect()[0]
+    assert got.n_clusters == len(clusters)
+    assert got.n_multi == n_multi
+    assert got.n_differs == n_diff
+    assert got.quality_gain_total_u == gain
+    assert got.quality_gain_total_u >= 0  # argmax never downgrades
+
+
+# ---------------------------------------------------------------------------
+# wave 80: burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_hand_counts(spark, tmp_path):
+    """'x x x' in one doc + 'x' in 5 others: df=6, cf=8, burst =
+    8e6 div 6 = 1333333; 'the' once in each of 6 docs: burst exactly
+    1e6 (the uniform floor)."""
+    from microdata_rdf_streaming_parser_js_spark.plans.queries import (
+        q_term_burstiness,
+    )
+
+    sf = str(tmp_path)
+    texts = ["x x x the"] + ["x the"] * 5
+    spark.createDataFrame(
+        [(i, t, "l0", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.t: r for r in q_term_burstiness(spark, sf).collect()}
+    assert rows["x"].df == 6 and rows["x"].cf == 8
+    assert rows["x"].burst_u == 1_333_333
+    assert rows["the"].burst_u == 1_000_000
+    assert rows["x"].rank < rows["the"].rank
